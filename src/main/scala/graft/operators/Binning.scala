@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SedFunctions.d2s
+
+/** One histogram axis: `nBins` equal-width bins over [lo, hi], numpy
+  * `histogramdd` edge semantics (both edges inclusive; the right-most edge
+  * falls into the last bin). Mirrors sed's int+range bin spec
+  * (reference: src/sed/binning/utils.py:16 simplify_binning_arguments,
+  * numba_bin.py:15 _hist_from_bin_range).
+  *
+  * Each helper has a `...Sql` twin emitting the structurally identical
+  * DuckDB expression so bin assignment is bit-identical in the oracle.
+  */
+case class BinAxis(col: String, nBins: Int, lo: Double, hi: Double) {
+  require(nBins > 0 && hi > lo)
+  val step: Double = (hi - lo) / nBins
+
+  def idxName: String = s"${col}_bin"
+  def centerName: String = s"${col}_center"
+
+  def inRange(c: Column): Column = c >= lit(lo) && c <= lit(hi)
+  def inRangeSql(e: String): String = s"($e >= ${d2s(lo)} AND $e <= ${d2s(hi)})"
+
+  def idx(c: Column): Column =
+    least(floor((c - lit(lo)) / lit(step)), lit(nBins - 1L)).cast("long")
+  def idxSql(e: String): String =
+    s"CAST(LEAST(FLOOR(($e - ${d2s(lo)}) / ${d2s(step)}), ${nBins - 1}) AS BIGINT)"
+
+  def center(idxCol: Column): Column =
+    lit(lo) + (idxCol.cast("double") + lit(0.5)) * lit(step)
+  def centerSql(e: String): String =
+    s"(${d2s(lo)} + (CAST($e AS DOUBLE) + 0.5) * ${d2s(step)})"
+}
+
+/** N-dimensional histogramming — sed's core compute step
+  * (reference: src/sed/binning/binning.py:200 bin_dataframe).
+  *
+  * Spark-first design: bin assignment is a per-row codegen'd projection;
+  * the histogram is ONE `groupBy(bin indices).count()` — hash partial
+  * aggregation collapses essentially all rows map-side (output cardinality
+  * is bounded by the product of bin counts, e.g. 256³, regardless of input
+  * size), so the single shuffle moves at most `∏ nBins` rows per task.
+  * That is the same asymptotic shape as the reference's per-partition
+  * numba `histogramdd` + tree-reduce sum, but distributed by Catalyst.
+  * The result is sparse (empty bins absent), which is the only sane
+  * representation at 100 TB; `withCenters` adds physical axis coordinates.
+  */
+object Binning {
+
+  /** Sparse N-d histogram: one row per non-empty bin, columns
+    * `<axis>_bin`..., `cnt`. */
+  def histogram(df: DataFrame, axes: Seq[BinAxis]): DataFrame = {
+    val inRange = axes.map(a => a.inRange(df(a.col))).reduce(_ && _)
+    val idxCols = axes.map(a => a.idx(df(a.col)).as(a.idxName))
+    df.filter(inRange)
+      .select(idxCols: _*)
+      .groupBy(axes.map(a => col(a.idxName)): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Add bin-center coordinate columns (the xarray axes of the reference). */
+  def withCenters(hist: DataFrame, axes: Seq[BinAxis]): DataFrame =
+    axes.foldLeft(hist)((h, a) => h.withColumn(a.centerName, a.center(col(a.idxName))))
+
+  /** Oracle SQL for `histogram` (+ optional centers), same expressions. */
+  def histogramSql(table: String, axes: Seq[BinAxis], centers: Boolean = false,
+                   extraWhere: String = ""): String = {
+    val idxs = axes.map(a => s"${a.idxSql(a.col)} AS ${a.idxName}").mkString(", ")
+    val where = axes.map(a => a.inRangeSql(a.col)).mkString(" AND ") +
+      (if (extraWhere.nonEmpty) s" AND $extraWhere" else "")
+    val names = axes.map(_.idxName).mkString(", ")
+    val cents =
+      if (centers) axes.map(a => s", ${a.centerSql(a.idxName)} AS ${a.centerName}").mkString
+      else ""
+    s"SELECT $names, COUNT(*) AS cnt$cents FROM (SELECT $idxs FROM $table WHERE $where) GROUP BY $names"
+  }
+
+  /** Acquisition-time normalization histogram: events of the *timed*
+    * dataframe counted per axis bin (reference: binning.py:466
+    * normalization_histogram_from_timed_dataframe; :430 the timestamp
+    * variant is the same count over per-event timestamps). */
+  def normalizationHistogram(timed: DataFrame, axis: BinAxis): DataFrame =
+    histogram(timed, Seq(axis)).withColumnRenamed("cnt", "norm_cnt")
+
+  /** Histogram normalized by a per-bin normalization histogram
+    * (reference: src/sed/core/processor.py:2317 get_normalization_histogram
+    * + the `binned / normalization` division in compute()). The join is on
+    * bin index — both sides are bounded by the bin-count product, so Spark
+    * broadcast-joins the normalization side; no large shuffle. */
+  def normalizedHistogram(df: DataFrame, timed: DataFrame, axes: Seq[BinAxis],
+                          normAxis: BinAxis): DataFrame = {
+    val hist = histogram(df, axes)
+    val norm = normalizationHistogram(timed, normAxis)
+    hist.join(broadcast(norm), Seq(normAxis.idxName))
+      .withColumn("intensity",
+        col("cnt").cast("double") / col("norm_cnt").cast("double"))
+  }
+
+  /** Per-column 1-D diagnostic histograms, one stacked long-form frame
+    * (reference: src/sed/diagnostics.py grid_histogram /
+    * core/processor.py:2393 view_event_histogram). */
+  def eventHistogram(df: DataFrame, axes: Seq[BinAxis]): DataFrame =
+    axes.map { a =>
+      histogram(df, Seq(a))
+        .select(lit(a.col).as("axis"), col(a.idxName).as("bin"),
+          a.center(col(a.idxName)).as("center"), col("cnt"))
+    }.reduce(_ unionAll _)
+
+  def eventHistogramSql(table: String, axes: Seq[BinAxis]): String =
+    axes.map { a =>
+      s"SELECT '${a.col}' AS axis, ${a.idxName} AS bin, ${a.centerSql(a.idxName)} AS center, cnt FROM (${histogramSql(table, Seq(a))})"
+    }.mkString(" UNION ALL ")
+}

@@ -1,0 +1,332 @@
+package graft.sed
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.SedFunctions
+import graft.functions.SedFunctions._
+import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps}
+
+/** One driver-contract query: a Spark builder plus (optionally) the
+  * structurally identical DuckDB oracle SQL. */
+case class QueryDef(build: (SparkSession, String) => DataFrame, sql: Option[String])
+
+/** The sed-derived query inventory (SURVEY.md §2, dfops + calibrators +
+  * binning sections). Every query parameterizes over the sf directory and
+  * shares its numeric constants between the Spark plan and the oracle SQL
+  * through the twin `...Sql` emitters in [[SedFunctions]], so both engines
+  * evaluate bit-identical IEEE arithmetic.
+  */
+object SedQueries {
+
+  /** Confs queries need regardless of who built the session. The test
+    * `events.ts` column is parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads via the nanosAsLong legacy mode (as int64 nanoseconds — which
+    * is also the deterministic representation we want). */
+  def ensureConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    ensureConfs(spark)
+    Tables.events(spark, dir)
+  }
+
+  // ---- shared physics parameters (single source for Spark + oracle) ----
+  // TOF bin number derived from the synthetic `value` column: realistic
+  // tens-of-thousands bin range, as in a DLD TOF column.
+  private def tofCol(df: DataFrame): Column = df("value") * lit(100.0) + lit(10000.0)
+  private val tofSql = "(value * 100.0E0 + 10000.0E0)"
+
+  private val TofDistance = 0.9       // m
+  private val TimeOffset = 1.0e-8     // s
+  private val Binwidth = 4.125e-12    // s/bin
+  private val BinningF = 1
+  private val EnergyOffset = -10.0    // eV
+  private val PolyA = Seq(1.5e-13, -4.0e-9, 6.0e-4) // highest order first
+  private val CtrX = 250.0; private val CtrY = 75.0 // correction center (x=value, y=user_id)
+  private val SectorDelays = Seq(0.0, 12.5, -7.25, 3.75, -2.5, 8.0, -11.0, 5.5)
+  private val AdcRange = (0.0, 500.0)
+  private val DelayRangeMm = (-10.0, 10.0)
+  private val Time0Mm = 1.5
+  private val DelayRange = (mmToPs(DelayRangeMm._1, Time0Mm), mmToPs(DelayRangeMm._2, Time0Mm))
+  // momentum calibration (momentum.py append_k_axis parameters)
+  private val KxStart = 0.0; private val KxCenter = 256.0; private val KxScale = 0.0131; private val KxStep = 2.0
+  private val KyStart = 0.0; private val KyCenter = 64.0; private val KyScale = 0.0121; private val KyStep = 1.0
+  // interp knots: external "sensor" time series over the events' ts span
+  private val KnotTs = Seq(1.7040672e9, 1.704672e9, 1.7052768e9, 1.7058816e9, 1.7067456e9)
+  private val KnotVal = Seq(20.0, 22.5, 19.0, 25.0, 21.0)
+
+  // Epoch seconds (double) from the int64-nanosecond ts column, truncated
+  // to µs first: DuckDB's TIMESTAMP_NS functions only carry µs precision,
+  // so both engines floor to the common µs grid before the divide.
+  private def esCol(df: DataFrame): Column =
+    expr("ts div 1000").cast("double") / lit(1.0e6)
+  private val esSql = "(CAST(epoch_us(ts) AS DOUBLE) / 1.0E6)"
+
+  // histogram axes
+  private val AxValue = BinAxis("value", 100, 0.0, 500.0)
+  private val AxValue50 = BinAxis("value", 50, 0.0, 500.0)
+  private val AxUser = BinAxis("user_id", 30, 0.0, 150.0)
+  private val AxM = BinAxis("m", 20, 0.0, 97.0)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---------------- dfops ----------------
+    "q_filter" -> QueryDef(
+      (s, d) => DfOps.applyFilter(events(s, d), "value", 50.0, 400.0)
+        .select("event_id", "value", "user_id"),
+      Some("SELECT event_id, value, user_id FROM events WHERE value > 50.0 AND value < 400.0")),
+
+    "q_drop_column" -> QueryDef(
+      (s, d) => DfOps.dropColumns(events(s, d), Seq("props", "ts")),
+      Some("SELECT event_id, user_id, event_type, value FROM events")),
+
+    "q_jitter_uniform" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        DfOps.applyJitter(df, Seq("value"), "event_id", 0.5, "uniform")
+          .select("event_id", "value_jittered")
+      },
+      Some(s"SELECT event_id, ${jitterUniformSql("value", "event_id", 0.5, 1L)} AS value_jittered FROM events")),
+
+    "q_jitter_normal" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        DfOps.applyJitter(df, Seq("value"), "event_id", 0.5, "normal")
+          .select("event_id", "value_jittered")
+      },
+      Some(s"SELECT event_id, ${jitterNormalSql("value", "event_id", 0.5, 1L)} AS value_jittered FROM events")),
+
+    "q_forward_fill" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d).withColumn("value_sparse",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+          .select("event_id", "value_sparse")
+        DfOps.forwardFill(df, "event_id", Seq("value_sparse"))
+          .withColumnRenamed("value_sparse", "value_filled")
+      },
+      Some("""SELECT event_id, LAST_VALUE(value_sparse IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_sparse FROM events)""")),
+
+    "q_backward_fill" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d).withColumn("value_sparse",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+          .select("event_id", "value_sparse")
+        DfOps.backwardFill(df, "event_id", Seq("value_sparse"))
+          .withColumnRenamed("value_sparse", "value_filled")
+      },
+      Some("""SELECT event_id, FIRST_VALUE(value_sparse IGNORE NULLS) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_filled FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_sparse FROM events)""")),
+
+    "q_offset_mean" -> QueryDef(
+      (s, d) => DfOps.offsetByOtherColumns(events(s, d), "value",
+        Seq(ColumnOffset("value", 1.5, Some("mean"))), "value_off")
+        .select("event_id", "value_off"),
+      Some(s"SELECT event_id, value + 1.5 * (SELECT ${DfOps.exactMeanSql("value")} FROM events) AS value_off FROM events")),
+
+    "q_offset_columns" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.withColumn("value_off",
+          df("value") + lit(0.5) * df("user_id") + lit(-0.001) * df("event_id"))
+          .select("event_id", "value_off")
+      },
+      Some("SELECT event_id, value + 0.5E0 * user_id + -0.001E0 * event_id AS value_off FROM events")),
+
+    "q_timestamped_data" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        DfOps.addTimeStampedData(df, esCol(df), "temperature", KnotTs, KnotVal)
+          .select("event_id", "temperature")
+      },
+      Some(s"SELECT event_id, ${interp1dSql(esSql, KnotTs, KnotVal)} AS temperature FROM events")),
+
+    "q_map_2d" -> QueryDef(
+      (s, d) => DfOps.mapColumns2d(events(s, d),
+        (x, y) => (x + lit(0.1) * y, y - lit(0.002) * x * x),
+        "value", "user_id", "xm", "ym").select("event_id", "xm", "ym"),
+      Some("SELECT event_id, value + 0.1E0 * user_id AS xm, user_id - 0.002E0 * value * value AS ym FROM events")),
+
+    // ---------------- energy calibration ----------------
+    "q_tof2ev" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.select(df("event_id"),
+          tof2ev(tofCol(df), TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset).as("energy"))
+      },
+      Some(s"SELECT event_id, ${tof2evSql(tofSql, TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset)} AS energy FROM events")),
+
+    "q_tof2evpoly" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.select(df("event_id"), tof2evpoly(tofCol(df), PolyA, EnergyOffset).as("energy"))
+      },
+      Some(s"SELECT event_id, ${tof2evpolySql(tofSql, PolyA, EnergyOffset)} AS energy FROM events")),
+
+    "q_tof2ns" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.select(df("event_id"), tof2ns(tofCol(df), Binwidth, BinningF).as("tof_ns"))
+      },
+      Some(s"SELECT event_id, ${tof2nsSql(tofSql, Binwidth, BinningF)} AS tof_ns FROM events")),
+
+    "q_energy_corr_spherical" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val corr = energyCorrectionSpherical(df("value"), df("user_id").cast("double"), CtrX, CtrY, 1.0, 3000.0)
+        df.select(df("event_id"), (tofCol(df) + corr).as("tof_corr"))
+      },
+      Some(s"SELECT event_id, $tofSql + ${energyCorrectionSphericalSql("value", "CAST(user_id AS DOUBLE)", CtrX, CtrY, 1.0, 3000.0)} AS tof_corr FROM events")),
+
+    "q_energy_corr_lorentzian" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val corr = energyCorrectionLorentzian(df("value"), df("user_id").cast("double"), CtrX, CtrY, 0.8, 700.0)
+        df.select(df("event_id"), (tofCol(df) + corr).as("tof_corr"))
+      },
+      Some(s"SELECT event_id, $tofSql + ${energyCorrectionLorentzianSql("value", "CAST(user_id AS DOUBLE)", CtrX, CtrY, 0.8, 700.0)} AS tof_corr FROM events")),
+
+    "q_energy_corr_gaussian" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val corr = energyCorrectionGaussian(df("value"), df("user_id").cast("double"), CtrX, CtrY, 0.8, 700.0)
+        // EXP differs by 1 ULP between JVM and libm on rare inputs; round
+        // to 1e-6 (values are O(1e4)) on both sides for a stable compare.
+        df.select(df("event_id"), round(tofCol(df) + corr, 6).as("tof_corr"))
+      },
+      Some(s"SELECT event_id, ROUND($tofSql + ${energyCorrectionGaussianSql("value", "CAST(user_id AS DOUBLE)", CtrX, CtrY, 0.8, 700.0)}, 6) AS tof_corr FROM events")),
+
+    "q_energy_corr_lorentzian_asym" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val corr = energyCorrectionLorentzianAsym(df("value"), df("user_id").cast("double"), CtrX, CtrY, 0.8, 700.0, 0.5, 500.0)
+        df.select(df("event_id"), (tofCol(df) + corr).as("tof_corr"))
+      },
+      Some(s"SELECT event_id, $tofSql + ${energyCorrectionLorentzianAsymSql("value", "CAST(user_id AS DOUBLE)", CtrX, CtrY, 0.8, 700.0, 0.5, 500.0)} AS tof_corr FROM events")),
+
+    "q_sector_align" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.select(df("event_id"),
+          sectorAlign(tofCol(df), (df("event_id") % 8).cast("int"), SectorDelays).as("tof_aligned"))
+      },
+      Some(s"SELECT event_id, ${sectorAlignSql(tofSql, "CAST(event_id % 8 AS INTEGER)", SectorDelays)} AS tof_aligned FROM events")),
+
+    "q_energy_offsets" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val withE = df.withColumn("energy",
+          tof2ev(tofCol(df), TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset))
+        DfOps.offsetByOtherColumns(withE, "energy",
+          Seq(ColumnOffset("value", 0.02, None, preserveMean = true)), "energy_off")
+          .select("event_id", "energy_off")
+      },
+      Some(s"SELECT event_id, ${tof2evSql(tofSql, TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset)} + 0.02 * value - 0.02 * (SELECT ${DfOps.exactMeanSql("value")} FROM events) AS energy_off FROM events")),
+
+    // ---------------- momentum ----------------
+    "q_k_axis" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.select(df("event_id"),
+          detectorToK(df("value"), KxStart, KxCenter, KxScale, KxStep).as("kx"),
+          detectorToK(df("user_id").cast("double"), KyStart, KyCenter, KyScale, KyStep).as("ky"))
+      },
+      Some(s"SELECT event_id, ${detectorToKSql("value", KxStart, KxCenter, KxScale, KxStep)} AS kx, ${detectorToKSql("CAST(user_id AS DOUBLE)", KyStart, KyCenter, KyScale, KyStep)} AS ky FROM events")),
+
+    "q_pose_transform" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val (nx, ny) = poseTransform(df("value"), df("user_id").cast("double"),
+          scale = 1.05, angleRad = 0.3, centerX = 250.0, centerY = 75.0, xTrans = 4.0, yTrans = -2.0)
+        df.select(df("event_id"), nx.as("xt"), ny.as("yt"))
+      }, {
+        val (nx, ny) = poseTransformSql("value", "CAST(user_id AS DOUBLE)",
+          1.05, 0.3, 250.0, 75.0, 4.0, -2.0)
+        Some(s"SELECT event_id, $nx AS xt, $ny AS yt FROM events")
+      }),
+
+    // ---------------- delay ----------------
+    "q_delay_axis" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        df.select(df("event_id"), adcToDelay(df("value"), AdcRange, DelayRange).as("delay"))
+      },
+      Some(s"SELECT event_id, ${adcToDelaySql("value", AdcRange, DelayRange)} AS delay FROM events")),
+
+    "q_delay_offsets" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+        val delay = adcToDelay(df("value"), AdcRange, DelayRange)
+        df.select(df("event_id"), (delay * lit(-1.0) + lit(3.0)).as("delay_off"))
+      },
+      Some(s"SELECT event_id, ${adcToDelaySql("value", AdcRange, DelayRange)} * -1.0 + 3.0 AS delay_off FROM events")),
+
+    // ---------------- binning ----------------
+    "q_hist1d" -> QueryDef(
+      (s, d) => Binning.histogram(events(s, d), Seq(AxValue)),
+      Some(Binning.histogramSql("events", Seq(AxValue)))),
+
+    "q_hist2d" -> QueryDef(
+      (s, d) => Binning.histogram(events(s, d), Seq(AxValue50, AxUser)),
+      Some(Binning.histogramSql("events", Seq(AxValue50, AxUser)))),
+
+    "q_hist3d" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d).withColumn("m", (col("event_id") % 97).cast("double"))
+        Binning.histogram(df, Seq(AxValue50, AxUser, AxM))
+      },
+      Some(Binning.histogramSql(
+        "(SELECT value, user_id, CAST(event_id % 97 AS DOUBLE) AS m FROM events)",
+        Seq(AxValue50, AxUser, AxM)))),
+
+    "q_hist_centers" -> QueryDef(
+      (s, d) => Binning.withCenters(Binning.histogram(events(s, d), Seq(AxValue)), Seq(AxValue)),
+      Some(Binning.histogramSql("events", Seq(AxValue), centers = true))),
+
+    "q_norm_hist" -> QueryDef(
+      (s, d) => Binning.normalizationHistogram(
+        events(s, d).filter(col("event_type") =!= "error"), AxValue),
+      Some("SELECT value_bin, COUNT(*) AS norm_cnt FROM (SELECT " +
+        AxValue.idxSql("value") + " AS value_bin FROM events WHERE " +
+        AxValue.inRangeSql("value") + " AND event_type <> 'error') GROUP BY value_bin")),
+
+    "q_hist_normalized" -> QueryDef(
+      (s, d) => {
+        val ev = events(s, d)
+        Binning.normalizedHistogram(ev, ev.filter(col("event_type") =!= "error"),
+          Seq(AxValue50, AxUser), AxValue50)
+      },
+      Some {
+        val hist = Binning.histogramSql("events", Seq(AxValue50, AxUser))
+        val norm = "SELECT value_bin, COUNT(*) AS norm_cnt FROM (SELECT " +
+          AxValue50.idxSql("value") + " AS value_bin FROM events WHERE " +
+          AxValue50.inRangeSql("value") + " AND event_type <> 'error') GROUP BY value_bin"
+        s"SELECT h.value_bin, h.user_id_bin, h.cnt, n.norm_cnt, CAST(h.cnt AS DOUBLE) / CAST(n.norm_cnt AS DOUBLE) AS intensity FROM ($hist) h JOIN ($norm) n ON h.value_bin = n.value_bin"
+      }),
+
+    "q_event_histogram" -> QueryDef(
+      (s, d) => Binning.eventHistogram(events(s, d), Seq(AxValue, AxUser)),
+      Some(Binning.eventHistogramSql("events", Seq(AxValue, AxUser))))
+  )
+
+  /** Flagship pipeline (SparkEntry.entry): jitter → sector align →
+    * energy calibration → k/delay axes → 3-D (kx, ky, E) histogram —
+    * the canonical sed workflow (processor.py compute()) as one lazy,
+    * shuffle-once Spark plan. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    ensureConfs(spark)
+    val raw = Tables.events(spark, dir)
+    val jittered = DfOps.applyJitter(raw, Seq("value"), "event_id", 0.5, "uniform")
+    val df = jittered
+      .withColumn("tof", col("value_jittered") * lit(100.0) + lit(10000.0))
+      .withColumn("tof_aligned",
+        sectorAlign(col("tof"), (col("event_id") % 8).cast("int"), SectorDelays))
+      .withColumn("energy",
+        tof2ev(col("tof_aligned"), TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset))
+      .withColumn("kx", detectorToK(col("value"), KxStart, KxCenter, KxScale, KxStep))
+      .withColumn("ky", detectorToK(col("user_id").cast("double"), KyStart, KyCenter, KyScale, KyStep))
+    Binning.histogram(df, Seq(
+      BinAxis("kx", 64, -4.0, 0.0), BinAxis("ky", 64, -1.0, 0.0),
+      BinAxis("energy", 64, 0.0, 2500.0)))
+  }
+}
