@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.sed.SedQueries
+import graft.sed.{PipelineQueries, RelationalQueries, SedQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,11 +9,13 @@ object SparkEntry {
     SedQueries.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  private def defs = SedQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SedQueries.defs.map { case (k, v) => k -> v.build }
+    defs.map { case (k, v) => k -> v.build }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    SedQueries.defs.collect { case (k, v) if v.sql.isDefined => k -> v.sql.get }
+    defs.collect { case (k, v) if v.sql.isDefined => k -> v.sql.get }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * The scale pattern for top-k against a huge corpus and a small query set
+  * is broadcast-NN: broadcast the queries, stream the corpus once keeping a
+  * bounded per-query heap per partition (k × Q state, independent of corpus
+  * size), then merge the P × Q × k partial winners with one tiny window.
+  * A naive `crossJoin + Window.partitionBy(query)` would instead shuffle
+  * corpus × queries rows into Q reducer partitions — unbounded at scale.
+  *
+  * Cosines are accumulated left-to-right in double (index order), matching
+  * the DuckDB oracle's `list_reduce` fold bit-for-bit.
+  */
+object Ann {
+
+  private val outSchema = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("vec_id", LongType),
+    StructField("cosine", DoubleType)))
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** better(x, y): higher cosine wins, ties broken by lower id. */
+  private val betterOrd: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+
+  /** Exact brute-force cosine top-k of `queries` against `corpus`
+    * (self-matches excluded). Result: (query_id, vec_id, cosine, rank). */
+  def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: Array[(Long, Array[Float])], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val qB = spark.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v, math.sqrt(dot(v, v))) })
+    val partials = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .mapPartitions { it =>
+        val qs = qB.value
+        // min-heap per query: head = current worst of the kept k
+        val heaps = Array.fill(qs.length)(
+          mutable.PriorityQueue.empty[(Double, Long)](betterOrd))
+        it.foreach { row =>
+          val id = row.getLong(0)
+          val v = row.getSeq[Float](1).toArray
+          val nv = math.sqrt(dot(v, v))
+          var q = 0
+          while (q < qs.length) {
+            val (qid, qv, qn) = qs(q)
+            if (id != qid) {
+              val c = dot(qv, v) / (qn * nv)
+              val h = heaps(q)
+              if (h.size < k) h.enqueue((c, id))
+              else if (betterOrd.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (c, id) => Row(qs(q)._1, id, c) }
+        }
+      }
+    val partialDf = spark.createDataFrame(partials, outSchema)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    partialDf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: corpus vectors are bucketed by nearest centroid; a
+    * query probes only its `nprobe` nearest centroid buckets. Centroids
+    * here are a deterministic sample (every `centroidStride`-th id) — a
+    * production pipeline would plug in k-means means; the bucketing,
+    * pruning, and search shape are identical. Bucket assignment is a
+    * map-only pass against broadcast centroids; the search scans only
+    * the probed fraction (~nprobe/numCentroids) of the corpus. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: Array[(Long, Array[Float])], k: Int,
+              centroidStride: Int = 50, nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => ((r.getLong(0) / centroidStride).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cB = spark.sparkContext.broadcast(
+      centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
+
+    def nearestCentroids(v: Array[Float], n: Int): Seq[Int] = {
+      val nv = math.sqrt(dot(v, v))
+      cB.value.map { case (cid, cv, cn) => (dot(cv, v) / (cn * nv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(n).map(_._2).toSeq
+    }
+
+    val probes: Map[Long, Set[Int]] =
+      queries.map { case (qid, qv) => qid -> nearestCentroids(qv, nprobe).toSet }.toMap
+    val qB = spark.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v, math.sqrt(dot(v, v)), probes(qid)) })
+
+    val bucketed = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .mapPartitions { it =>
+        it.map { row =>
+          val v = row.getSeq[Float](1).toArray
+          val nv = math.sqrt(dot(v, v))
+          var best = -2.0; var bestC = -1
+          cB.value.foreach { case (cid, cv, cn) =>
+            val c = dot(cv, v) / (cn * nv)
+            if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+          }
+          (row.getLong(0), v, bestC)
+        }
+      }
+    val partials = bucketed.mapPartitions { it =>
+      val qs = qB.value
+      val heaps = Array.fill(qs.length)(
+        mutable.PriorityQueue.empty[(Double, Long)](betterOrd))
+      it.foreach { case (id, v, bucket) =>
+        val nv = math.sqrt(dot(v, v))
+        var q = 0
+        while (q < qs.length) {
+          val (qid, qv, qn, probe) = qs(q)
+          if (id != qid && probe.contains(bucket)) {
+            val c = dot(qv, v) / (qn * nv)
+            val h = heaps(q)
+            if (h.size < k) h.enqueue((c, id))
+            else if (betterOrd.lt((c, id), h.head)) { h.dequeue(); h.enqueue((c, id)) }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case (c, id) => Row(qs(q)._1, id, c) }
+      }
+    }
+    val partialDf = spark.createDataFrame(partials, outSchema)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    partialDf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Collect a small query set (id, vector) to the driver for broadcast. */
+  def collectQueries(df: DataFrame, idCol: String, vecCol: String): Array[(Long, Array[Float])] =
+    df.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (content hash), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale posture (the part that must survive 100 TB):
+  *  - signatures/fingerprints are map-only column algebra over the in-row
+  *    token array — no explode, no shuffle, whole-stage codegen;
+  *  - the only shuffles are the band-bucket exchange (keys are (band,
+  *    bandKey), bucket sizes bounded by the banding parameters) and the
+  *    final pair `distinct`;
+  *  - giant buckets (degenerate content, e.g. boilerplate) would make the
+  *    in-bucket self-join quadratic, so buckets above `maxBucket` are
+  *    dropped — the standard LSH skew guard: such content is better handled
+  *    by the exact-hash pass that precedes it.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content by md5, keep the smallest id.
+    * One shuffle keyed by the 128-bit hash; partial agg collapses
+    * duplicates map-side. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: doc id + `numHashes` signature columns s0..s{k-1}
+    * over word `shingleN`-gram shingles. Map-only. The shingle hashes are
+    * materialized once in their own projection (CollapseProject keeps a
+    * non-cheap alias referenced k times un-inlined), so md5 runs once per
+    * shingle, not once per shingle per permutation. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleN: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val sigs = (0 until numHashes).map(j =>
+      element_at(col("__sigs"), j + 1).as(s"s$j"))
+    // __toks is materialized as its own column: expressions inside
+    // higher-order-function lambdas get no common-subexpression
+    // elimination, so an inline `split` would re-run per element_at —
+    // 3 regex splits per shingle instead of 1 per row.
+    docs.filter(size(toks) >= shingleN)
+      .withColumn("__toks", toks)
+      .withColumn("__sh_hashes", transform(
+        TextFunctions.shingles(col("__toks"), shingleN), TextFunctions.expr_hash32 _))
+      .withColumn("__sigs",
+        org.apache.spark.sql.graft.MinHashSigs(col("__sh_hashes"), numHashes))
+      .select(col(idCol) +: sigs: _*)
+  }
+
+  /** LSH band keys b0..b{numBands-1}: each combines `rowsPerBand`
+    * consecutive signature values. */
+  def withBandKeys(sigDf: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      TextFunctions.bandKey((0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}")))
+        .as(s"b$b")
+    }
+    sigDf.select(col(sigDf.columns.head) +: bands: _*)
+  }
+
+  /** All (a < b) pairs inside each bucket, generated bucket-locally: one
+    * shuffle to group, then pairs are expanded map-side from the sorted id
+    * array — no self-join, and the upstream (possibly expensive) key
+    * computation runs exactly once. Buckets larger than `maxBucket` are
+    * dropped (LSH skew guard: degenerate boilerplate content belongs to the
+    * exact-hash pass, and an unbounded bucket is a quadratic blowup). */
+  private def bucketPairs(buckets: DataFrame, idCol: String,
+                          keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val ids = col("ids")
+    buckets.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) >= 2 && size(ids) <= maxBucket)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs (a < b) that collide in at least one LSH
+    * band. Shuffles: the (band, key) bucket exchange + the final pair
+    * distinct — both bounded by the banding parameters. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 12, rowsPerBand: Int = 3,
+                        shingleN: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val banded = withBandKeys(
+      minhashSignatures(docs, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand)
+    val buckets = banded.select(col(idCol),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    bucketPairs(buckets, idCol, Seq("band", "key"), maxBucket)
+  }
+
+  /** 32-bit SimHash fingerprint per document — map-only (see
+    * TextFunctions.simhash32). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      TextFunctions.simhash32(TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** n-gram Jaccard similarity for every pair admitted by `pairCond`
+    * (applied to the `a`/`b` aliases). Pair generation is the caller's
+    * policy — in production the pairs come from [[minhashCandidates]]. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   pairCond: (DataFrame, DataFrame) => Column): DataFrame = {
+    val sh = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol))) // see minhashSignatures
+      .select(col(idCol),
+        array_distinct(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    a.join(b, pairCond(a, b))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
+        size(array_union(col("a_sh"), col("b_sh"))).cast("long").as("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+  }
+
+  /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent
+    * hash tables of `bitsPerTable` hyperplane sign bits each; a pair is a
+    * candidate if it collides in any table, and survives if cosine >=
+    * `threshold`. Sign bits are pure column algebra (a dot with a ±1
+    * literal plane); the only shuffles are the bucket exchange and the
+    * two id→vector joins for the final cosine check. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        tables: Int = 8, bitsPerTable: Int = 6,
+                        maxBucket: Int = 10000): DataFrame = {
+    val keyCols = (0 until tables).map { t =>
+      val bits = (0 until bitsPerTable).map { bit =>
+        val plane = VectorFunctions.signPlane(t, bit, dim)
+        when(VectorFunctions.dotLit(col(vecCol), plane) > 0, lit(1L << bit)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _).as(s"t$t")
+    }
+    val keyed = emb.select(col(idCol) +: keyCols: _*)
+    val buckets = keyed.select(col(idCol),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), col(s"t$t").as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    val pairs = bucketPairs(buckets, idCol, Seq("tbl", "key"), maxBucket)
+    val va = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val vb = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    pairs.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosine(col("a_vec"), col("b_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

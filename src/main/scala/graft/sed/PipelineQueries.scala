@@ -1,0 +1,185 @@
+package graft.sed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** LLM-training-data pipeline queries (SURVEY.md §2 "LLM-data-pipeline"):
+  * dedup, similarity search, text analysis, multimodal plumbing — over the
+  * `documents` / `embeddings` tables. Oracle SQL is emitted from the same
+  * constants as the Spark plans so both engines run identical arithmetic.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s); Tables.documents(s, d)
+  }
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s); Tables.embeddings(s, d)
+  }
+
+  private val NumHashes = 12
+  private val RowsPerBand = 3
+  private val ShingleN = 3
+  private val TopK = 5
+  private val NumQueries = 10 // ANN query set: vec_id < 10
+  private val EmbDim = 64
+  private val NearDupCos = 0.35
+
+  // ---- DuckDB SQL fragments (mirror TextFunctions/VectorFunctions) ----
+  private val toksSqlFrag = "string_split_regex(text, '\\s+')"
+  private def shinglesSqlFrag(l: String, n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) s"$l[i]" else s"$l[i+$k]").mkString(", ")
+    s"list_transform(generate_series(1, len($l)-${n - 1}), i -> concat_ws(' ', $parts))"
+  }
+  private def hash32Frag(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---------------- dedup ----------------
+    "q_dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
+      Some("SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents GROUP BY md5(text)")),
+
+    "q_minhash_sig" -> QueryDef(
+      (s, d) => Dedup.minhashSignatures(docs(s, d), "doc_id", "text", NumHashes, ShingleN),
+      Some {
+        val sh = shinglesSqlFrag("l", ShingleN)
+        val sigCols = (0 until NumHashes).map { j =>
+          s"list_min(list_transform($sh, s -> (${minhashA(j)} * ${hash32Frag("s")} + ${minhashB(j)}) % $MinhashP)) AS s$j"
+        }.mkString(", ")
+        s"SELECT doc_id, $sigCols FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents WHERE len($toksSqlFrag) >= $ShingleN)"
+      }),
+
+    // Candidate pairs via banded LSH: pair membership depends on the band
+    // partition, not SQL-expressible compactly -> rows-only check.
+    "q_dedup_minhash" -> QueryDef(
+      (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text",
+        NumHashes, RowsPerBand, ShingleN),
+      None),
+
+    "q_dedup_simhash" -> QueryDef(
+      (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text"),
+      Some(TextFunctions.simhash32Sql("documents"))),
+
+    "q_ngram_jaccard" -> QueryDef(
+      (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", ShingleN,
+        (a, b) => a("a_id") < b("b_id") && a("a_id") % 50 === b("b_id") % 50),
+      Some {
+        val sh = shinglesSqlFrag("l", ShingleN)
+        s"""WITH s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+           FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50"""
+          .replaceAll("\\s+", " ")}),
+
+    "q_dedup_embedding" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding",
+        EmbDim, NearDupCos),
+      None),
+
+    // ---------------- similarity search ----------------
+    "q_ann_topk" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val queries = Ann.collectQueries(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
+        Ann.bruteTopK(e, "vec_id", "embedding", queries, TopK)
+      },
+      Some {
+        val cos = VectorFunctions.cosineSql("q.embedding", "c.embedding")
+        s"""SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cos AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+           FROM embeddings q, embeddings c WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+           WHERE rank <= $TopK""".replaceAll("\\s+", " ")}),
+
+    "q_ann_ivf" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val queries = Ann.collectQueries(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
+        Ann.ivfTopK(e, "vec_id", "embedding", queries, TopK)
+      },
+      None),
+
+    // ---------------- text analysis ----------------
+    "q_lang_id" -> QueryDef(
+      (s, d) => {
+        val df = docs(s, d)
+        val counted = LangMarkers.foldLeft(df) { case (acc, (lang, pat)) =>
+          acc.withColumn(s"c_$lang", markerCount(col("text"), pat).cast("long"))
+        }
+        counted.select(col("doc_id"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"),
+          when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+            .when(col("c_de") >= col("c_fr"), "de")
+            .otherwise("fr").as("lang_pred"))
+      },
+      Some {
+        val cs = LangMarkers.map { case (lang, pat) =>
+          s"CAST(${markerCountSql("text", pat)} AS BIGINT) AS c_$lang"
+        }.mkString(", ")
+        s"""SELECT doc_id, c_en, c_es, c_de, c_fr,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred
+           FROM (SELECT doc_id, $cs FROM documents)""".replaceAll("\\s+", " ")}),
+
+    "q_text_quality" -> QueryDef(
+      (s, d) => docs(s, d)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("long"))
+        .withColumn("n_upper", size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0))).cast("long"))
+        .withColumn("c_stop", markerCount(col("text"), LangMarkers.head._2).cast("long"))
+        .select(col("doc_id"), col("n_chars"), col("n_tok"), col("n_punct"), col("n_upper"),
+          (lit(0.4) * (col("c_stop").cast("double") / col("n_tok").cast("double")) +
+            lit(0.3) * least(col("n_chars").cast("double") / lit(500.0), lit(1.0)) +
+            lit(0.2) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars").cast("double")) +
+            lit(0.1) * (lit(1.0) - col("n_upper").cast("double") / col("n_chars").cast("double"))).as("quality")),
+      Some(s"""SELECT doc_id, n_chars, n_tok, n_punct, n_upper,
+          0.4 * (CAST(c_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) +
+          0.3 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) +
+          0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) +
+          0.1 * (1.0 - CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS quality
+        FROM (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len($toksSqlFrag) AS BIGINT) AS n_tok,
+          CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+          CAST(${markerCountSql("text", LangMarkers.head._2)} AS BIGINT) AS c_stop
+        FROM documents)""".replaceAll("\\s+", " "))),
+
+    "q_token_count" -> QueryDef(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+        (length(col("text")).cast("double") / size(tokens(col("text"))).cast("double")).as("chars_per_token")),
+      Some(s"""SELECT doc_id,
+          CAST(len($toksSqlFrag) AS BIGINT) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+          CAST(length(text) AS DOUBLE) / CAST(len($toksSqlFrag) AS DOUBLE) AS chars_per_token
+        FROM documents""".replaceAll("\\s+", " "))),
+
+    "q_fingerprint" -> QueryDef(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(tokens(col("text"))).as("fp")),
+      Some(TextFunctions.fingerprintSql("documents"))),
+
+    // ---------------- multimodal ----------------
+    "q_multimodal_meta" -> QueryDef(
+      (s, d) => Multimodal.decodeMeta(
+        Multimodal.withPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
+      Some("""SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS size,
+          CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+          CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels,
+          ('0x' || substr(md5(text), 1, 8))::BIGINT AS fp
+        FROM documents""".replaceAll("\\s+", " ")))
+  )
+}

@@ -1,0 +1,148 @@
+package graft.sed
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational coverage over the TPC-H-ish tables (SURVEY.md §2
+  * "Relational coverage"): grouped agg, multi-way join + top-k, semi/anti
+  * joins, window functions, rollup.
+  *
+  * Money sums are folded in exact integer cents (inputs have fixed decimal
+  * precision) so results are independent of partition/reduction order —
+  * a plain double SUM would be nondeterministic at cluster scale and could
+  * never hash-match an oracle.
+  *
+  * Scale notes: dimension tables (region/nation/customer-filter) are
+  * broadcast; fact-fact joins shuffle on their keys with partial aggs
+  * pushed below the exchange; top-k is TakeOrderedAndProject (no global
+  * sort materialization).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame = {
+    SedQueries.ensureConfs(s); Tables.load(s, d, name)
+  }
+
+  /** SUM of a 2-decimal money column in exact cents, as double. */
+  private def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 100).cast("long")).cast("double") / lit(100.0)
+  private def centsSumSql(c: String): String =
+    s"CAST(SUM(CAST(ROUND($c * 100) AS BIGINT)) AS DOUBLE)/100.0"
+
+  /** Per-row revenue extendedprice*(1-discount), exact at 1e-4. */
+  private def revSum(df: DataFrame): org.apache.spark.sql.Column =
+    sum(round(df("l_extendedprice") * (lit(1.0) - df("l_discount")) * 10000).cast("long"))
+      .cast("double") / lit(10000.0)
+  private val revSumSql =
+    "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)/10000.0"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1-style pricing summary.
+    "q1_agg" -> QueryDef(
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        l.groupBy("l_returnflag", "l_linestatus").agg(
+          centsSum(col("l_quantity")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base"),
+          revSum(l).as("sum_disc_price"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 1000000)
+            .cast("long")).cast("double") / lit(1000000.0)).as("sum_charge"),
+          (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_qty"),
+          (sum(round(col("l_discount") * 100).cast("long")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${centsSumSql("l_quantity")} AS sum_qty,
+          ${centsSumSql("l_extendedprice")} AS sum_base,
+          $revSumSql AS sum_disc_price,
+          CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+          CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_qty,
+          CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_disc,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "))),
+
+    // TPC-H Q3-style: 3-way join, agg, deterministic top-10.
+    "q3_join" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        val l = t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(l("l_orderkey"), o("o_orderdate"))
+          .agg(revSum(l).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, $revSumSql AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".replaceAll("\\s+", " "))),
+
+    // Left-semi + left-anti join (customers with / without an urgent order).
+    "q_semi_anti" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_urgent").as("tag"))
+        val anti = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_urgent").as("tag"))
+        semi.union(anti)
+      },
+      Some("""SELECT c_custkey, 'has_urgent' AS tag FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT c_custkey, 'no_urgent' AS tag FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""
+        .replaceAll("\\s+", " "))),
+
+    // Window functions: per-customer running order total + sequence number.
+    "q_window" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          (sum(round(col("o_totalprice") * 100).cast("long")).over(w).cast("double") / lit(100.0)).as("running_total"),
+          row_number().over(w).cast("long").as("order_seq"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS running_total,
+          CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+        .replaceAll("\\s+", " "))),
+
+    // Rollup aggregate over the region -> nation hierarchy.
+    "q_rollup" -> QueryDef(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select(col("r_name"), col("n_name"), col("c_acctbal"))
+          .createOrReplaceTempView("graft_cust_geo")
+        // DSL rollup + grouping() trips DetectAmbiguousSelfJoin on the
+        // joined lineage; the SQL form builds the identical Aggregate plan.
+        s.sql(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+            ${centsSumSql("c_acctbal")} AS sum_acctbal,
+            CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+            CAST(GROUPING(n_name) AS BIGINT) AS g_n
+          FROM graft_cust_geo GROUP BY ROLLUP(r_name, n_name)""")
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+          ${centsSumSql("c_acctbal")} AS sum_acctbal,
+          CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+          CAST(GROUPING(n_name) AS BIGINT) AS g_n
+        FROM customer, nation, region
+        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)""".replaceAll("\\s+", " ")))
+  )
+}
