@@ -186,13 +186,30 @@ object SedFunctions {
   // counter-based-RNG design for distributed engines.
 
   private val MOD = 1000003L // prime
+  /** One LCG-style draw in [0, 1): u = ((id mod M)·a + b mod M) / M.
+    * `id` is reduced mod M BEFORE the multiply so the intermediate stays
+    * < M·a < 2^63 for ANY id (DuckDB errors on int64 overflow; Java would
+    * silently wrap — both avoided). Per-draw multiplier variation
+    * decorrelates successive draws: an additive-only variation would make
+    * Irwin–Hall sums perfectly correlated. Non-negative ids assumed. */
+  private def draw(id: Column, a: Long, b: Long): Column =
+    (((id % lit(MOD)) * lit(a) + lit(b)) % lit(MOD)).cast("double") / lit(MOD.toDouble)
+
+  private def drawSql(id: String, a: Long, b: Long): String =
+    s"(CAST((($id % $MOD) * $a + $b) % $MOD AS DOUBLE) / ${d2s(MOD.toDouble)})"
+
+  private def drawA(k: Long): Long = {
+    val a = (2654435761L % MOD + k * 97911L) % MOD
+    if (a == 0) 1L else a
+  }
+  private def drawB(streamKey: Long, k: Long): Long = (streamKey * 12 + k) * 40503L % MOD
+
   /** Deterministic uniform in [-1, 1) keyed by an integer id column. */
   def unitNoise(id: Column, streamKey: Long): Column =
-    ((id * lit(2654435761L) + lit(streamKey * 40503L)) % lit(MOD)).cast("double") /
-      lit(MOD.toDouble) * lit(2.0) - lit(1.0)
+    draw(id, drawA(0), drawB(streamKey, 0)) * lit(2.0) - lit(1.0)
 
   def unitNoiseSql(id: String, streamKey: Long): String =
-    s"((CAST(($id * 2654435761 + ${streamKey * 40503L}) % $MOD AS DOUBLE) / ${d2s(MOD.toDouble)}) * 2.0 - 1.0)"
+    s"(${drawSql(id, drawA(0), drawB(streamKey, 0))} * 2.0 - 1.0)"
 
   /** Uniform jitter: col + amp * U[-1,1). */
   def jitterUniform(col: Column, id: Column, amp: Double, streamKey: Long = 1L): Column =
@@ -206,15 +223,14 @@ object SedFunctions {
   def jitterNormal(col: Column, id: Column, amp: Double, streamKey: Long = 1L): Column = {
     var s: Column = lit(0.0)
     for (k <- 1 to 12)
-      s = s + (((id * lit(2654435761L) + lit((streamKey * 12 + k) * 40503L)) % lit(MOD))
-        .cast("double") / lit(MOD.toDouble))
+      s = s + draw(id, drawA(k), drawB(streamKey, k))
     col + lit(amp) * (s - lit(6.0))
   }
 
   def jitterNormalSql(col: String, id: String, amp: Double, streamKey: Long = 1L): String = {
     var s = "0.0"
     for (k <- 1 to 12)
-      s = s"($s + (CAST(($id * 2654435761 + ${(streamKey * 12 + k) * 40503L}) % $MOD AS DOUBLE) / ${d2s(MOD.toDouble)}))"
+      s = s"($s + ${drawSql(id, drawA(k), drawB(streamKey, k))})"
     s"($col + ${d2s(amp)} * ($s - 6.0))"
   }
 

@@ -1,0 +1,48 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion layer — the Spark-native analogue of sed's loader registry
+  * (reference: src/sed/loader/generic/loader.py:23 GenericLoader
+  * .read_dataframe, which accepts folders of parquet/csv/json).
+  *
+  * Spark's multi-file readers already provide the distributed scan with
+  * column pruning and predicate pushdown, so the loader's job is the
+  * naming/metadata contract. The hdf5-based loaders (mpes/flash/sxp) are
+  * represented by the same column contract over parquet: a converter runs
+  * once at the edge (outside this library — no hdf5 codec in a Spark
+  * executor), after which everything downstream is identical.
+  */
+object SedReader {
+
+  /** Read a file, folder, or glob in the given format. */
+  def read(spark: SparkSession, path: String, format: String = "parquet",
+           schema: Option[StructType] = None): DataFrame = {
+    val r0 = spark.read.format(format)
+    val r1 = schema.map(r0.schema).getOrElse(r0)
+    val r = format match {
+      case "csv" => r1.option("header", "true")
+        .option("inferSchema", schema.isEmpty.toString)
+      case _ => r1
+    }
+    r.load(path)
+  }
+
+  /** Add a stable per-source-file id column (the multi-file/per-run
+    * bookkeeping of the reference loaders, e.g. split_dld_sectors /
+    * per-file metadata). File names are enumerated once on the driver,
+    * sorted for determinism, and joined back via a broadcast map on
+    * `input_file_name()` — no shuffle of the event data. */
+  def withFileId(df: DataFrame, idCol: String = "file_id",
+                 nameCol: String = "file_name"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val files = df.inputFiles.sorted.zipWithIndex
+      .map { case (f, i) => (f, i.toLong) }.toSeq
+    val mapping = broadcast(files.toDF(nameCol, idCol))
+    df.withColumn(nameCol, input_file_name())
+      .join(mapping, nameCol)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.sed
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.calibrate.MomentumCorrection
+import graft.functions.SedFunctions._
+import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps}
+
+/** Fluent single-event-dataframe processor — the user-facing workflow API
+  * mirroring the reference's `SedProcessor` (src/sed/core/processor.py):
+  * load → per-event corrections/calibrations → N-d histogram compute.
+  *
+  * Each step RETURNS A NEW PROCESSOR wrapping a lazily transformed
+  * DataFrame — nothing executes until `compute()`/`dataframe` is acted on,
+  * so the whole chain collapses into one Catalyst plan: a single
+  * whole-stage-codegen'd projection over the scan, then one groupBy for
+  * the final histogram. That is the Spark-native analogue of the
+  * reference's chained Dask task graph (processor.py:1109
+  * apply_energy_correction, 1471 append_energy_axis, 1684
+  * align_dld_sectors, 964 apply_momentum_calibration, 1734
+  * calibrate_delay_axis, 2008 add_jitter, 2261 compute, ...).
+  */
+case class SedProcessor(dataframe: DataFrame,
+                        timed: Option[DataFrame] = None,
+                        xCol: String = "x", yCol: String = "y",
+                        tofCol: String = "tof") {
+
+  private def next(df: DataFrame): SedProcessor = copy(dataframe = df)
+
+  /** Bound filter on a column (processor.py:496 filter_column). */
+  def filterColumn(col: String, lower: Double = Double.NegativeInfinity,
+                   upper: Double = Double.PositiveInfinity): SedProcessor =
+    next(DfOps.applyFilter(dataframe, col, lower, upper))
+
+  /** Deterministic jitter on `cols` keyed by `idCol` (processor.py:2008
+    * add_jitter; amplitude semantics of dfops.py:17). */
+  def addJitter(cols: Seq[String], idCol: String, amp: Double = 0.5,
+                jitterType: String = "uniform"): SedProcessor =
+    next(DfOps.applyJitter(dataframe, cols, idCol, amp, jitterType, suffix = ""))
+
+  /** TOF correction surface (processor.py:1109 apply_energy_correction). */
+  def applyEnergyCorrection(correction: (Column, Column) => Column): SedProcessor =
+    next(dataframe.withColumn(tofCol,
+      col(tofCol) + correction(col(xCol), col(yCol))))
+
+  /** Per-sector TOF delay alignment (processor.py:1684 align_dld_sectors). */
+  def alignDldSectors(sectorCol: String, sectorDelays: Seq[Double]): SedProcessor =
+    next(dataframe.withColumn(tofCol,
+      sectorAlign(col(tofCol), col(sectorCol), sectorDelays)))
+
+  /** TOF → energy axis, flight-tube model (processor.py:1471
+    * append_energy_axis with calibration method "tof2ev"). */
+  def appendEnergyAxis(tofDistance: Double, timeOffset: Double, binwidth: Double,
+                       binning: Int, energyScale: String = "kinetic",
+                       energyOffset: Double = 0.0,
+                       energyCol: String = "energy"): SedProcessor =
+    next(dataframe.withColumn(energyCol,
+      tof2ev(col(tofCol), tofDistance, timeOffset, binwidth, binning, energyScale, energyOffset)))
+
+  /** TOF → energy axis, polynomial calibration (energy.py:2420). */
+  def appendEnergyAxisPoly(polyA: Seq[Double], energyOffset: Double,
+                           energyCol: String = "energy"): SedProcessor =
+    next(dataframe.withColumn(energyCol, tof2evpoly(col(tofCol), polyA, energyOffset)))
+
+  /** Energy offsets incl. weighted columns and preserve-mean
+    * (processor.py:1531 add_energy_offset). */
+  def addEnergyOffset(offsets: Seq[ColumnOffset],
+                      energyCol: String = "energy"): SedProcessor =
+    next(DfOps.offsetByOtherColumns(dataframe, energyCol, offsets))
+
+  /** TOF → ns axis (processor.py:1636 append_tof_ns_axis). */
+  def appendTofNsAxis(binwidth: Double, binning: Int,
+                      tofNsCol: String = "tof_ns"): SedProcessor =
+    next(dataframe.withColumn(tofNsCol, tof2ns(col(tofCol), binwidth, binning)))
+
+  /** Affine pose correction of detector coordinates (processor.py:727
+    * pose_adjustment / momentum.py:910 coordinate_transform). */
+  def poseAdjustment(scale: Double, angleRad: Double, centerX: Double, centerY: Double,
+                     xTrans: Double, yTrans: Double): SedProcessor = {
+    val (nx, ny) = poseTransform(col(xCol), col(yCol), scale, angleRad,
+      centerX, centerY, xTrans, yTrans)
+    next(dataframe.withColumn("__nx", nx).withColumn("__ny", ny)
+      .withColumn(xCol, col("__nx")).withColumn(yCol, col("__ny"))
+      .drop("__nx", "__ny"))
+  }
+
+  /** Inverse-deformation-field momentum correction (processor.py:817
+    * apply_momentum_correction). */
+  def applyMomentumCorrection(dfield: MomentumCorrection.Dfield,
+                              detectorRanges: ((Double, Double), (Double, Double)),
+                              newXCol: String = "xc", newYCol: String = "yc"): SedProcessor =
+    next(MomentumCorrection.applyDfield(dataframe, dfield, xCol, yCol,
+      newXCol, newYCol, detectorRanges))
+
+  /** Detector → k-space calibration (processor.py:964
+    * apply_momentum_calibration / momentum.py:1890 append_k_axis). */
+  def appendKAxis(kxStart: Double, kxCenter: Double, kxScale: Double, kxStep: Double,
+                  kyStart: Double, kyCenter: Double, kyScale: Double, kyStep: Double,
+                  kxCol: String = "kx", kyCol: String = "ky"): SedProcessor =
+    next(dataframe
+      .withColumn(kxCol, detectorToK(col(xCol), kxStart, kxCenter, kxScale, kxStep))
+      .withColumn(kyCol, detectorToK(col(yCol), kyStart, kyCenter, kyScale, kyStep)))
+
+  /** ADC → delay axis (processor.py:1734 calibrate_delay_axis). */
+  def calibrateDelayAxis(adcCol: String, adcRange: (Double, Double),
+                         delayRange: (Double, Double),
+                         delayCol: String = "delay"): SedProcessor =
+    next(dataframe.withColumn(delayCol, adcToDelay(col(adcCol), adcRange, delayRange)))
+
+  /** Delay offsets incl. flip (processor.py:1862 add_delay_offset). */
+  def addDelayOffset(constant: Double = 0.0, flip: Boolean = false,
+                     delayCol: String = "delay"): SedProcessor = {
+    val flipped = if (flip) col(delayCol) * lit(-1.0) else col(delayCol)
+    next(dataframe.withColumn(delayCol, flipped + lit(constant)))
+  }
+
+  /** Interpolate external (ts, value) sensor data onto events
+    * (processor.py:2117 add_time_stamped_data). */
+  def addTimeStampedData(tsSecondsCol: Column, destCol: String,
+                         timeStamps: Seq[Double], data: Seq[Double]): SedProcessor =
+    next(DfOps.addTimeStampedData(dataframe, tsSecondsCol, destCol, timeStamps, data))
+
+  /** N-d histogram — the terminal compute (processor.py:2261 compute). */
+  def compute(axes: Seq[BinAxis], withCenters: Boolean = true): DataFrame = {
+    val h = Binning.histogram(dataframe, axes)
+    if (withCenters) Binning.withCenters(h, axes) else h
+  }
+
+  /** Per-bin normalization histogram from the timed dataframe
+    * (processor.py:2317 get_normalization_histogram). */
+  def normalizationHistogram(axis: BinAxis): DataFrame =
+    Binning.normalizationHistogram(timed.getOrElse(dataframe), axis)
+
+  /** compute() normalized by the timed dataframe (processor.py compute
+    * with normalize_to_acquisition_time). */
+  def computeNormalized(axes: Seq[BinAxis], normAxis: BinAxis): DataFrame =
+    Binning.normalizedHistogram(dataframe, timed.getOrElse(dataframe), axes, normAxis)
+}
+
+object SedProcessor {
+  /** Load a folder of parquet files as the event stream (the generic
+    * loader path, loader/generic/loader.py:23). */
+  def fromParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                  xCol: String = "x", yCol: String = "y",
+                  tofCol: String = "tof"): SedProcessor =
+    SedProcessor(spark.read.parquet(path), None, xCol, yCol, tofCol)
+}

@@ -64,6 +64,17 @@ object SedQueries {
     expr("ts div 1000").cast("double") / lit(1.0e6)
   private val esSql = "(CAST(epoch_us(ts) AS DOUBLE) / 1.0E6)"
 
+  /** Deterministic demo deformation field: 9 landmarks on a 3×3 grid with
+    * a smooth sinusoidal distortion, TPS-solved once on the driver. */
+  lazy val DfieldGrid: graft.calibrate.MomentumCorrection.Dfield = {
+    val tgt = for (i <- Seq(0.0, 32.0, 63.0); j <- Seq(0.0, 32.0, 63.0)) yield (i, j)
+    val srcR = tgt.map { case (i, j) => i + 1.5 * math.sin(j / 63.0 * math.Pi) }
+    val srcC = tgt.map { case (i, j) => j - 1.2 * math.sin(i / 63.0 * math.Pi) }
+    graft.calibrate.MomentumCorrection.splineWarp(
+      srcR.toArray, srcC.toArray,
+      tgt.map(_._1).toArray, tgt.map(_._2).toArray, 64, 64)
+  }
+
   // histogram axes
   private val AxValue = BinAxis("value", 100, 0.0, 500.0)
   private val AxValue50 = BinAxis("value", 50, 0.0, 500.0)
@@ -246,6 +257,23 @@ object SedQueries {
       }),
 
     // ---------------- delay ----------------
+    // Inverse-deformation-field application (momentum.py:2105 apply_dfield):
+    // TPS-estimated 64×64 grid (momentum.py:627 spline_warp_estimate) built
+    // driver-side from 9 landmark pairs, applied per event via the native
+    // bilinear codegen expression. Grid lookup is not SQL-expressible
+    // compactly -> rows-only check; exactness is spec-tested against the
+    // driver-side reference interpolator.
+    "q_dfield_apply" -> QueryDef(
+      (s, d) => {
+        val df = events(s, d)
+          .withColumn("xi", col("value") * lit(64.0 / 500.0))
+          .withColumn("yi", col("user_id").cast("double") * lit(64.0 / 150.0))
+        graft.calibrate.MomentumCorrection.applyDfield(
+          df, DfieldGrid, "xi", "yi", "x_corr", "y_corr", ((0.0, 500.0), (0.0, 150.0)))
+          .select("event_id", "x_corr", "y_corr")
+      },
+      None),
+
     "q_delay_axis" -> QueryDef(
       (s, d) => {
         val df = events(s, d)

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.BinAxis
+
+/** Structured-Streaming forms of the sed pipeline (the reference is
+  * batch-only on Dask; the streaming shapes below are the incremental
+  * equivalents the brief requires).
+  *
+  * Design: the per-event transform chain is the SAME Column algebra as
+  * batch (map-only — streaming-safe by construction). Aggregations become
+  * windowed state: watermark + groupBy(window, bins) for histograms;
+  * keyed `flatMapGroupsWithState` for order-dependent fills.
+  */
+object SedStreaming {
+
+  /** Incremental N-d histogram over an event-time window: one row per
+    * (window, bin...) with a running count, late data bounded by the
+    * watermark. State size = windows-in-flight × non-empty bins (bounded
+    * by the bin-count product), independent of event rate. */
+  def streamingHistogram(events: DataFrame, tsCol: String, watermark: String,
+                         windowDuration: String, axes: Seq[BinAxis]): DataFrame = {
+    val inRange = axes.map(a => a.inRange(events(a.col))).reduce(_ && _)
+    val idxCols = axes.map(a => a.idx(events(a.col)).as(a.idxName))
+    events.withWatermark(tsCol, watermark)
+      .filter(inRange)
+      .select(col(tsCol) +: idxCols: _*)
+      .groupBy(window(col(tsCol), windowDuration) +: axes.map(a => col(a.idxName)): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Streaming forward-fill of `valueCol` within each `keyCol` group, in
+    * arrival order within each micro-batch: nulls inherit the last
+    * non-null seen for that key, carried across batches in GroupState —
+    * the streaming analogue of dfops.py:202 forward_fill_lazy (state is
+    * one value per key, not per row). */
+  def streamingForwardFill(events: DataFrame, keyCol: String, orderCol: String,
+                           valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS BIGINT) AS k", s"CAST($orderCol AS BIGINT) AS o",
+        s"CAST($valueCol AS DOUBLE) AS v")
+      .as[(Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Option[Double])], state: GroupState[Double]) =>
+          var last: Option[Double] = state.getOption
+          val out = rows.toSeq.sortBy(_._2).map { case (k, o, v) =>
+            v match {
+              case Some(x) => last = Some(x); (k, o, Some(x))
+              case None => (k, o, last)
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF(keyCol, orderCol, valueCol)
+  }
+}

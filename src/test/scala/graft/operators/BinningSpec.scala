@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class BinningSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("histogram matches a driver-side reference count (numpy edge semantics)") {
+    val ax = BinAxis("value", 10, 0.0, 500.0)
+    val got = Binning.histogram(events, Seq(ax))
+      .select("value_bin", "cnt").as[(Long, Long)].collect().toMap
+    val vals = events.select("value").as[Double].collect()
+    val exp = vals.filter(v => v >= 0.0 && v <= 500.0)
+      .groupBy(v => math.min(math.floor(v / 50.0).toLong, 9L))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == exp)
+  }
+
+  test("right edge falls into the last bin") {
+    val ax = BinAxis("v", 4, 0.0, 4.0)
+    val got = Binning.histogram(Seq(0.0, 1.0, 4.0, 3.9999).toDF("v"), Seq(ax))
+      .select("v_bin", "cnt").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 2L))
+  }
+
+  test("out-of-range rows are dropped") {
+    val ax = BinAxis("v", 2, 0.0, 2.0)
+    val got = Binning.histogram(Seq(-0.1, 0.5, 2.1).toDF("v"), Seq(ax))
+      .agg(sum("cnt")).as[Long].head()
+    assert(got == 1L)
+  }
+
+  test("bin centers are lo + (i+0.5)*step") {
+    val ax = BinAxis("v", 4, 0.0, 8.0)
+    val got = Binning.withCenters(
+      Binning.histogram(Seq(1.0, 3.0).toDF("v"), Seq(ax)), Seq(ax))
+      .select("v_bin", "v_center").as[(Long, Double)].collect().toMap
+    assert(got == Map(0L -> 1.0, 1L -> 3.0))
+  }
+
+  test("normalizedHistogram divides by the per-bin normalization") {
+    val ax = BinAxis("value", 5, 0.0, 500.0)
+    val out = Binning.normalizedHistogram(events, events, Seq(ax), ax)
+    val bad = out.filter(col("intensity") =!= col("cnt") / col("norm_cnt")).count()
+    assert(bad == 0)
+    // normalizing a df by itself -> intensity 1 everywhere
+    assert(out.filter(col("intensity") =!= 1.0).count() == 0)
+  }
+
+  test("3-d histogram total equals in-range row count") {
+    val axes = Seq(BinAxis("value", 8, 0.0, 500.0), BinAxis("user_id", 8, 0.0, 150.0),
+      BinAxis("m", 8, 0.0, 97.0))
+    val df = events.withColumn("m", ($"event_id" % 97).cast("double"))
+    val total = Binning.histogram(df, axes).agg(sum("cnt")).as[Long].head()
+    val expected = df.filter($"value".between(0, 500) && $"user_id".between(0, 150)).count()
+    assert(total == expected)
+  }
+}

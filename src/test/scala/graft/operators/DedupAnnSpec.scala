@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class DedupAnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical content and keeps the min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y"), (7L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", "text")
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("identical documents share the full MinHash signature") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 12, 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhashCandidates surfaces duplicate pairs and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, base), (3L, "completely different words here with no overlap at all today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, token order does not matter (bag semantics)") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("ngramJaccard: identical docs -> 1.0, disjoint -> 0.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val j = Dedup.ngramJaccard(df, "doc_id", "text", 3, (a, b) => a("a_id") < b("b_id"))
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("FloatVecDot equals a driver-side loop, and dotLit applies literal planes") {
+    val vecs = embeddings.limit(20).select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val got = embeddings.limit(20)
+      .select($"vec_id", VectorFunctions.dot($"embedding", $"embedding").as("d"))
+      .as[(Long, Double)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble * x.toDouble)
+      assert(got(id) == acc)
+    }
+    val plane = Seq.fill(64)(1.0)
+    val gotL = embeddings.limit(5)
+      .select($"vec_id", VectorFunctions.dotLit($"embedding", plane).as("d"))
+      .as[(Long, Double)].collect().toMap
+    vecs.take(5).foreach { case (id, v) =>
+      var acc = 0.0
+      v.foreach(x => acc += x.toDouble)
+      assert(math.abs(gotL(id) - acc) < 1e-12)
+    }
+  }
+
+  test("bruteTopK matches an exact driver-side ranking") {
+    val all = embeddings.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val queries = all.filter(_._1 < 3)
+    val got = Ann.bruteTopK(embeddings, "vec_id", "embedding", queries, 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    queries.foreach { case (qid, qv) =>
+      val exp = all.filter(_._1 != qid)
+        .map { case (id, v) => (dot(qv, v) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(v, v))), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSeq
+      assert(got(qid) == exp, s"query $qid")
+    }
+  }
+
+  test("ivfTopK returns k ranked probed-bucket neighbours per query") {
+    val queries = embeddings.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val got = Ann.ivfTopK(embeddings, "vec_id", "embedding", queries, 5)
+    val byQ = got.select("query_id", "rank").as[(Long, Long)].collect().groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("embeddingNearDups only emits pairs at/above the cosine threshold") {
+    val out = Dedup.embeddingNearDups(embeddings, "vec_id", "embedding", 64, 0.3)
+      .select("cosine").as[Double].collect()
+    assert(out.nonEmpty && out.forall(_ >= 0.3))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import java.security.MessageDigest
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("decodeMeta produces size/dimension/fingerprint per payload") {
+    val docs = Seq((1L, "hello world"), (2L, "x" * 1000)).toDF("doc_id", "text")
+    val out = Multimodal.decodeMeta(
+      Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val d = MessageDigest.getInstance("MD5").digest("hello world".getBytes("UTF-8"))
+    val fp = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 11L && r1.getLong(2) == 12L && r1.getLong(3) == 12L &&
+      r1.getLong(4) == 3L && r1.getLong(5) == fp)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 1000L && r2.getLong(2) == 361L && r2.getLong(3) == 41L)
+  }
+
+  test("decodeMeta batch iteration covers every row exactly once") {
+    val docs = spark.range(0, 999).toDF("doc_id")
+      .selectExpr("doc_id", "repeat('a', CAST(doc_id % 50 AS INT)) AS text")
+    val out = Multimodal.decodeMeta(
+      Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload", batchSize = 64)
+    assert(out.count() == 999)
+    assert(out.select("doc_id").distinct().count() == 999)
+  }
+}
