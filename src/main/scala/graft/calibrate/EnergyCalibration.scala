@@ -48,6 +48,59 @@ object EnergyCalibration {
     PolyCalibration(a, -(atPos0 + vals(0)), pos.min)
   }
 
+  /** Local-maximum peak detection over a (collected) 1-D histogram trace —
+    * the driver-side step of the bias-series workflow (reference:
+    * src/sed/calibrator/energy.py:2038 peakdetect1d, processor.py:1263
+    * find_bias_peaks). A point is a peak if it is the maximum of its
+    * ±`window` neighbourhood and exceeds `minProminence` over the
+    * neighbourhood minimum. Returns (center, height) pairs ascending. */
+  def findPeaks(centers: Array[Double], counts: Array[Double],
+                window: Int = 3, minProminence: Double = 0.0): Array[(Double, Double)] = {
+    val n = counts.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    for (i <- 0 until n) {
+      val lo = math.max(0, i - window); val hi = math.min(n - 1, i + window)
+      val neigh = (lo to hi).map(counts)
+      val isMax = counts(i) == neigh.max &&
+        (lo until i).forall(j => counts(j) <= counts(i)) &&
+        ((i + 1) to hi).forall(j => counts(j) < counts(i)) // strict right: plateau keeps leftmost
+      if (isMax && counts(i) - neigh.min >= minProminence)
+        out += ((centers(i), counts(i)))
+    }
+    out.toArray
+  }
+
+  /** Bias-series calibration end-to-end on a Spark dataframe: histogram the
+    * TOF column per bias step (one distributed pass), collect the tiny
+    * per-step traces, find the strongest peak within `searchRange` for each
+    * step, and polynomial-fit the peak drift (processor.py:1161
+    * load_bias_series + 1263 find_bias_peaks + 1338 calibrate_energy_axis). */
+  def calibrateFromBiasSeries(df: org.apache.spark.sql.DataFrame,
+                              tofCol: String, biasCol: String,
+                              axis: graft.operators.BinAxis,
+                              searchRange: (Double, Double),
+                              refEnergy: Double, order: Int = 3): PolyCalibration = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val hist = df.filter(axis.inRange(col(tofCol)))
+      .groupBy(col(biasCol).as("bias"), axis.idx(col(tofCol)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val byBias = hist.groupBy(_.getAs[Any]("bias")).toSeq
+      .map { case (b, rows) =>
+        val counts = new Array[Double](axis.nBins)
+        rows.foreach(r => counts(r.getAs[Long]("bin").toInt) = r.getAs[Long]("cnt").toDouble)
+        (b.toString.toDouble, counts)
+      }.sortBy(_._1)
+    val centers = Array.tabulate(axis.nBins)(i => axis.lo + (i + 0.5) * axis.step)
+    val pos = byBias.map { case (_, counts) =>
+      val peaks = findPeaks(centers, counts)
+        .filter(p => p._1 >= searchRange._1 && p._1 <= searchRange._2)
+      require(peaks.nonEmpty, "no peak in search range")
+      peaks.maxBy(_._2)._1
+    }.toArray
+    polyFit(pos, byBias.map(_._1).toArray, refEnergy, order)
+  }
+
   /** Fit parameters of the physical flight-tube model
     * E = d / (t·binwidth·binning − t0)² · sign + E0 (energy.py:2156)
     * by Gauss–Newton with numeric Jacobian. Returns (d, t0, e0). */

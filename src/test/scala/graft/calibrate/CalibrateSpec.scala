@@ -45,6 +45,32 @@ class CalibrateSpec extends SparkSpecBase {
     assert(math.abs(e0 - e0True) < 1e-2, s"e0=$e0")
   }
 
+  test("findPeaks locates local maxima with prominence filtering") {
+    val centers = Array.tabulate(11)(_.toDouble)
+    val counts = Array(0.0, 1.0, 5.0, 1.0, 0.0, 0.5, 9.0, 0.5, 0.0, 2.0, 0.0)
+    val peaks = EnergyCalibration.findPeaks(centers, counts, window = 2)
+    assert(peaks.map(_._1).toSeq == Seq(2.0, 6.0, 9.0))
+    val strong = EnergyCalibration.findPeaks(centers, counts, window = 2, minProminence = 3.0)
+    assert(strong.map(_._1).toSeq == Seq(2.0, 6.0))
+  }
+
+  test("calibrateFromBiasSeries recovers peak drift from a synthetic series") {
+    // three bias steps, each a sharp synthetic peak at a drifting TOF
+    val rows = for {
+      (bias, center) <- Seq((0.0, 100.0), (1.0, 120.0), (2.0, 140.0))
+      i <- 0 until 500
+      v = center + (i % 11) - 5 // dense cluster around the drifting center
+    } yield (bias, v)
+    val df = rows.toDF("bias", "tof")
+    val axis = graft.operators.BinAxis("tof", 100, 0.0, 200.0)
+    val cal = EnergyCalibration.calibrateFromBiasSeries(
+      df, "tof", "bias", axis, (50.0, 190.0), refEnergy = 5.0, order = 2)
+    // fitted poly must reproduce the bias differences at the peak positions
+    def ev(t: Double) = cal.coeffs(0) * t * t + cal.coeffs(1) * t
+    assert(math.abs((ev(101.0) - ev(121.0)) - (0.0 - 1.0)) < 0.2)
+    assert(math.abs((ev(101.0) - ev(141.0)) - (0.0 - 2.0)) < 0.2)
+  }
+
   test("TPS interpolates its landmarks exactly") {
     val px = Array(0.0, 10.0, 0.0, 10.0, 5.0)
     val py = Array(0.0, 0.0, 10.0, 10.0, 5.0)
