@@ -9,7 +9,7 @@ object QuickBench {
     spark.sparkContext.setLogLevel("ERROR")
     for (q <- args.drop(1)) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, args(0)).count()
+      val n = SparkEntry.queries(q)(spark, args(0)).queryExecution.toRdd.count()
       println(f"QB $q rows=$n t=${(System.nanoTime()-t0)/1e9}%.2f")
     }
     spark.stop()

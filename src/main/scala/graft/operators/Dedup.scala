@@ -99,28 +99,40 @@ object Dedup {
     bucketPairs(buckets, idCol, Seq("band", "key"), maxBucket)
   }
 
-  /** 32-bit SimHash fingerprint per document — map-only (see
-    * TextFunctions.simhash32). */
+  /** 32-bit SimHash fingerprint per document — map-only. Token hashes are
+    * materialized once (see minhashSignatures on lambda CSE), then the
+    * per-bit vote loop is the native codegen SimHash32 expression. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      TextFunctions.simhash32(TextFunctions.tokens(col(textCol))).as("simhash"))
+    docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__th", transform(col("__toks"), TextFunctions.expr_hash32 _))
+      .select(col(idCol),
+        org.apache.spark.sql.graft.SimHash32(col("__th")).as("simhash"))
 
   /** n-gram Jaccard similarity for every pair admitted by `pairCond`
     * (applied to the `a`/`b` aliases). Pair generation is the caller's
-    * policy — in production the pairs come from [[minhashCandidates]]. */
+    * policy — in production the pairs come from [[minhashCandidates]].
+    * Shingle SETS are compared by 32-bit hash, not by string: the
+    * intersect/union then run over long arrays (cheap, cache-friendly),
+    * identically on both engines — the standard shingling trade
+    * (collisions are ~n²/2³² per doc, negligible). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    pairCond: (DataFrame, DataFrame) => Column): DataFrame = {
     val sh = docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol))) // see minhashSignatures
       .select(col(idCol),
-        array_distinct(TextFunctions.shingles(col("__toks"), n)).as("sh"))
+        array_sort(array_distinct(transform(TextFunctions.shingles(col("__toks"), n),
+          TextFunctions.expr_hash32 _))).as("sh"))
     val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
     a.join(b, pairCond(a, b))
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("inter"),
-        size(array_union(col("a_sh"), col("b_sh"))).cast("long").as("uni"))
+        org.apache.spark.sql.graft.SortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
+        (size(col("a_sh")) + size(col("b_sh"))).cast("long").as("__sum"))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| — avoids materializing the union
+      .withColumn("uni", col("__sum") - col("inter")).drop("__sum")
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
   /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent

@@ -69,13 +69,13 @@ object PipelineQueries {
       (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", ShingleN,
         (a, b) => a("a_id") < b("b_id") && a("a_id") % 50 === b("b_id") % 50),
       Some {
-        val sh = shinglesSqlFrag("l", ShingleN)
+        val sh = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
         s"""WITH s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))
-           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-           FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50"""
+           SELECT a_id, b_id, inter, uni, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM (
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+             FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50)"""
           .replaceAll("\\s+", " ")}),
 
     "q_dedup_embedding" -> QueryDef(
