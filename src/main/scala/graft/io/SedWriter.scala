@@ -23,6 +23,32 @@ object SedWriter {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Render a (small) binned result as a DENSE row-major cube on the
+    * driver — the xarray `DataArray.values` analogue for plotting/export.
+    * Deliberately driver-local: only valid when ∏ nBins is plot-sized;
+    * the distributed representation stays sparse long-form. */
+  def denseCube(hist: DataFrame, axes: Seq[BinAxis],
+                cntCol: String = "cnt"): Array[Double] = {
+    val sizes = axes.map(_.nBins)
+    require(sizes.product <= 16777216, s"dense cube too large: ${sizes.mkString("x")}")
+    val out = new Array[Double](sizes.product)
+    val strides = sizes.scanRight(1)(_ * _).tail // row-major
+    val rows = hist.select(
+      (axes.map(a => org.apache.spark.sql.functions.col(a.idxName)) :+
+        org.apache.spark.sql.functions.col(cntCol)): _*).collect()
+    rows.foreach { r =>
+      var off = 0
+      var i = 0
+      while (i < axes.length) { off += r.getLong(i).toInt * strides(i); i += 1 }
+      out(off) = r.get(axes.length) match {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }
+    }
+    out
+  }
+
   /** Export a binned histogram with its axis spec: data as parquet under
     * `<path>/data`, axis metadata (name/bins/range — the xarray coords
     * contract) as a one-row-per-axis JSON table under `<path>/axes`. */

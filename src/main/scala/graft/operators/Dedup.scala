@@ -143,7 +143,7 @@ object Dedup {
     * two id→vector joins for the final cosine check. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        tables: Int = 8, bitsPerTable: Int = 6,
+                        tables: Int = 8, bitsPerTable: Int = 8,
                         maxBucket: Int = 10000): DataFrame = {
     val keyCols = (0 until tables).map { t =>
       val bits = (0 until bitsPerTable).map { bit =>

@@ -24,9 +24,16 @@ import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps}
 case class SedProcessor(dataframe: DataFrame,
                         timed: Option[DataFrame] = None,
                         xCol: String = "x", yCol: String = "y",
-                        tofCol: String = "tof") {
+                        tofCol: String = "tof",
+                        attributes: Map[String, String] = Map.empty) {
 
   private def next(df: DataFrame): SedProcessor = copy(dataframe = df)
+
+  /** Attach run metadata (the MetaHandler analogue, processor.py:307
+    * attributes / 315 add_attribute) — carried through the fluent chain
+    * and exported alongside results. */
+  def addAttribute(name: String, value: String): SedProcessor =
+    copy(attributes = attributes + (name -> value))
 
   /** Bound filter on a column (processor.py:496 filter_column). */
   def filterColumn(col: String, lower: Double = Double.NegativeInfinity,

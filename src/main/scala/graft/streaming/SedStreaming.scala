@@ -32,6 +32,40 @@ object SedStreaming {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Acquisition sessionization: contiguous bursts of events per key with
+    * no gap longer than `gapDuration` collapse into one session row
+    * (start, end, n_events). Uses Spark's native session_window state —
+    * state per in-flight session, not per event. */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+                 watermark: String, gapDuration: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Stream-stream enrichment join: attach sensor readings taken within
+    * `toleranceSec` BEFORE each event (the streaming analogue of
+    * dfops.py:124 add_time_stamped_data). Spark requires an equality key
+    * for stream-stream joins, so both sides are keyed on a coarse
+    * `toleranceSec`-wide time bucket; each sensor reading is duplicated
+    * into its own and the NEXT bucket so every in-tolerance (event,
+    * reading) pair shares a key, then the exact event-time range predicate
+    * prunes. Both sides watermarked → join state is bounded. */
+  def enrichWithSensor(events: DataFrame, sensor: DataFrame,
+                       eventTs: String, sensorTs: String,
+                       watermark: String, toleranceSec: Int): DataFrame = {
+    def bucket(c: Column): Column = floor(unix_timestamp(c) / toleranceSec)
+    val e = events.withWatermark(eventTs, watermark)
+      .withColumn("__bk", bucket(col(eventTs)))
+    val s = sensor.withWatermark(sensorTs, watermark)
+      .withColumn("__bk", explode(array(bucket(col(sensorTs)), bucket(col(sensorTs)) + 1)))
+    e.join(s, Seq("__bk"))
+      .filter(col(sensorTs) <= col(eventTs) &&
+        col(sensorTs) >= col(eventTs) - expr(s"INTERVAL $toleranceSec SECONDS"))
+      .drop("__bk")
+  }
+
   /** Streaming forward-fill of `valueCol` within each `keyCol` group, in
     * arrival order within each micro-batch: nulls inherit the last
     * non-null seen for that key, carried across batches in GroupState —

@@ -47,6 +47,13 @@ class IoSpec extends SparkSpecBase {
     assert(perFile == again)
   }
 
+  test("denseCube renders the sparse histogram row-major with zeros for empty bins") {
+    val axes = Seq(BinAxis("a", 2, 0.0, 2.0), BinAxis("b", 3, 0.0, 3.0))
+    val df = Seq((0.5, 0.5), (0.5, 0.5), (1.5, 2.5)).toDF("a", "b")
+    val cube = SedWriter.denseCube(Binning.histogram(df, axes), axes)
+    assert(cube.toSeq == Seq(2.0, 0.0, 0.0, 0.0, 0.0, 1.0)) // (0,0)=2, (1,2)=1
+  }
+
   test("binned export writes data + axis metadata") {
     val dir = Files.createTempDirectory("graft_io").toString
     val axes = Seq(BinAxis("value", 10, 0.0, 500.0))

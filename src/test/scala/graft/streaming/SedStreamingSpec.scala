@@ -33,6 +33,46 @@ class SedStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize collapses bursts separated by more than the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "uid")
+    val sessions = SedStreaming.sessionize(df, "ts", "uid", "10 seconds", "30 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      def t(m: Int, s: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:$s%02d")
+      // burst 1: 3 events within 30s gaps; burst 2 starts 2 min later
+      input.addData((t(0, 0), 1L), (t(0, 20), 1L), (t(0, 40), 1L), (t(2, 0), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("n_events").as[Long].collect().sorted.toSeq
+      assert(rows == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("enrichWithSensor attaches readings within the tolerance window") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Timestamp, Long)]
+    val sn = MemoryStream[(Timestamp, Double)]
+    val joined = SedStreaming.enrichWithSensor(
+      ev.toDF().toDF("ets", "event_id"), sn.toDF().toDF("sts", "temp"),
+      "ets", "sts", "1 minute", 30)
+    val q = joined.writeStream.format("memory").queryName("enr_out")
+      .outputMode("append").start()
+    try {
+      def t(s: Int) = Timestamp.valueOf(f"2026-01-01 00:01:$s%02d")
+      sn.addData((t(0), 20.0), (t(40), 25.0))
+      ev.addData((t(10), 100L), (t(45), 101L))
+      q.processAllAvailable()
+      val rows = spark.table("enr_out")
+        .select("event_id", "temp").as[(Long, Double)].collect().toSet
+      // event@10 sees sensor@0 (10s before); event@45 sees sensor@40 (5s before),
+      // but NOT sensor@0 (45s > 30s tolerance)
+      assert(rows == Set((100L, 20.0), (101L, 25.0)))
+    } finally q.stop()
+  }
+
   test("streamingForwardFill carries last non-null across micro-batches per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Option[Double])]
