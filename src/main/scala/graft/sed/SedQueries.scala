@@ -289,6 +289,34 @@ object SedQueries {
       },
       Some(s"SELECT event_id, ${adcToDelaySql("value", AdcRange, DelayRange)} * -1.0 + 3.0 AS delay_off FROM events")),
 
+    // Batch sessionization (the offline twin of
+    // streaming.SedStreaming.sessionize): gap-break flags via lag, session
+    // ids via running sum, one aggregate per (user, session). Two window
+    // passes over the same (user_id, time) ordering — Spark plans ONE
+    // sort+exchange reused by both.
+    "q_sessionize" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 43200000000L // 12 h
+        val df = events(s, d).withColumn("us", expr("ts div 1000"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        df.withColumn("brk",
+            when(col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session", sum("brk").over(w))
+          .groupBy("user_id", "session")
+          .agg(count(lit(1)).as("n_events"),
+            min("us").as("start_us"), max("us").as("end_us"))
+      },
+      Some("""SELECT user_id, session, COUNT(*) AS n_events,
+          MIN(us) AS start_us, MAX(us) AS end_us FROM (
+            SELECT user_id, us, SUM(brk) OVER w2 AS session FROM (
+              SELECT user_id, event_id, us,
+                CASE WHEN us - LAG(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
+              FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+          GROUP BY user_id, session""".replaceAll("\\s+", " "))),
+
     // ---------------- binning ----------------
     "q_hist1d" -> QueryDef(
       (s, d) => Binning.histogram(events(s, d), Seq(AxValue)),
