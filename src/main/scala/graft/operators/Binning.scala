@@ -34,6 +34,26 @@ case class BinAxis(col: String, nBins: Int, lo: Double, hi: Double) {
     s"(${d2s(lo)} + (CAST($e AS DOUBLE) + 0.5) * ${d2s(step)})"
 }
 
+/** One histogram axis with EXPLICIT (non-uniform) edges — numpy
+  * `histogramdd` explicit-edges semantics (bin i = [e_i, e_{i+1}), last
+  * bin right-closed). Bin lookup is the native binary-search expression
+  * [[org.apache.spark.sql.graft.BucketIdx]]; the `...Sql` twin emits a
+  * descending CASE chain with identical semantics for the oracle. */
+case class EdgeAxis(col: String, edges: Array[Double]) {
+  require(edges.length >= 2)
+  val nBins: Int = edges.length - 1
+  def idxName: String = s"${col}_bin"
+
+  def idx(c: Column): Column = org.apache.spark.sql.graft.BucketIdx(c, edges)
+
+  def idxSql(e: String): String = {
+    val n = edges.length
+    val whens = (n - 2 to 1 by -1)
+      .map(i => s"WHEN $e >= ${d2s(edges(i))} THEN $i").mkString(" ")
+    s"CAST(CASE WHEN $e < ${d2s(edges(0))} OR $e > ${d2s(edges(n - 1))} THEN -1 $whens ELSE 0 END AS BIGINT)"
+  }
+}
+
 /** N-dimensional histogramming — sed's core compute step
   * (reference: src/sed/binning/binning.py:200 bin_dataframe).
   *
@@ -58,6 +78,23 @@ object Binning {
       .select(idxCols: _*)
       .groupBy(axes.map(a => col(a.idxName)): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sparse N-d histogram over explicit-edge axes (out-of-range rows,
+    * idx −1, are dropped — numpy semantics). */
+  def histogramEdges(df: DataFrame, axes: Seq[EdgeAxis]): DataFrame = {
+    val idxCols = axes.map(a => a.idx(df(a.col)).as(a.idxName))
+    df.select(idxCols: _*)
+      .filter(axes.map(a => col(a.idxName) >= 0).reduce(_ && _))
+      .groupBy(axes.map(a => col(a.idxName)): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def histogramEdgesSql(table: String, axes: Seq[EdgeAxis]): String = {
+    val idxs = axes.map(a => s"${a.idxSql(a.col)} AS ${a.idxName}").mkString(", ")
+    val names = axes.map(_.idxName).mkString(", ")
+    val where = axes.map(a => s"${a.idxName} >= 0").mkString(" AND ")
+    s"SELECT $names, COUNT(*) AS cnt FROM (SELECT $idxs FROM $table) WHERE $where GROUP BY $names"
   }
 
   /** Add bin-center coordinate columns (the xarray axes of the reference). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.SedFunctions
 import graft.functions.SedFunctions._
-import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps}
+import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps, EdgeAxis}
 
 /** One driver-contract query: a Spark builder plus (optionally) the
   * structurally identical DuckDB oracle SQL. */
@@ -76,6 +76,8 @@ object SedQueries {
   }
 
   // histogram axes
+  private val ValueEdges = Array(0.0, 10.0, 25.0, 50.0, 100.0, 200.0, 350.0, 500.0)
+  private val UserEdges = Array(0.0, 50.0, 120.0, 150.0)
   private val AxValue = BinAxis("value", 100, 0.0, 500.0)
   private val AxValue50 = BinAxis("value", 50, 0.0, 500.0)
   private val AxUser = BinAxis("user_id", 30, 0.0, 150.0)
@@ -334,6 +336,19 @@ object SedQueries {
       Some(Binning.histogramSql(
         "(SELECT value, user_id, CAST(event_id % 97 AS DOUBLE) AS m FROM events)",
         Seq(AxValue50, AxUser, AxM)))),
+
+    // Non-uniform explicit-edge histogram (numpy histogramdd edge-array
+    // mode, binning.py:200 bin_dataframe with edge sequences): 2-D over a
+    // log-ish value axis × a coarse user axis.
+    "q_hist_edges" -> QueryDef(
+      (s, d) => {
+        val ev = events(s, d).withColumn("u", col("user_id").cast("double"))
+        Binning.histogramEdges(ev, Seq(
+          EdgeAxis("value", ValueEdges), EdgeAxis("u", UserEdges)))
+      },
+      Some(Binning.histogramEdgesSql(
+        "(SELECT value, CAST(user_id AS DOUBLE) AS u FROM events)",
+        Seq(EdgeAxis("value", ValueEdges), EdgeAxis("u", UserEdges))))),
 
     "q_hist_centers" -> QueryDef(
       (s, d) => Binning.withCenters(Binning.histogram(events(s, d), Seq(AxValue)), Seq(AxValue)),

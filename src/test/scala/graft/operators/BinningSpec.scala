@@ -39,6 +39,26 @@ class BinningSpec extends SparkSpecBase {
     assert(got == Map(0L -> 1.0, 1L -> 3.0))
   }
 
+  test("histogramEdges: non-uniform edges, [e_i,e_{i+1}) with closed last bin") {
+    val edges = Array(0.0, 1.0, 10.0, 100.0)
+    val ax = EdgeAxis("v", edges)
+    val data = Seq(-0.5, 0.0, 0.99, 1.0, 9.99, 10.0, 99.0, 100.0, 100.1)
+    val got = Binning.histogramEdges(data.toDF("v"), Seq(ax))
+      .select("v_bin", "cnt").as[(Long, Long)].collect().toMap
+    // -0.5,100.1 dropped; [0,1):2, [1,10):2, [10,100]:3
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 3L))
+  }
+
+  test("histogramEdges matches the uniform histogram when edges are uniform") {
+    val uni = BinAxis("value", 10, 0.0, 500.0)
+    val edges = EdgeAxis("value", Array.tabulate(11)(_ * 50.0))
+    val a = Binning.histogram(events, Seq(uni)).select("value_bin", "cnt")
+      .as[(Long, Long)].collect().toMap
+    val b = Binning.histogramEdges(events, Seq(edges)).select("value_bin", "cnt")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("normalizedHistogram divides by the per-bin normalization") {
     val ax = BinAxis("value", 5, 0.0, 500.0)
     val out = Binning.normalizedHistogram(events, events, Seq(ax), ax)
