@@ -86,14 +86,17 @@ object Ann {
     * the probed fraction (~nprobe/numCentroids) of the corpus. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: Array[(Long, Array[Float])], k: Int,
-              centroidStride: Int = 50, nprobe: Int = 2): DataFrame = {
+              centroidStride: Int = 50, nprobe: Int = 2,
+              centroidsOpt: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids: Array[(Int, Array[Float])] = corpus
+    // default centroids: deterministic stride sample; pass kmeans(...) for
+    // properly fitted ones
+    val centroids: Array[(Int, Array[Float])] = centroidsOpt.getOrElse(corpus
       .filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => ((r.getLong(0) / centroidStride).toInt, r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+      .sortBy(_._1))
     val cB = spark.sparkContext.broadcast(
       centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
 
@@ -147,6 +150,48 @@ object Ann {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     partialDf.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Distributed Lloyd k-means over the embedding column, for IVF
+    * centroids: assignment is a map-only pass against broadcast centroids
+    * (cosine, like the search itself); the update step averages per
+    * (cluster, dimension) via posexplode + one shuffle. Deterministic:
+    * init = the k smallest ids. Each iteration's centroid set is tiny
+    * (k × dim) and collected to the driver. */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int = 5): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[(Int, Array[Float])] = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    for (_ <- 0 until iters) {
+      val cB = spark.sparkContext.broadcast(
+        centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
+      val assigned = corpus.select(col(vecCol)).rdd.mapPartitions { it =>
+        it.map { row =>
+          val v = row.getSeq[Float](0).toArray
+          val nv = math.sqrt(dot(v, v))
+          var best = -2.0; var bestC = 0
+          cB.value.foreach { case (cid, cv, cn) =>
+            val c = dot(cv, v) / (cn * nv)
+            if (c > best) { best = c; bestC = cid }
+          }
+          (bestC, v)
+        }
+      }
+      // per-cluster mean: aggregate (sum vector, count) per cluster id
+      val dim = centroids.head._2.length
+      val sums = assigned.aggregateByKey((new Array[Double](dim), 0L))(
+        { case ((s, n), v) => var i = 0; while (i < dim) { s(i) += v(i); i += 1 }; (s, n + 1) },
+        { case ((s1, n1), (s2, n2)) =>
+          var i = 0; while (i < dim) { s1(i) += s2(i); i += 1 }; (s1, n1 + n2) })
+        .collect()
+      centroids = sums.sortBy(_._1).map { case (cid, (s, n)) =>
+        (cid, s.map(x => (x / n).toFloat))
+      }
+    }
+    centroids
   }
 
   /** Collect a small query set (id, vector) to the driver for broadcast. */

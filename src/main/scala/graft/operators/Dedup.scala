@@ -118,14 +118,33 @@ object Dedup {
     * (collisions are ~n²/2³² per doc, negligible). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    pairCond: (DataFrame, DataFrame) => Column): DataFrame = {
-    val sh = docs
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    jaccardOf(a.join(b, pairCond(a, b)))
+  }
+
+  /** Jaccard for an explicit candidate-pair list (the LSH output) — two
+    * id→shingle-set joins, similarity evaluated ONLY on candidates. */
+  def jaccardForPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                      pairs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    jaccardOf(pairs
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id"))
+  }
+
+  /** Sorted distinct hashed shingle set per doc (shared by the Jaccard
+    * paths). */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol))) // see minhashSignatures
       .select(col(idCol),
         array_sort(array_distinct(transform(TextFunctions.shingles(col("__toks"), n),
           TextFunctions.expr_hash32 _))).as("sh"))
-    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
-    a.join(b, pairCond(a, b))
+
+  private def jaccardOf(joined: DataFrame): DataFrame =
+    joined
       .select(col("a_id"), col("b_id"),
         org.apache.spark.sql.graft.SortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
         (size(col("a_sh")) + size(col("b_sh"))).cast("long").as("__sum"))
@@ -133,6 +152,44 @@ object Dedup {
       .withColumn("uni", col("__sum") - col("inter")).drop("__sum")
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .select("a_id", "b_id", "inter", "uni", "jaccard")
+
+  /** Connected components over a near-dup pair graph (a_id, b_id) by
+    * iterated min-label propagation: every node takes the minimum label in
+    * its neighbourhood until fixpoint. Converges in O(component diameter)
+    * rounds — near-dup clusters are small and dense, so a handful; each
+    * round is one shuffle over the edge list. This is the standard
+    * large-scale "collapse duplicate clusters" step after LSH+verify. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list incl. self-loops, as (src, dst)
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    var labels = edges.select(col("src").as("id"), col("src").as("label"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // candidate labels: own + every neighbour's current label
+      val viaNeighbor = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select("id", "label").union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      // cut lineage growth between iterations (plans are iterative)
+      labels = next.localCheckpoint(true)
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** The deduplicated corpus: from candidate pairs verified near-dups,
+    * keep only the minimum-id document of each duplicate cluster. */
+  def dedupCorpus(docs: DataFrame, idCol: String, verifiedPairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(verifiedPairs)
+    val losers = comps.filter(col("id") =!= col("label")).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent

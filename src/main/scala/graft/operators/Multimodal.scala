@@ -44,6 +44,63 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String, payloadCol: String): DataFrame =
     docs.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("pixels", BinaryType)))
+
+  /** STUB resize: a real implementation decodes, resamples to
+    * `targetW`×`targetH`, re-encodes. Deterministic fake: "pixels" are the
+    * payload bytes cyclically resampled to targetW*targetH bytes — the
+    * output schema/size contract of a real resizer. */
+  def resize(docs: DataFrame, idCol: String, payloadCol: String,
+             targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val n = targetW * targetH
+    val rows = docs.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val out = Array.tabulate[Byte](n)(i =>
+              if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+            Row(r.getLong(0), targetW.toLong, targetH.toLong, out)
+          }
+        }
+      }
+    spark.createDataFrame(rows, resizedSchema)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame", BinaryType)))
+
+  /** STUB frame sampling: treat the payload as a "video" of fixed-size
+    * frames and emit every `stride`-th frame — the row-explosion shape
+    * (1 payload → N frame rows) of a real video sampler, one output row
+    * per sampled frame, batch iteration preserved. */
+  def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int, stride: Int, batchSize: Int = 64): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = docs.sparkSession
+    val rows = docs.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val nFrames = bytes.length / frameBytes
+            (0 until nFrames by stride).iterator.map { f =>
+              Row(id, f.toLong, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, frameSchema)
+  }
+
   /** Batched metadata extraction over the payload column. */
   def decodeMeta(docs: DataFrame, idCol: String, payloadCol: String,
                  batchSize: Int = 64): DataFrame = {

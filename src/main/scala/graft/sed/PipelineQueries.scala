@@ -78,6 +78,21 @@ object PipelineQueries {
              FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50)"""
           .replaceAll("\\s+", " ")}),
 
+    // End-to-end near-dup removal: LSH candidates -> n-gram-Jaccard verify
+    // (>= 0.8) -> connected components -> keep each cluster's min id.
+    // Returns the surviving corpus ids. Component labels depend on the
+    // iterative propagation -> rows-only.
+    "q_dedup_pipeline" -> QueryDef(
+      (s, d) => {
+        val dd = docs(s, d)
+        val cand = Dedup.minhashCandidates(dd, "doc_id", "text",
+          NumHashes, RowsPerBand, ShingleN)
+        val verified = Dedup.jaccardForPairs(dd, "doc_id", "text", ShingleN, cand)
+          .filter(col("jaccard") >= 0.8)
+        Dedup.dedupCorpus(dd, "doc_id", verified).select("doc_id")
+      },
+      None),
+
     "q_dedup_embedding" -> QueryDef(
       (s, d) => Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding",
         EmbDim, NearDupCos),

@@ -101,6 +101,39 @@ class DedupAnnSpec extends SparkSpecBase {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("connectedComponents labels each cluster with its minimum id") {
+    // two components: {1,2,3,9} via chain, {5,6}; singleton 7 not in edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedupCorpus keeps one representative per duplicate cluster") {
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", pairs).as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 5L, 7L)) // cluster minima + untouched doc
+  }
+
+  test("kmeans converges to cluster directions and feeds ivfTopK") {
+    // two obvious direction clusters in 4-d
+    val data = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0.1f, 0f) else Array(0f, 1f, 0f, 0.1f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Ann.kmeans(df, "vec_id", "embedding", 2, iters = 5)
+    assert(cents.length == 2)
+    // each centroid should be dominated by one axis
+    val dominant = cents.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(dominant == Set(0, 1))
+    val queries = data.take(2)
+    val got = Ann.ivfTopK(df, "vec_id", "embedding", queries.toArray, 3,
+      nprobe = 1, centroidsOpt = Some(cents))
+    assert(got.groupBy("query_id").count().count() == 2)
+  }
+
   test("embeddingNearDups only emits pairs at/above the cosine threshold") {
     val out = Dedup.embeddingNearDups(embeddings, "vec_id", "embedding", 64, 0.3)
       .select("cosine").as[Double].collect()

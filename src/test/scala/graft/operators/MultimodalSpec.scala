@@ -21,6 +21,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r2.getLong(1) == 1000L && r2.getLong(2) == 361L && r2.getLong(3) == 41L)
   }
 
+  test("resize emits fixed-size pixel buffers") {
+    val docs = Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.resize(
+      Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("pixels")).toMap
+    assert(out(1L).length == 12 && out(2L).length == 12)
+    assert(out(1L).take(6).toSeq == "abcdef".getBytes("UTF-8").toSeq) // cyclic resample
+    assert(out(1L)(6) == 'a'.toByte)
+  }
+
+  test("sampleFrames explodes payloads into strided frame rows") {
+    val docs = Seq((1L, "0123456789ab")).toDF("doc_id", "text") // 12 bytes = 6 frames of 2
+    val out = Multimodal.sampleFrames(
+      Multimodal.withPayload(docs, "text", "payload"), "doc_id", "payload",
+      frameBytes = 2, stride = 2)
+      .collect().map(r => (r.getLong(1), new String(r.getAs[Array[Byte]]("frame"))))
+    assert(out.sortBy(_._1).toSeq == Seq((0L, "01"), (2L, "45"), (4L, "89")))
+  }
+
   test("decodeMeta batch iteration covers every row exactly once") {
     val docs = spark.range(0, 999).toDF("doc_id")
       .selectExpr("doc_id", "repeat('a', CAST(doc_id % 50 AS INT)) AS text")
