@@ -160,9 +160,12 @@ object Dedup {
     * round is one shuffle over the edge list. This is the standard
     * large-scale "collapse duplicate clusters" step after LSH+verify. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list incl. self-loops, as (src, dst)
+    // undirected edge list, materialized ONCE: its lineage (often a full
+    // LSH+verify pipeline) would otherwise be recomputed by every
+    // propagation round and convergence check
     val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id"), col("src").as("label"))
       .union(edges.select(col("dst").as("id"), col("dst").as("label")))
       .groupBy("id").agg(min("label").as("label"))

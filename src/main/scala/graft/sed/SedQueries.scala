@@ -25,6 +25,11 @@ object SedQueries {
   def ensureConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // right-size the reduce side for the local[32] target (Spark's 200
+    // default just fragments these workloads); harmless when the host
+    // session already set something else runtime-specific.
+    if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
   }
 
   private def events(spark: SparkSession, dir: String): DataFrame = {
