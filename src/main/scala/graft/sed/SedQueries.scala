@@ -386,23 +386,23 @@ object SedQueries {
   )
 
   /** Flagship pipeline (SparkEntry.entry): jitter → sector align →
-    * energy calibration → k/delay axes → 3-D (kx, ky, E) histogram —
-    * the canonical sed workflow (processor.py compute()) as one lazy,
-    * shuffle-once Spark plan. */
+    * energy calibration → k axes → 3-D (kx, ky, E) histogram — the
+    * canonical sed workflow (processor.py compute()) expressed through
+    * the fluent SedProcessor facade; one lazy, shuffle-once Spark plan. */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     ensureConfs(spark)
     val raw = Tables.events(spark, dir)
-    val jittered = DfOps.applyJitter(raw, Seq("value"), "event_id", 0.5, "uniform")
-    val df = jittered
-      .withColumn("tof", col("value_jittered") * lit(100.0) + lit(10000.0))
-      .withColumn("tof_aligned",
-        sectorAlign(col("tof"), (col("event_id") % 8).cast("int"), SectorDelays))
-      .withColumn("energy",
-        tof2ev(col("tof_aligned"), TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset))
-      .withColumn("kx", detectorToK(col("value"), KxStart, KxCenter, KxScale, KxStep))
-      .withColumn("ky", detectorToK(col("user_id").cast("double"), KyStart, KyCenter, KyScale, KyStep))
-    Binning.histogram(df, Seq(
-      BinAxis("kx", 64, -4.0, 0.0), BinAxis("ky", 64, -1.0, 0.0),
-      BinAxis("energy", 64, 0.0, 2500.0)))
+      .withColumn("x", col("value"))
+      .withColumn("y", col("user_id").cast("double"))
+      .withColumn("tof", col("value") * lit(100.0) + lit(10000.0))
+      .withColumn("sector", (col("event_id") % 8).cast("int"))
+    SedProcessor(raw)
+      .addJitter(Seq("tof"), "event_id", 0.5)
+      .alignDldSectors("sector", SectorDelays)
+      .appendEnergyAxis(TofDistance, TimeOffset, Binwidth, BinningF, "kinetic", EnergyOffset)
+      .appendKAxis(KxStart, KxCenter, KxScale, KxStep, KyStart, KyCenter, KyScale, KyStep)
+      .compute(Seq(
+        BinAxis("kx", 64, -4.0, 0.0), BinAxis("ky", 64, -1.0, 0.0),
+        BinAxis("energy", 64, 0.0, 2500.0)), withCenters = false)
   }
 }
