@@ -73,10 +73,10 @@ object DfOps {
   /** Order-independent exact mean of a 2-decimal-valued double column:
     * sum in integer cents, divide once. */
   def exactMean(c: Column): Column =
-    sum(round(c * lit(100.0)).cast("long")).cast("double") / count(c) / lit(100.0)
+    sum(floor(c * lit(100.0) + lit(0.5)).cast("long")).cast("double") / count(c) / lit(100.0)
 
   def exactMeanSql(c: String): String =
-    s"(CAST(SUM(CAST(ROUND($c * 100.0) AS BIGINT)) AS DOUBLE) / COUNT($c) / 100.0)"
+    s"(CAST(SUM(CAST(FLOOR($c * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT($c) / 100.0)"
 
   /** Interpolate externally time-stamped sensor data onto every event
     * (dfops.py:124 add_time_stamped_data). The knot table is small

@@ -26,16 +26,16 @@ object RelationalQueries {
 
   /** SUM of a 2-decimal money column in exact cents, as double. */
   private def centsSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(round(c * 100).cast("long")).cast("double") / lit(100.0)
+    sum(floor(c * 100 + 0.5).cast("long")).cast("double") / lit(100.0)
   private def centsSumSql(c: String): String =
-    s"CAST(SUM(CAST(ROUND($c * 100) AS BIGINT)) AS DOUBLE)/100.0"
+    s"CAST(SUM(CAST(FLOOR($c * 100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0"
 
   /** Per-row revenue extendedprice*(1-discount), exact at 1e-4. */
   private def revSum(df: DataFrame): org.apache.spark.sql.Column =
-    sum(round(df("l_extendedprice") * (lit(1.0) - df("l_discount")) * 10000).cast("long"))
+    sum(floor(df("l_extendedprice") * (lit(1.0) - df("l_discount")) * 10000 + 0.5).cast("long"))
       .cast("double") / lit(10000.0)
   private val revSumSql =
-    "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)/10000.0"
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -48,19 +48,19 @@ object RelationalQueries {
           centsSum(col("l_quantity")).as("sum_qty"),
           centsSum(col("l_extendedprice")).as("sum_base"),
           revSum(l).as("sum_disc_price"),
-          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 1000000)
+          (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 1000000 + 0.5)
             .cast("long")).cast("double") / lit(1000000.0)).as("sum_charge"),
-          (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_qty"),
-          (sum(round(col("l_discount") * 100).cast("long")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_disc"),
+          (sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_qty"),
+          (sum(floor(col("l_discount") * 100 + 0.5).cast("long")).cast("double") / count(lit(1)) / lit(100.0)).as("avg_disc"),
           count(lit(1)).as("count_order"))
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
           ${centsSumSql("l_quantity")} AS sum_qty,
           ${centsSumSql("l_extendedprice")} AS sum_base,
           $revSumSql AS sum_disc_price,
-          CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
-          CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_qty,
-          CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_disc,
+          CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+          CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_qty,
+          CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_disc,
           COUNT(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus""".replaceAll("\\s+", " "))),
@@ -110,11 +110,11 @@ object RelationalQueries {
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
         t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
-          (sum(round(col("o_totalprice") * 100).cast("long")).over(w).cast("double") / lit(100.0)).as("running_total"),
+          (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).over(w).cast("double") / lit(100.0)).as("running_total"),
           row_number().over(w).cast("long").as("order_seq"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS running_total,
+          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)/100.0 AS running_total,
           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
         .replaceAll("\\s+", " "))),
