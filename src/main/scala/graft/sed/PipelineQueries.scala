@@ -180,6 +180,39 @@ object PipelineQueries {
           CAST(length(text) AS DOUBLE) / CAST(len($toksSqlFrag) AS DOUBLE) AS chars_per_token
         FROM documents""".replaceAll("\\s+", " "))),
 
+    // Vocabulary building: corpus-wide token frequencies, top 100.
+    // explode -> groupBy(token) is the one genuinely token-per-row
+    // shuffle in the text suite; partial agg collapses repeats map-side,
+    // and the top-k is TakeOrderedAndProject (no global sort).
+    "q_vocab" -> QueryDef(
+      (s, d) => docs(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(100),
+      Some(s"""SELECT tok, COUNT(*) AS cnt FROM (
+          SELECT UNNEST($toksSqlFrag) AS tok FROM documents)
+        GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".replaceAll("\\s+", " "))),
+
+    // Corpus-level stats per source: doc counts + exact char/token means
+    // (integer sums, one divide — reduction-order independent).
+    "q_corpus_stats" -> QueryDef(
+      (s, d) => docs(s, d)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          (sum("n_tok").cast("double") / count(lit(1))).as("avg_tokens"),
+          sum("n_chars").as("total_chars")),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+          CAST(SUM(n_tok) AS DOUBLE)/COUNT(*) AS avg_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM (SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len($toksSqlFrag) AS BIGINT) AS n_tok FROM documents)
+        GROUP BY source""".replaceAll("\\s+", " "))),
+
     "q_fingerprint" -> QueryDef(
       (s, d) => docs(s, d).select(col("doc_id"),
         TextFunctions.fingerprint(tokens(col("text"))).as("fp")),
