@@ -109,6 +109,30 @@ object Dedup {
       .select(col(idCol),
         org.apache.spark.sql.graft.SimHash32(col("__th")).as("simhash"))
 
+  /** SimHash near-dup candidate pairs at Hamming distance <= maxHamming
+    * (must be <= 3): the 32-bit fingerprint splits into 4 byte bands; by
+    * pigeonhole, any pair within 3 bit flips shares at least one intact
+    * byte, so the band-bucket join has LOSSLESS recall — the banded
+    * distributed plan returns exactly the quadratic-scan answer, at
+    * bucket-local cost. Output: (a_id, b_id, hamming). */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming <= 3, "4-band recall is only lossless for <= 3 flips")
+    val fp = simhash(docs, idCol, textCol) // (id, simhash)
+    val buckets = fp.select(col(idCol),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = bucketPairs(buckets, idCol, Seq("band", "key"), maxBucket)
+    val fa = fp.select(col(idCol).as("a_id"), col("simhash").as("a_sh"))
+    val fb = fp.select(col(idCol).as("b_id"), col("simhash").as("b_sh"))
+    pairs.join(fa, "a_id").join(fb, "b_id")
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** n-gram Jaccard similarity for every pair admitted by `pairCond`
     * (applied to the `a`/`b` aliases). Pair generation is the caller's
     * policy — in production the pairs come from [[minhashCandidates]].

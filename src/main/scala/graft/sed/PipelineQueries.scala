@@ -65,6 +65,20 @@ object PipelineQueries {
       (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text"),
       Some(TextFunctions.simhash32Sql("documents"))),
 
+    // Banded SimHash near-dup pairs. The oracle is the naive quadratic
+    // scan — valid because 4-byte banding has lossless recall at
+    // hamming <= 3 (pigeonhole over 4 bands).
+    "q_simhash_pairs" -> QueryDef(
+      (s, d) => Dedup.simhashCandidates(docs(s, d), "doc_id", "text"),
+      Some {
+        val sh = TextFunctions.simhash32Sql("documents")
+        s"""WITH sh AS ($sh)
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM sh a, sh b
+           WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
+          .replaceAll("\\s+", " ")}),
+
     "q_ngram_jaccard" -> QueryDef(
       (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", ShingleN,
         (a, b) => a("a_id") < b("b_id") && a("a_id") % 50 === b("b_id") % 50),

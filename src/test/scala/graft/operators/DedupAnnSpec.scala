@@ -101,6 +101,18 @@ class DedupAnnSpec extends SparkSpecBase {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("simhashCandidates equals the quadratic hamming scan (lossless banding)") {
+    val df = documents.limit(120)
+    val fps = Dedup.simhash(df, "doc_id", "text").as[(Long, Long)].collect()
+    val expected = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashCandidates(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("connectedComponents labels each cluster with its minimum id") {
     // two components: {1,2,3,9} via chain, {5,6}; singleton 7 not in edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("a_id", "b_id")
