@@ -75,10 +75,13 @@ object Dedup {
     buckets.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(ids) >= 2 && size(ids) <= maxBucket)
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
-          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      // two-step expansion: first one row per left element, then its
+      // partners from the tail slice. Peak memory is O(bucket) per row —
+      // a single flatten(transform(...)) would materialize the whole
+      // O(bucket²) pair array in one value and OOM on skewed buckets.
+      .select(ids, posexplode(ids).as(Seq("i", "a_id")))
+      .select(col("a_id"),
+        explode(slice(ids, col("i") + lit(2), size(ids) - col("i") - lit(1))).as("b_id"))
       .distinct()
   }
 
@@ -116,7 +119,7 @@ object Dedup {
     * distributed plan returns exactly the quadratic-scan answer, at
     * bucket-local cost. Output: (a_id, b_id, hamming). */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+                        maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     require(maxHamming <= 3, "4-band recall is only lossless for <= 3 flips")
     val fp = simhash(docs, idCol, textCol) // (id, simhash)
     val buckets = fp.select(col(idCol),
