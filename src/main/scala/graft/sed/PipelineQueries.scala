@@ -232,6 +232,46 @@ object PipelineQueries {
         TextFunctions.fingerprint(tokens(col("text"))).as("fp")),
       Some(TextFunctions.fingerprintSql("documents"))),
 
+    // Text cleaning: strip URLs and e-mail addresses, collapse runs of
+    // whitespace, trim — conservative regexes with identical Java/RE2
+    // semantics. Output keyed by md5 so the compare stays compact.
+    "q_text_clean" -> QueryDef(
+      (s, d) => docs(s, d).select(col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "https?://\\S+", " "), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
+          "\\s+", " ")).cast("binary")).as("clean_md5"),
+        length(trim(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "https?://\\S+", " "), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", " "),
+          "\\s+", " "))).cast("long").as("clean_len")),
+      Some("""SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+            'https?://\S+', ' ', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+            '\s+', ' ', 'g'))) AS clean_md5,
+          CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+            'https?://\S+', ' ', 'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', ' ', 'g'),
+            '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+        FROM documents""".replaceAll("\\s+", " "))),
+
+    // Quality filtering: the keep/drop decision of a training-data
+    // pipeline — English-classified docs above a quality threshold.
+    "q_quality_filter" -> QueryDef(
+      (s, d) => {
+        val df = docs(s, d)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+          .withColumn("c_stop", markerCount(col("text"), LangMarkers.head._2).cast("long"))
+          .withColumn("quality",
+            lit(0.6) * (col("c_stop").cast("double") / col("n_tok").cast("double")) +
+              lit(0.4) * least(col("n_chars").cast("double") / lit(500.0), lit(1.0)))
+        df.filter(col("quality") >= 0.3).select("doc_id", "quality")
+      },
+      Some(s"""SELECT doc_id, quality FROM (
+          SELECT doc_id,
+            0.6 * (CAST(${markerCountSql("text", LangMarkers.head._2)} AS DOUBLE) /
+                   CAST(len($toksSqlFrag) AS DOUBLE)) +
+            0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS quality
+          FROM documents) WHERE quality >= 0.3""".replaceAll("\\s+", " "))),
+
     // ---------------- multimodal ----------------
     "q_multimodal_meta" -> QueryDef(
       (s, d) => Multimodal.decodeMeta(
