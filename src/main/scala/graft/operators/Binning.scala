@@ -50,7 +50,9 @@ case class EdgeAxis(col: String, edges: Array[Double]) {
     val n = edges.length
     val whens = (n - 2 to 1 by -1)
       .map(i => s"WHEN $e >= ${d2s(edges(i))} THEN $i").mkString(" ")
-    s"CAST(CASE WHEN $e < ${d2s(edges(0))} OR $e > ${d2s(edges(n - 1))} THEN -1 $whens ELSE 0 END AS BIGINT)"
+    // NULL must be caught explicitly: a NULL CASE condition is not-true,
+    // so it would fall to ELSE 0 while the Spark side yields NULL/dropped
+    s"CAST(CASE WHEN $e IS NULL OR $e < ${d2s(edges(0))} OR $e > ${d2s(edges(n - 1))} THEN -1 $whens ELSE 0 END AS BIGINT)"
   }
 }
 

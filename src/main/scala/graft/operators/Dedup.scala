@@ -121,7 +121,9 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     require(maxHamming <= 3, "4-band recall is only lossless for <= 3 flips")
-    val fp = simhash(docs, idCol, textCol) // (id, simhash)
+    // materialize fingerprints once: the lazy plan (tokenize + per-token
+    // md5 + vote loop) is referenced by the buckets AND both join sides
+    val fp = simhash(docs, idCol, textCol).localCheckpoint(true) // (id, simhash)
     val buckets = fp.select(col(idCol),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -162,10 +164,13 @@ object Dedup {
   }
 
   /** Sorted distinct hashed shingle set per doc (shared by the Jaccard
-    * paths). */
+    * paths). Docs with < n tokens have no n-grams and are dropped —
+    * without the filter, `shingles`' descending `sequence` would evaluate
+    * `element_at(toks, 0)` and throw. */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol))) // see minhashSignatures
+      .filter(size(col("__toks")) >= n)
       .select(col(idCol),
         array_sort(array_distinct(transform(TextFunctions.shingles(col("__toks"), n),
           TextFunctions.expr_hash32 _))).as("sh"))
@@ -186,7 +191,7 @@ object Dedup {
     * rounds — near-dup clusters are small and dense, so a handful; each
     * round is one shuffle over the edge list. This is the standard
     * large-scale "collapse duplicate clusters" step after LSH+verify. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edge list, materialized ONCE: its lineage (often a full
     // LSH+verify pipeline) would otherwise be recomputed by every
     // propagation round and convergence check
@@ -202,12 +207,15 @@ object Dedup {
       // candidate labels: own + every neighbour's current label
       val viaNeighbor = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
+      // checkpoint FIRST (cuts the iterative lineage and materializes the
+      // propagation shuffle once), then the convergence check reads the
+      // materialized result instead of recomputing the aggregation
       val next = labels.select("id", "label").union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      // cut lineage growth between iterations (plans are iterative)
-      labels = next.localCheckpoint(true)
+      labels = next
       converged = changed == 0
       it += 1
     }

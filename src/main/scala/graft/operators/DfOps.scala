@@ -52,6 +52,7 @@ object DfOps {
                            resultColumn: String = null): DataFrame = {
     val out = if (resultColumn == null) targetColumn else resultColumn
     val meanCols = offsets.filter(o => o.reduction.contains("mean") || o.preserveMean)
+      .distinctBy(_.column) // two offsets on one column need ONE mean alias
     var base = df
     if (meanCols.nonEmpty) {
       val aggs = meanCols.map(o => exactMean(df(o.column)).as(s"__mean_${o.column}"))
@@ -116,8 +117,11 @@ object DfOps {
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     val sortCol = if (backward) df(orderCol).desc else df(orderCol).asc
+    // localCheckpoint, not cache(): scanned twice (boundary pass + fill
+    // pass), and the blocks are released with the RDD by the context
+    // cleaner instead of pinning executor memory for the whole session
     val sorted = df.repartitionByRange(n, sortCol).sortWithinPartitions(sortCol)
-    sorted.cache() // scanned twice: boundary pass + fill pass
+      .localCheckpoint(true)
     val schema = sorted.schema
     val idxs = fillCols.map(schema.fieldIndex)
 

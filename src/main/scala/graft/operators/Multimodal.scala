@@ -44,6 +44,12 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String, payloadCol: String): DataFrame =
     docs.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
 
+  /** Rows with a NULL payload carry nothing to decode — drop them before
+    * the batch pass (a null would NPE inside the per-batch dereference). */
+  private def nonNull(docs: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    docs.select(col(idCol).cast("long"), col(payloadCol))
+      .filter(col(payloadCol).isNotNull)
+
   val resizedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", LongType),
@@ -58,7 +64,7 @@ object Multimodal {
              targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     val n = targetW * targetH
-    val rows = docs.select(col(idCol).cast("long"), col(payloadCol)).rdd
+    val rows = nonNull(docs, idCol, payloadCol).rdd
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
@@ -85,7 +91,7 @@ object Multimodal {
                    frameBytes: Int, stride: Int, batchSize: Int = 64): DataFrame = {
     require(frameBytes > 0 && stride > 0)
     val spark = docs.sparkSession
-    val rows = docs.select(col(idCol).cast("long"), col(payloadCol)).rdd
+    val rows = nonNull(docs, idCol, payloadCol).rdd
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { r =>
@@ -105,7 +111,7 @@ object Multimodal {
   def decodeMeta(docs: DataFrame, idCol: String, payloadCol: String,
                  batchSize: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val rows = docs.select(col(idCol).cast("long"), col(payloadCol)).rdd
+    val rows = nonNull(docs, idCol, payloadCol).rdd
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // one "batch" = one native-decoder invocation in a real pipeline

@@ -23,6 +23,7 @@ case class Bilinear2D(left: Expression, right: Expression,
                       grid: Array[Double], rows: Int, cols: Int)
     extends BinaryExpression with ExpectsInputTypes {
   require(grid.length == rows * cols, "grid must be rows*cols row-major")
+  require(rows >= 2 && cols >= 2, "bilinear needs a >= 2x2 grid") // x0+1/y0+1 lookups
 
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = DoubleType

@@ -41,7 +41,8 @@ object BucketIdx {
   /** Shared by interpreted eval and generated code. */
   def search(edges: Array[Double], v: Double): Long = {
     val n = edges.length
-    if (v < edges(0) || v > edges(n - 1)) return -1L
+    // NaN fails every comparison below and would fall through to bin 0
+    if (java.lang.Double.isNaN(v) || v < edges(0) || v > edges(n - 1)) return -1L
     if (v == edges(n - 1)) return (n - 2).toLong // right edge closes last bin
     var lo = 0; var hi = n - 1
     while (hi - lo > 1) {

@@ -49,6 +49,14 @@ class BinningSpec extends SparkSpecBase {
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 3L))
   }
 
+  test("histogramEdges drops NaN and null values") {
+    val ax = EdgeAxis("v", Array(0.0, 1.0, 2.0))
+    val df = Seq(Some(0.5), Some(Double.NaN), None, Some(1.5)).toDF("v")
+    val got = Binning.histogramEdges(df, Seq(ax))
+      .select("v_bin", "cnt").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("histogramEdges matches the uniform histogram when edges are uniform") {
     val uni = BinAxis("value", 10, 0.0, 500.0)
     val edges = EdgeAxis("value", Array.tabulate(11)(_ * 50.0))

@@ -101,6 +101,14 @@ class DedupAnnSpec extends SparkSpecBase {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("ngramJaccard drops documents shorter than n tokens instead of crashing") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "too short"), (4L, ""))
+      .toDF("doc_id", "text")
+    val j = Dedup.ngramJaccard(df, "doc_id", "text", 3, (a, b) => a("a_id") < b("b_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(j == Set((1L, 2L))) // short/empty docs have no 3-grams
+  }
+
   test("simhashCandidates equals the quadratic hamming scan (lossless banding)") {
     val df = documents.limit(120)
     val fps = Dedup.simhash(df, "doc_id", "text").as[(Long, Long)].collect()

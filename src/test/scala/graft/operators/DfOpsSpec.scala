@@ -40,6 +40,15 @@ class DfOpsSpec extends SparkSpecBase {
     assert(math.abs(m0 - m1) < 1e-9)
   }
 
+  test("offsetByOtherColumns supports two offsets referencing the same column") {
+    val df = events.limit(100)
+    val out = DfOps.offsetByOtherColumns(df, "value",
+      Seq(ColumnOffset("value", 1.0, Some("mean")),
+        ColumnOffset("user_id", 0.5, None, preserveMean = true),
+        ColumnOffset("user_id", 0.25, Some("mean"))), "value_off")
+    assert(out.select("value_off").count() == 100) // no ambiguous-reference error
+  }
+
   test("applyFilter bounds are exclusive") {
     val n = DfOps.applyFilter(events, "value", 50.0, 400.0)
       .agg(min($"value"), max($"value")).as[(Double, Double)].head()

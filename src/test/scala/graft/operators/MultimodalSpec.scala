@@ -40,6 +40,15 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.sortBy(_._1).toSeq == Seq((0L, "01"), (2L, "45"), (4L, "89")))
   }
 
+  test("null payloads are dropped, not NPE'd") {
+    val docs = Seq((1L, Some("abc")), (2L, None)).toDF("doc_id", "text")
+    val withP = Multimodal.withPayload(docs, "text", "payload")
+    assert(Multimodal.decodeMeta(withP, "doc_id", "payload").count() == 1)
+    assert(Multimodal.resize(withP, "doc_id", "payload", 2, 2).count() == 1)
+    val frames = Multimodal.sampleFrames(withP, "doc_id", "payload", 1, 1)
+    assert(frames.count() == 3 && frames.select("doc_id").distinct().count() == 1)
+  }
+
   test("decodeMeta batch iteration covers every row exactly once") {
     val docs = spark.range(0, 999).toDF("doc_id")
       .selectExpr("doc_id", "repeat('a', CAST(doc_id % 50 AS INT)) AS text")
