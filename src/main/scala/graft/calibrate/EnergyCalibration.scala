@@ -62,8 +62,8 @@ object EnergyCalibration {
       val lo = math.max(0, i - window); val hi = math.min(n - 1, i + window)
       val neigh = (lo to hi).map(counts)
       val isMax = counts(i) == neigh.max &&
-        (lo until i).forall(j => counts(j) <= counts(i)) &&
-        ((i + 1) to hi).forall(j => counts(j) < counts(i)) // strict right: plateau keeps leftmost
+        (lo until i).forall(j => counts(j) < counts(i)) && // strict left: plateau keeps its leftmost point
+        ((i + 1) to hi).forall(j => counts(j) <= counts(i))
       if (isMax && counts(i) - neigh.min >= minProminence)
         out += ((centers(i), counts(i)))
     }

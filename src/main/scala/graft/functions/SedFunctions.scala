@@ -21,10 +21,12 @@ object SedFunctions {
     * DECIMAL (so `0.1 * bigint_col` would be exact decimal math, diverging
     * from Spark's double), while `0.1E0` is typed DOUBLE. */
   def d2s(x: Double): String = {
+    // fail at the call site: a NaN/Infinity constant (e.g. a zero-width
+    // adc range or gamma=0) would otherwise surface as unparseable oracle
+    // SQL far from the root cause
+    require(!x.isNaN && !x.isInfinite, s"non-finite constant in plan: $x")
     val s = java.lang.Double.toString(x)
-    if (s.contains("N") || s.contains("I")) s // NaN/Infinity: never emitted
-    else if (s.contains("E")) s
-    else s + "E0"
+    if (s.contains("E")) s else s + "E0"
   }
 
   // ---------------------------------------------------------------------

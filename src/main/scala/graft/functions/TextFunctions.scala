@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(text, "\\s+")
-  val tokensSql: String => String = t => s"string_split_regex($t, '\\s+')"
+  /** Whitespace tokens. The input is trimmed first and empty tokens are
+    * filtered: `split` emits "" at the boundaries for leading/trailing
+    * whitespace (and for all-whitespace text), which would silently
+    * inflate every token statistic and hash the empty string. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+  val tokensSql: String => String =
+    t => s"list_filter(string_split_regex(trim($t), '\\s+'), t -> length(t) > 0)"
 
   /** 32-bit deterministic hash of a string: first 8 hex chars of md5.
     * (SQL-expression form, usable inside lambda bodies.) */
@@ -44,18 +49,10 @@ object TextFunctions {
   /** shinglesSql — via lateral generate_series in DuckDB (no ORDINALITY):
     * emitted inline by the query builders. */
 
-  /** MinHash signature value j over a shingle array column: the min of the
-    * j-th permuted hash. One pass over the array per j; map-only. */
-  def minhashSig(shinglesCol: Column, j: Int): Column =
-    minhashSigFromHashes(transform(shinglesCol, expr_hash32 _), j)
-
-  /** Signature j over PRE-HASHED shingles (array<long>): hash each shingle
-    * once, then run the k cheap permutations over the long array — k× fewer
-    * md5 evaluations than hashing inside every signature's fold. */
-  def minhashSigFromHashes(hashesCol: Column, j: Int): Column =
-    aggregate(hashesCol, lit(MinhashP),
-      (acc, h) => least(acc,
-        (lit(minhashA(j)) * h + lit(minhashB(j))) % lit(MinhashP)))
+  // The signature computation itself is the native codegen expression
+  // org.apache.spark.sql.graft.MinHashSigs: sig_j = min over shingle
+  // hashes h of (A_j·h + B_j) mod P, seeded with P — coefficients live
+  // HERE (minhashA/minhashB/MinhashP) so there is a single definition.
 
   /** 32-bit shingle/token hash as a Column (first 8 md5 hex chars). */
   def expr_hash32(c: Column): Column =
@@ -65,33 +62,12 @@ object TextFunctions {
     * polynomial — exact in int64: sig < 2^33, 31^3·2^33 < 2^63). */
   def bandKey(sigs: Seq[Column]): Column =
     sigs.reduce((a, b) => a * lit(31L) + b)
-  def bandKeySql(sigs: Seq[String]): String =
-    sigs.reduce((a, b) => s"($a * 31 + $b)")
 
   // ---------------------------------------------------------------------
-  // SimHash (32-bit)
+  // SimHash (32-bit) — the per-row vote loop is the native codegen
+  // expression org.apache.spark.sql.graft.SimHash32 over pre-hashed
+  // tokens; only the oracle emitter lives here.
   // ---------------------------------------------------------------------
-
-  /** 32-bit SimHash over the token multiset: per-bit ±1 votes from each
-    * token's hash32, sign-aggregated. Map-only (array accumulator via
-    * zip_with), no shuffle — explode+groupBy would shuffle every token. */
-  def simhash32(toks: Column): Column = {
-    val h = hash32Expr("x")
-    aggregate(
-      toks,
-      expr("array_repeat(0L, 32)"),
-      (acc, x) => zip_with(acc,
-        transform(sequence(lit(0), lit(31)),
-          b => when((call_function("shiftright", expr_hash32Col(x), b) % lit(2L)) === 1L, lit(1L)).otherwise(lit(-1L))),
-        (p, q) => p + q),
-      acc => aggregate(
-        transform(sequence(lit(0), lit(31)),
-          b => when(element_at(acc, b + 1) > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-        lit(0L), (u, v) => u + v))
-  }
-
-  private def expr_hash32Col(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** DuckDB oracle for simhash32 over a doc table with (doc_id, text). */
   def simhash32Sql(table: String): String = {

@@ -39,10 +39,23 @@ object SedReader {
                  nameCol: String = "file_name"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val files = df.inputFiles.sorted.zipWithIndex
+    // normalize both sides to a URL-decoded form with collapsed scheme
+    // slashes: input_file_name() yields the percent-encoded URI while
+    // inputFiles yields Path.toString — a raw string join would silently
+    // drop rows for any path containing a space/%/non-ASCII char
+    def canon(s: String): String =
+      java.net.URLDecoder.decode(s, "UTF-8").replaceFirst("^file:/+", "file:/")
+    val files = df.inputFiles.map(canon).sorted.zipWithIndex
       .map { case (f, i) => (f, i.toLong) }.toSeq
     val mapping = broadcast(files.toDF(nameCol, idCol))
-    df.withColumn(nameCol, input_file_name())
-      .join(mapping, nameCol)
+    val canonUdf = udf(canon _) // driver-listing parity beats codegen here
+    val joined = df.withColumn(nameCol, canonUdf(input_file_name()))
+      .join(mapping, Seq(nameCol), "left")
+    // loud failure beats silent row loss if a name still doesn't match
+    joined.filter(col(idCol).isNull).limit(1).count() match {
+      case 0 => joined
+      case _ => throw new IllegalStateException(
+        "input_file_name() did not match the driver-side file listing")
+    }
   }
 }

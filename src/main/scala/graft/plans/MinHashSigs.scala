@@ -10,10 +10,9 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
 
 /** All `numHashes` MinHash signature values in ONE codegen pass over the
   * pre-hashed shingle array: sig_j = min over h of (A_j·h + B_j) mod P,
-  * seeded with P for the empty array — exactly the semantics of the
-  * per-signature `aggregate(...)` fold (graft.functions.TextFunctions
-  * .minhashSigFromHashes) and of the DuckDB oracle, but k×n multiply-adds
-  * in a tight loop instead of k interpreted lambda folds.
+  * seeded with P for the empty array — coefficients shared with the
+  * DuckDB oracle via TextFunctions.minhashA/minhashB/MinhashP; k×n
+  * multiply-adds in a tight loop instead of k interpreted lambda folds.
   */
 case class MinHashSigs(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {

@@ -29,13 +29,14 @@ object PipelineQueries {
   private val EmbDim = 64
   private val NearDupCos = 0.35
 
-  // ---- DuckDB SQL fragments (mirror TextFunctions/VectorFunctions) ----
-  private val toksSqlFrag = "string_split_regex(text, '\\s+')"
+  // ---- DuckDB SQL fragments. Tokenizer and hash come from the single
+  // definitions in TextFunctions so Spark and oracle can't drift apart.
+  private val toksSqlFrag = TextFunctions.tokensSql("text")
   private def shinglesSqlFrag(l: String, n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) s"$l[i]" else s"$l[i+$k]").mkString(", ")
     s"list_transform(generate_series(1, len($l)-${n - 1}), i -> concat_ws(' ', $parts))"
   }
-  private def hash32Frag(x: String): String = s"(('0x' || substr(md5($x), 1, 8))::BIGINT)"
+  private def hash32Frag(x: String): String = TextFunctions.hash32Sql(x)
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -84,7 +85,9 @@ object PipelineQueries {
         (a, b) => a("a_id") < b("b_id") && a("a_id") % 50 === b("b_id") % 50),
       Some {
         val sh = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
-        s"""WITH s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))
+        // the len >= n filter mirrors Dedup.shingleSets dropping docs
+        // with no n-grams
+        s"""WITH s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents WHERE len($toksSqlFrag) >= $ShingleN))
            SELECT a_id, b_id, inter, uni, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM (
              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,

@@ -134,15 +134,20 @@ case class SedProcessor(dataframe: DataFrame,
     if (withCenters) Binning.withCenters(h, axes) else h
   }
 
+  private def requireTimed: DataFrame = timed.getOrElse(throw new IllegalStateException(
+    "no timed dataframe attached — pass `timed = Some(df)`; normalizing " +
+      "events by themselves would be silently meaningless (the reference " +
+      "raises here too, processor.py:2317)"))
+
   /** Per-bin normalization histogram from the timed dataframe
     * (processor.py:2317 get_normalization_histogram). */
   def normalizationHistogram(axis: BinAxis): DataFrame =
-    Binning.normalizationHistogram(timed.getOrElse(dataframe), axis)
+    Binning.normalizationHistogram(requireTimed, axis)
 
   /** compute() normalized by the timed dataframe (processor.py compute
     * with normalize_to_acquisition_time). */
   def computeNormalized(axes: Seq[BinAxis], normAxis: BinAxis): DataFrame =
-    Binning.normalizedHistogram(dataframe, timed.getOrElse(dataframe), axes, normAxis)
+    Binning.normalizedHistogram(dataframe, requireTimed, axes, normAxis)
 }
 
 object SedProcessor {

@@ -76,13 +76,15 @@ object SedStreaming {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .selectExpr(s"CAST($keyCol AS BIGINT) AS k", s"CAST($orderCol AS BIGINT) AS o",
+      // key kept as STRING: a blind numeric cast would turn non-numeric
+      // keys into NULL and blow up inside the encoder at runtime
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($orderCol AS BIGINT) AS o",
         s"CAST($valueCol AS DOUBLE) AS v")
-      .as[(Long, Long, Option[Double])]
+      .as[(String, Long, Option[Double])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Double, (Long, Long, Option[Double])](
+      .flatMapGroupsWithState[Double, (String, Long, Option[Double])](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[(Long, Long, Option[Double])], state: GroupState[Double]) =>
+        (key: String, rows: Iterator[(String, Long, Option[Double])], state: GroupState[Double]) =>
           var last: Option[Double] = state.getOption
           val out = rows.toSeq.sortBy(_._2).map { case (k, o, v) =>
             v match {

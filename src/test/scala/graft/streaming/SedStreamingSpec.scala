@@ -85,8 +85,8 @@ class SedStreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       input.addData((1L, 3L, None), (2L, 2L, Some(5.0)), (2L, 3L, None))
       q.processAllAvailable()
-      val rows = spark.table("ff_out").as[(Long, Long, Option[Double])].collect()
-        .map(r => (r._1, r._2) -> r._3).toMap
+      val rows = spark.table("ff_out").as[(String, Long, Option[Double])].collect()
+        .map(r => (r._1.toLong, r._2) -> r._3).toMap
       assert(rows((1L, 2L)).contains(10.0))
       assert(rows((1L, 3L)).contains(10.0)) // carried across batches
       assert(rows((2L, 1L)).isEmpty)        // nothing seen yet for key 2
