@@ -121,21 +121,29 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     require(maxHamming <= 3, "4-band recall is only lossless for <= 3 flips")
-    // materialize fingerprints once: the lazy plan (tokenize + per-token
-    // md5 + vote loop) is referenced by the buckets AND both join sides
-    val fp = simhash(docs, idCol, textCol).localCheckpoint(true) // (id, simhash)
-    val buckets = fp.select(col(idCol),
+    // fingerprints ride INSIDE the bucket structs, so candidate pairs are
+    // verified (bit_count) the moment they're expanded — no id→fingerprint
+    // joins, and the final `distinct` only sees the tiny post-filter
+    // survivor set, not every raw candidate (on skewed corpora the raw
+    // candidates outnumber survivors by orders of magnitude)
+    val fp = simhash(docs, idCol, textCol) // (id, simhash)
+    val buckets = fp.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = bucketPairs(buckets, idCol, Seq("band", "key"), maxBucket)
-    val fa = fp.select(col(idCol).as("a_id"), col("simhash").as("a_sh"))
-    val fb = fp.select(col(idCol).as("b_id"), col("simhash").as("b_sh"))
-    pairs.join(fa, "a_id").join(fb, "b_id")
-      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .select(struct(col(idCol).as("id"), col("simhash").as("sh")).as("e"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val es = col("es")
+    buckets.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("e"))).as("es")) // struct sort: id asc
+      .filter(size(es) >= 2 && size(es) <= maxBucket)
+      .select(es, posexplode(es).as(Seq("i", "a"))) // O(bucket) memory, see bucketPairs
+      .select(col("a"),
+        explode(slice(es, col("i") + lit(2), size(es) - col("i") - lit(1))).as("b"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+      .distinct()
   }
 
   /** n-gram Jaccard similarity for every pair admitted by `pairCond`
