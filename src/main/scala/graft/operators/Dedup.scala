@@ -255,17 +255,28 @@ object Dedup {
       }
       bits.reduce(_ + _).as(s"t$t")
     }
-    val keyed = emb.select(col(idCol) +: keyCols: _*)
-    val buckets = keyed.select(col(idCol),
+    // vectors ride inside the bucket structs (same shape as
+    // simhashCandidates): cosine is checked at pair expansion and the
+    // final distinct only sees survivors — no id→vector joins. A pair
+    // colliding in several tables re-evaluates its cosine up to `tables`
+    // times map-side, which is far cheaper than shuffling every raw
+    // candidate through two joins.
+    val keyed = emb.select(col(idCol) +: col(vecCol) +: keyCols: _*)
+    val buckets = keyed.select(
+      struct(col(idCol).as("id"), col(vecCol).as("vec")).as("e"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), col(s"t$t").as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
-    val pairs = bucketPairs(buckets, idCol, Seq("tbl", "key"), maxBucket)
-    val va = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val vb = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    pairs.join(va, "a_id").join(vb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        VectorFunctions.cosine(col("a_vec"), col("b_vec")).as("cosine"))
+      .select(col("e"), col("bk.tbl").as("tbl"), col("bk.key").as("key"))
+    val es = col("es")
+    buckets.groupBy("tbl", "key")
+      .agg(sort_array(collect_list(col("e"))).as("es")) // struct sort: id asc
+      .filter(size(es) >= 2 && size(es) <= maxBucket)
+      .select(es, posexplode(es).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(es, col("i") + lit(2), size(es) - col("i") - lit(1))).as("b"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        VectorFunctions.cosine(col("a.vec"), col("b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
   }
 }
