@@ -9,7 +9,15 @@ object SparkEntry {
     SedQueries.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  private def defs = SedQueries.defs ++ PipelineQueries.defs ++ RelationalQueries.defs
+  private def defs = {
+    val maps = Seq(SedQueries.defs, PipelineQueries.defs, RelationalQueries.defs)
+    val merged = maps.reduce(_ ++ _)
+    // a duplicate key across the maps would silently shadow a query (and
+    // shrink the correctness gate) — fail fast instead
+    require(merged.size == maps.map(_.size).sum,
+      "duplicate query keys across SedQueries/PipelineQueries/RelationalQueries")
+    merged
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (k, v) => k -> v.build }

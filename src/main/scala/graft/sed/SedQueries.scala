@@ -391,10 +391,11 @@ object SedQueries {
     * the fluent SedProcessor facade; one lazy, shuffle-once Spark plan. */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     ensureConfs(spark)
-    val raw = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val raw = ev
       .withColumn("x", col("value"))
       .withColumn("y", col("user_id").cast("double"))
-      .withColumn("tof", col("value") * lit(100.0) + lit(10000.0))
+      .withColumn("tof", tofCol(ev)) // the shared TOF derivation
       .withColumn("sector", (col("event_id") % 8).cast("int"))
     SedProcessor(raw)
       .addJitter(Seq("tof"), "event_id", 0.5)
