@@ -316,7 +316,7 @@ object SedQueries {
       },
       Some("""SELECT user_id, session, COUNT(*) AS n_events,
           MIN(us) AS start_us, MAX(us) AS end_us FROM (
-            SELECT user_id, us, SUM(brk) OVER w2 AS session FROM (
+            SELECT user_id, us, CAST(SUM(brk) OVER w2 AS BIGINT) AS session FROM (
               SELECT user_id, event_id, us,
                 CASE WHEN us - LAG(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
               FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)

@@ -47,6 +47,12 @@ def main(sfdir: str, outdir: str) -> int:
         bad_cols = []
         for c in got.columns:
             g, e = got[c], exp[c]
+            # Driver hashes typed values, so int-vs-float drift (e.g. DuckDB
+            # HUGEINT from SUM vs Spark BIGINT) is a real mismatch there —
+            # refuse to paper over it with astype(float).
+            if g.dtype.kind != e.dtype.kind:
+                bad_cols.append(f"{c}(dtype {g.dtype} vs {e.dtype})")
+                continue
             if g.dtype.kind == "f" or e.dtype.kind == "f":
                 g = g.astype(float)
                 e = e.astype(float)
