@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * under-measure projection-heavy queries. A warmup job runs first so the
   * first measured query doesn't pay JVM/codegen initialization. A query
   * that throws reports -1 (never a plausible elapsed time).
+  *
+  * Per query the reported number is the MEDIAN of `SPARK_GRAFT_BENCH_RUNS`
+  * (default 3) executions: single cold runs are dominated by codegen/JIT
+  * noise for sub-5 s queries (a byte-identical build once read 2.6 s vs
+  * 12.9 s round-over-round), so medians are what make cross-round
+  * comparisons meaningful.
   */
 object Bench {
   /** JSON string escape (same contract as Verify's). */
@@ -39,13 +45,20 @@ object Bench {
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id % 7)").collect()
     graft.sed.SedQueries.ensureConfs(spark)
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val median =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(runs / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -71,25 +71,90 @@ case class EdgeAxis(col: String, edges: Array[Double]) {
   */
 object Binning {
 
+  /** Bin-count products at or below this take the dense-chunk aggregation
+    * path; above it the sparse flat-key groupBy. Overridable per session
+    * (`spark.conf.set`) for atypical bins-vs-rows shapes. */
+  val DenseMaxBinsKey = "spark.graft.binning.denseMaxBins"
+  val DefaultDenseMaxBins: Long = 1L << 22
+  private val MaxChunkBits = 16
+
+  private def ceilLog2(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+
+  /** The histogram aggregation core, shared by every N-d entry point.
+    *
+    * Multi-axis bin tuples are first collapsed into ONE row-major long key
+    * (`Σ idx_i · stride_i` — strides from the per-axis bin counts), so the
+    * shuffle moves an 8-byte key instead of an N-column tuple and the
+    * aggregate hashes a single long. The key is decomposed back into the
+    * per-axis index columns after the aggregate (div/mod — pure arithmetic
+    * on the already-tiny result).
+    *
+    * Two regimes on the bin-count product P:
+    *  - P ≤ denseMaxBins (dense regime, bins can approach row count):
+    *    group by chunk id (key >> 16) and count in-chunk offsets with the
+    *    dense-array partial [[org.apache.spark.sql.graft.DenseHistChunk]].
+    *    Each task ships one row per non-empty 65 536-bin chunk — bounded
+    *    by P/65 536 per task, NOT by the number of distinct bin tuples —
+    *    and chunk merges spread across reducers (no single-reducer funnel,
+    *    which is what keeps this shape alive at 1000 executors).
+    *  - P > denseMaxBins (sparse regime — physics cubes like 256³ where
+    *    occupancy, not P, is small): plain flat-key hash aggregate; partial
+    *    agg collapses to the non-empty bins map-side.
+    */
+  private def aggregateBins(withIdx: DataFrame, bins: Seq[(String, Long)]): DataFrame = {
+    val cnt = count(lit(1)).as("cnt")
+    if (bins.size == 1) return withIdx.groupBy(col(bins.head._1)).agg(cnt)
+    val total = bins.map(_._2).reduce { (p, n) =>
+      require(p <= Long.MaxValue / n, "bin-count product overflows Long"); p * n
+    }
+    // row-major strides: stride_i = Π nBins_{i+1..}
+    val strides = bins.map(_._2).scanRight(1L)(_ * _).tail
+    val key = bins.zip(strides).map { case ((nm, _), st) => col(nm) * lit(st) }.reduce(_ + _)
+    val ss = withIdx.sparkSession
+    val denseMax = ss.conf.getOption(DenseMaxBinsKey).map(_.toLong).getOrElse(DefaultDenseMaxBins)
+    val keyed =
+      if (total <= denseMax) {
+        val bits = math.min(MaxChunkBits, ceilLog2(total))
+        val cs = 1L << bits
+        // the chunk-id group count can exceed ObjectHashAggregate's default
+        // sort-based fallback threshold (128 groups) — raise it so the hash
+        // path (the whole point) is what runs
+        val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        val needed = math.max(256L, 4L * (total >> bits))
+        if (ss.conf.get(fbKey, "128").toLong < needed) ss.conf.set(fbKey, needed.toString)
+        withIdx.select(key.as("__k"))
+          .select(shiftright(col("__k"), bits).as("__chunk"),
+            col("__k").bitwiseAND(lit(cs - 1)).as("__off"))
+          .groupBy("__chunk")
+          .agg(org.apache.spark.sql.graft.DenseHistChunk(col("__off"), cs.toInt).as("__counts"))
+          .select(col("__chunk"), posexplode(col("__counts")).as(Seq("__pos", "cnt")))
+          .filter(col("cnt") > 0)
+          .select((shiftleft(col("__chunk"), bits) + col("__pos")).as("__k"), col("cnt"))
+      } else {
+        withIdx.select(key.as("__k")).groupBy("__k").agg(cnt)
+      }
+    val outCols = bins.zip(strides).map { case ((nm, n), st) =>
+      expr(s"(__k div ${st}L) % ${n}L").as(nm)
+    } :+ col("cnt")
+    keyed.select(outCols: _*)
+  }
+
   /** Sparse N-d histogram: one row per non-empty bin, columns
     * `<axis>_bin`..., `cnt`. */
   def histogram(df: DataFrame, axes: Seq[BinAxis]): DataFrame = {
     val inRange = axes.map(a => a.inRange(df(a.col))).reduce(_ && _)
     val idxCols = axes.map(a => a.idx(df(a.col)).as(a.idxName))
-    df.filter(inRange)
-      .select(idxCols: _*)
-      .groupBy(axes.map(a => col(a.idxName)): _*)
-      .agg(count(lit(1)).as("cnt"))
+    aggregateBins(df.filter(inRange).select(idxCols: _*),
+      axes.map(a => (a.idxName, a.nBins.toLong)))
   }
 
   /** Sparse N-d histogram over explicit-edge axes (out-of-range rows,
     * idx −1, are dropped — numpy semantics). */
   def histogramEdges(df: DataFrame, axes: Seq[EdgeAxis]): DataFrame = {
     val idxCols = axes.map(a => a.idx(df(a.col)).as(a.idxName))
-    df.select(idxCols: _*)
+    val withIdx = df.select(idxCols: _*)
       .filter(axes.map(a => col(a.idxName) >= 0).reduce(_ && _))
-      .groupBy(axes.map(a => col(a.idxName)): _*)
-      .agg(count(lit(1)).as("cnt"))
+    aggregateBins(withIdx, axes.map(a => (a.idxName, a.nBins.toLong)))
   }
 
   def histogramEdgesSql(table: String, axes: Seq[EdgeAxis]): String = {
