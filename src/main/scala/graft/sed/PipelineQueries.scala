@@ -28,6 +28,9 @@ object PipelineQueries {
   private val NumQueries = 10 // ANN query set: vec_id < 10
   private val EmbDim = 64
   private val NearDupCos = 0.35
+  private val MaxBucket = 10000 // LSH skew guard (Dedup default)
+  private val LshTables = 8
+  private val LshBits = 8
 
   // ---- DuckDB SQL fragments. Tokenizer and hash come from the single
   // definitions in TextFunctions so Spark and oracle can't drift apart.
@@ -38,6 +41,20 @@ object PipelineQueries {
   }
   private def hash32Frag(x: String): String = TextFunctions.hash32Sql(x)
 
+  /** DuckDB twin of Dedup.minhashSignatures (shared by q_minhash_sig and
+    * the q_dedup_minhash bucket oracle). */
+  private lazy val minhashSigSql: String = {
+    val sh = shinglesSqlFrag("l", ShingleN)
+    val sigCols = (0 until NumHashes).map { j =>
+      s"list_min(list_transform($sh, s -> (${minhashA(j)} * ${hash32Frag("s")} + ${minhashB(j)}) % $MinhashP)) AS s$j"
+    }.mkString(", ")
+    s"SELECT doc_id, $sigCols FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents WHERE len($toksSqlFrag) >= $ShingleN)"
+  }
+
+  /** DuckDB twin of TextFunctions.bandKey (base-31 polynomial). */
+  private def bandKeySqlFrag(sigs: Seq[String]): String =
+    sigs.reduce((a, b) => s"($a * 31 + $b)")
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---------------- dedup ----------------
@@ -47,20 +64,31 @@ object PipelineQueries {
 
     "q_minhash_sig" -> QueryDef(
       (s, d) => Dedup.minhashSignatures(docs(s, d), "doc_id", "text", NumHashes, ShingleN),
-      Some {
-        val sh = shinglesSqlFrag("l", ShingleN)
-        val sigCols = (0 until NumHashes).map { j =>
-          s"list_min(list_transform($sh, s -> (${minhashA(j)} * ${hash32Frag("s")} + ${minhashB(j)}) % $MinhashP)) AS s$j"
-        }.mkString(", ")
-        s"SELECT doc_id, $sigCols FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents WHERE len($toksSqlFrag) >= $ShingleN)"
-      }),
+      Some(minhashSigSql)),
 
-    // Candidate pairs via banded LSH: pair membership depends on the band
-    // partition, not SQL-expressible compactly -> rows-only check.
+    // Candidate pairs via banded LSH. The oracle replays the banding
+    // exactly: signatures (oracle-exact, see q_minhash_sig) -> base-31
+    // band keys -> bucket self-join with the same [2, maxBucket] size
+    // guard -> distinct (a < b) pairs.
     "q_dedup_minhash" -> QueryDef(
       (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text",
-        NumHashes, RowsPerBand, ShingleN),
-      None),
+        NumHashes, RowsPerBand, ShingleN, MaxBucket),
+      Some {
+        val numBands = NumHashes / RowsPerBand
+        val bandSelects = (0 until numBands).map { b =>
+          val key = bandKeySqlFrag((0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}"))
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH sig AS ($minhashSigSql),
+           banded AS ($bandSelects),
+           ok AS (SELECT band, key FROM banded GROUP BY band, key
+                  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM banded a
+           JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           JOIN ok ON ok.band = a.band AND ok.key = a.key"""
+          .replaceAll("\\s+", " ")
+      }),
 
     "q_dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhash(docs(s, d), "doc_id", "text"),
@@ -110,10 +138,40 @@ object PipelineQueries {
       },
       None),
 
+    // Sign-plane LSH near-dups. The plane sign bits are dots with ±1
+    // literal hyperplanes (VectorFunctions.signPlane — the SAME driver-side
+    // sequence feeds both emitters), so the oracle replays bucketing,
+    // size guard, pair expansion, and the cosine threshold exactly.
     "q_dedup_embedding" -> QueryDef(
       (s, d) => Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding",
-        EmbDim, NearDupCos),
-      None),
+        EmbDim, NearDupCos, LshTables, LshBits, MaxBucket),
+      Some {
+        import graft.functions.SedFunctions.d2s
+        def planeLit(t: Int, bit: Int): String =
+          VectorFunctions.signPlane(t, bit, EmbDim)
+            .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        def dotPlane(t: Int, bit: Int): String =
+          s"list_reduce(list_transform(generate_series(1, $EmbDim), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ((${planeLit(t, bit)})[i])), (acc, v) -> acc + v)"
+        def keySql(t: Int): String = (0 until LshBits)
+          .map(bit => s"(CASE WHEN ${dotPlane(t, bit)} > 0 THEN ${1L << bit} ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val keyCols = (0 until LshTables).map(t => s"${keySql(t)} AS t$t").mkString(", ")
+        val bandSelects = (0 until LshTables)
+          .map(t => s"SELECT vec_id, embedding, $t AS tbl, t$t AS key FROM k")
+          .mkString(" UNION ALL ")
+        val cos = VectorFunctions.cosineSql("a.embedding", "b.embedding")
+        s"""WITH k AS (SELECT vec_id, embedding, $keyCols FROM embeddings),
+           banded AS ($bandSelects),
+           ok AS (SELECT tbl, key FROM banded GROUP BY tbl, key
+                  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
+           SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cosine
+           FROM banded a
+           JOIN banded b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+           JOIN ok ON ok.tbl = a.tbl AND ok.key = a.key
+           WHERE $cos >= ${d2s(NearDupCos)}"""
+          .replaceAll("\\s+", " ")
+      }),
 
     // ---------------- similarity search ----------------
     "q_ann_topk" -> QueryDef(
