@@ -45,7 +45,7 @@ object Bench {
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id % 7)").collect()
     graft.sed.SedQueries.ensureConfs(spark)
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()

@@ -14,8 +14,10 @@ import graft.operators.{BinAxis, Binning}
   * benchmark runs `runs` times and reports min + all (the reference
   * compares `min(timeit.repeat(5))`).
   *
-  * Usage: SPARK_DRIVER_MEM=48g sbt "runMain graft.BinBench [nRows] [runs]"
-  * (heap comes from build.sbt's forked -Xmx, not spark.driver.memory).
+  * Usage: sbt "runMain graft.BinBench [nRows] [runs] [denseMaxBins]"
+  * (heap comes from build.sbt's forked -Xmx, not spark.driver.memory;
+  * the optional third arg overrides spark.graft.binning.denseMaxBins to
+  * compare the sparse vs dense-chunk aggregation paths on the same data).
   */
 object BinBench {
   def main(args: Array[String]): Unit = {

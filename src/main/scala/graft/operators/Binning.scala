@@ -77,8 +77,32 @@ object Binning {
   val DenseMaxBinsKey = "spark.graft.binning.denseMaxBins"
   val DefaultDenseMaxBins: Long = 1L << 22
   private val MaxChunkBits = 16
+  // below this bin-count product a flat long-key hash aggregate is already
+  // optimal (tiny hash map, codegen'd HashAggregateExec) — the chunked
+  // object aggregate would only add posexplode overhead
+  private val MinDenseBins = 1L << 12
 
   private def ceilLog2(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+
+  /** Chunk width (in bits) for the dense path. Two constraints pull against
+    * each other:
+    *  - enough chunks (≥ ~4× parallelism when the bin product allows) that
+    *    chunk merges spread over reducers — no single-reducer funnel even
+    *    for small-product histograms;
+    *  - few enough chunks that a map task's chunk-group count stays UNDER
+    *    `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (the
+    *    ObjectHashAggregate switches to sort-based aggregation of all
+    *    remaining input at `size >= threshold` — catastrophic on billions
+    *    of rows). We READ the session's threshold and size chunks to fit
+    *    it; we never mutate it. On clusters with parallelism ≫ threshold,
+    *    raise the conf to unlock more reduce groups.
+    */
+  private[graft] def chunkBits(total: Long, parallelism: Int, fallbackThreshold: Long): Int = {
+    val maxChunks = math.max(8L, fallbackThreshold - 8)
+    val targetChunks = math.min(maxChunks, math.max(32L, 4L * parallelism.toLong))
+    val bits = ceilLog2(math.max(1L, (total + targetChunks - 1) / targetChunks))
+    math.min(MaxChunkBits, math.max(0, bits))
+  }
 
   /** The histogram aggregation core, shared by every N-d entry point.
     *
@@ -89,14 +113,19 @@ object Binning {
     * per-axis index columns after the aggregate (div/mod — pure arithmetic
     * on the already-tiny result).
     *
-    * Two regimes on the bin-count product P:
-    *  - P ≤ denseMaxBins (dense regime, bins can approach row count):
-    *    group by chunk id (key >> 16) and count in-chunk offsets with the
-    *    dense-array partial [[org.apache.spark.sql.graft.DenseHistChunk]].
-    *    Each task ships one row per non-empty 65 536-bin chunk — bounded
-    *    by P/65 536 per task, NOT by the number of distinct bin tuples —
-    *    and chunk merges spread across reducers (no single-reducer funnel,
-    *    which is what keeps this shape alive at 1000 executors).
+    * Three regimes on the bin-count product P:
+    *  - P ≤ 4096: flat long-key hash aggregate — the group count is tiny,
+    *    codegen'd HashAggregateExec is already optimal.
+    *  - 4096 < P ≤ denseMaxBins (dense regime, bins can approach row
+    *    count): group by chunk id (key >> chunkBits) and count in-chunk
+    *    offsets with the dense-array partial
+    *    [[org.apache.spark.sql.graft.DenseHistChunk]]. Each task ships one
+    *    row per non-empty chunk — bounded by P/chunkSize per task, NOT by
+    *    the number of distinct bin tuples — and `chunkBits` floors the
+    *    chunk width so there are enough chunks to spread merges across
+    *    reducers (no single-reducer funnel) while staying under the
+    *    session's ObjectHashAggregate fallback threshold (read-only — no
+    *    conf is mutated).
     *  - P > denseMaxBins (sparse regime — physics cubes like 256³ where
     *    occupancy, not P, is small): plain flat-key hash aggregate; partial
     *    agg collapses to the non-empty bins map-side.
@@ -113,15 +142,11 @@ object Binning {
     val ss = withIdx.sparkSession
     val denseMax = ss.conf.getOption(DenseMaxBinsKey).map(_.toLong).getOrElse(DefaultDenseMaxBins)
     val keyed =
-      if (total <= denseMax) {
-        val bits = math.min(MaxChunkBits, ceilLog2(total))
-        val cs = 1L << bits
-        // the chunk-id group count can exceed ObjectHashAggregate's default
-        // sort-based fallback threshold (128 groups) — raise it so the hash
-        // path (the whole point) is what runs
+      if (total > MinDenseBins && total <= denseMax) {
         val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-        val needed = math.max(256L, 4L * (total >> bits))
-        if (ss.conf.get(fbKey, "128").toLong < needed) ss.conf.set(fbKey, needed.toString)
+        val fb = ss.conf.get(fbKey, "128").toLong
+        val bits = chunkBits(total, ss.sparkContext.defaultParallelism, fb)
+        val cs = 1L << bits
         withIdx.select(key.as("__k"))
           .select(shiftright(col("__k"), bits).as("__chunk"),
             col("__k").bitwiseAND(lit(cs - 1)).as("__off"))

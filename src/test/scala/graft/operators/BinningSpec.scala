@@ -76,6 +76,38 @@ class BinningSpec extends SparkSpecBase {
     assert(out.filter(col("intensity") =!= 1.0).count() == 0)
   }
 
+  test("chunkBits: enough chunks for reduce parallelism, under the agg fallback threshold") {
+    // 10^4-bin histogram, 32-way parallelism, default threshold 128:
+    // chunk count must be >= parallelism (no single-reducer funnel) and
+    // < threshold (no sort-based fallback)
+    val total = 10000L
+    val bits = Binning.chunkBits(total, 32, 128)
+    val chunks = (total + (1L << bits) - 1) >> bits
+    assert(chunks >= 32, s"only $chunks chunks at bits=$bits")
+    assert(chunks < 128, s"$chunks chunks would trip the 128-group fallback")
+    // dense 4M-bin cube: chunk arrays capped at 2^16 longs (512 KB)
+    assert(Binning.chunkBits(1L << 22, 32, 128) <= 16)
+    // a raised threshold may unlock more chunks but must never be exceeded
+    val b2 = Binning.chunkBits(1L << 22, 1024, 65536)
+    assert(((1L << 22) >> b2) < 65536)
+    assert(((1L << 22) >> b2) >= 64)
+  }
+
+  test("building and running a histogram never mutates session confs") {
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val before = spark.conf.getOption(fbKey)
+    // dense-chunk regime: 50*50*20 = 50000 bins > MinDenseBins
+    val axes = Seq(BinAxis("value", 50, 0.0, 500.0), BinAxis("user_id", 50, 0.0, 150.0),
+      BinAxis("m", 20, 0.0, 97.0))
+    val df = events.withColumn("m", ($"event_id" % 97).cast("double"))
+    val hist = Binning.histogram(df, axes)
+    assert(spark.conf.getOption(fbKey) == before, "conf mutated at plan-build time")
+    val total = hist.agg(sum("cnt")).as[Long].head()
+    val expected = df.filter($"value".between(0, 500) && $"user_id".between(0, 150)).count()
+    assert(total == expected)
+    assert(spark.conf.getOption(fbKey) == before, "conf mutated at execution time")
+  }
+
   test("3-d histogram total equals in-range row count") {
     val axes = Seq(BinAxis("value", 8, 0.0, 500.0), BinAxis("user_id", 8, 0.0, 150.0),
       BinAxis("m", 8, 0.0, 97.0))
