@@ -3,7 +3,7 @@ package graft.sed
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.calibrate.MomentumCorrection
+import graft.calibrate.{MomentumCalibration, MomentumCorrection}
 import graft.functions.SedFunctions._
 import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps}
 
@@ -50,6 +50,12 @@ case class SedProcessor(dataframe: DataFrame,
   def applyEnergyCorrection(correction: (Column, Column) => Column): SedProcessor =
     next(dataframe.withColumn(tofCol,
       col(tofCol) + correction(col(xCol), col(yCol))))
+
+  /** Apply a SAVED/LOADED energy-correction parameter set (the
+    * CalibrationStore persistence round-trip of processor.py:1072
+    * save_energy_correction). */
+  def applyEnergyCorrection(p: graft.calibrate.CalibrationStore.EnergyCorrectionParams): SedProcessor =
+    applyEnergyCorrection((x, y) => p.column(x, y))
 
   /** Per-sector TOF delay alignment (processor.py:1684 align_dld_sectors). */
   def alignDldSectors(sectorCol: String, sectorDelays: Seq[Double]): SedProcessor =
@@ -108,6 +114,34 @@ case class SedProcessor(dataframe: DataFrame,
     next(dataframe
       .withColumn(kxCol, detectorToK(col(xCol), kxStart, kxCenter, kxScale, kxStep))
       .withColumn(kyCol, detectorToK(col(yCol), kyStart, kyCenter, kyScale, kyStep)))
+
+  /** Apply a FITTED momentum calibration (the `calibrateMomentumAxes`
+    * output) — parameter mapping as in momentum.py:1970
+    * append_k_axis → detector_coordinates_2_k_coordinates. */
+  def appendKAxis(cal: MomentumCalibration.KCalibration): SedProcessor =
+    appendKAxis(cal.rStart, cal.xCenter, cal.kxScale, cal.rStep,
+      cal.cStart, cal.yCenter, cal.kyScale, cal.cStep)
+
+  /** Momentum axis calibration fit from two symmetry-point pixel positions
+    * in a binned momentum map (processor.py:877 calibrate_momentum_axes /
+    * momentum.py:1612 calibrate). Driver-side closed form — pass the
+    * result to the `appendKAxis(cal)` overload. Supply `kDistance` for
+    * equiscale mode or `kCoordA` (+ optional `kCoordB`) for independent
+    * per-axis scales. */
+  def calibrateMomentumAxes(nRows: Int, nCols: Int,
+                            pointA: (Double, Double), pointB: (Double, Double),
+                            binRanges: ((Double, Double), (Double, Double)),
+                            kDistance: Option[Double] = None,
+                            kCoordA: Option[(Double, Double)] = None,
+                            kCoordB: (Double, Double) = (0.0, 0.0)): MomentumCalibration.KCalibration =
+    (kDistance, kCoordA) match {
+      case (Some(kd), None) =>
+        MomentumCalibration.calibrate(nRows, nCols, pointA, pointB, kd, binRanges)
+      case (None, Some(ka)) =>
+        MomentumCalibration.calibrateTwoPoint(nRows, nCols, pointA, pointB, ka, binRanges, kCoordB)
+      case _ => throw new IllegalArgumentException(
+        "provide exactly one of kDistance (equiscale) or kCoordA (two-point)")
+    }
 
   /** ADC → delay axis (processor.py:1734 calibrate_delay_axis). */
   def calibrateDelayAxis(adcCol: String, adcRange: (Double, Double),

@@ -55,9 +55,18 @@ object SedQueries {
   private val DelayRangeMm = (-10.0, 10.0)
   private val Time0Mm = 1.5
   private val DelayRange = (mmToPs(DelayRangeMm._1, Time0Mm), mmToPs(DelayRangeMm._2, Time0Mm))
-  // momentum calibration (momentum.py append_k_axis parameters)
-  private val KxStart = 0.0; private val KxCenter = 256.0; private val KxScale = 0.0131; private val KxStep = 2.0
-  private val KyStart = 0.0; private val KyCenter = 64.0; private val KyScale = 0.0121; private val KyStep = 1.0
+  // momentum calibration: the append_k_axis constants come from the
+  // two-point symmetry fit (momentum.py:1612 calibrate), not hand entry —
+  // a 512×128 momentum map binned over detector ranges (0,1024)×(0,128),
+  // symmetry point b at pixel (256,64) = the k-space origin, point a at
+  // (356,114) with known k-coordinate (1.31, 0.605)
+  private val KCal = graft.calibrate.MomentumCalibration.calibrateTwoPoint(
+    nRows = 512, nCols = 128, pointA = (356.0, 114.0), pointB = (256.0, 64.0),
+    kCoordA = (1.31, 0.605), binRanges = ((0.0, 1024.0), (0.0, 128.0)))
+  private val KxStart = KCal.rStart; private val KxCenter = KCal.xCenter
+  private val KxScale = KCal.kxScale; private val KxStep = KCal.rStep
+  private val KyStart = KCal.cStart; private val KyCenter = KCal.yCenter
+  private val KyScale = KCal.kyScale; private val KyStep = KCal.cStep
   // interp knots: external "sensor" time series over the events' ts span
   private val KnotTs = Seq(1.7040672e9, 1.704672e9, 1.7052768e9, 1.7058816e9, 1.7067456e9)
   private val KnotVal = Seq(20.0, 22.5, 19.0, 25.0, 21.0)

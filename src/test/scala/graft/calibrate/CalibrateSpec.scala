@@ -1,6 +1,7 @@
 package graft.calibrate
 
 import graft.SparkSpecBase
+import graft.sed.SedProcessor
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bilinear2D
 
@@ -69,6 +70,104 @@ class CalibrateSpec extends SparkSpecBase {
     def ev(t: Double) = cal.coeffs(0) * t * t + cal.coeffs(1) * t
     assert(math.abs((ev(101.0) - ev(121.0)) - (0.0 - 1.0)) < 0.2)
     assert(math.abs((ev(101.0) - ev(141.0)) - (0.0 - 2.0)) < 0.2)
+  }
+
+  test("momentum calibrate equiscale: reference geometry (test_momentum.py:366)") {
+    // the reference test's exact inputs: 512x512 map binned over
+    // (-256,1792) in both axes, points a=(308,345) b=(256,256),
+    // k_distance = 4/3*pi/3.28
+    val kd = 4.0 / 3.0 * math.Pi / 3.28
+    val cal = MomentumCalibration.calibrate(512, 512,
+      pointA = (308.0, 345.0), pointB = (256.0, 256.0), kDistance = kd,
+      binRanges = ((-256.0, 1792.0), (-256.0, 1792.0)))
+    val ratio = kd / math.hypot(308.0 - 256.0, 345.0 - 256.0)
+    assert(cal.kxScale == ratio && cal.kyScale == ratio)
+    assert(cal.xCenter == 256.0 && cal.yCenter == 256.0)
+    assert(cal.rStart == -256.0 && cal.rStep == 4.0 && cal.cStep == 4.0)
+    // per-pixel axes: zero at point b, ratio-spaced (momentum.py:1712)
+    assert(cal.kxAxis(256) == 0.0 && math.abs(cal.kxAxis(257) - ratio) < 1e-15)
+    assert(cal.kxAxis.length == 512 && cal.kyAxis.length == 512)
+    // applying to events: detector coords of pixel b map to k = (0,0),
+    // pixel a lands at |k| = k_distance
+    val detBx = cal.rStart + cal.rStep * 256.0
+    val detBy = cal.cStart + cal.cStep * 256.0
+    val detAx = cal.rStart + cal.rStep * 308.0
+    val detAy = cal.cStart + cal.cStep * 345.0
+    val df = Seq((detBx, detBy), (detAx, detAy)).toDF("x", "y")
+    val out = SedProcessor(df).appendKAxis(cal)
+      .dataframe.select("kx", "ky").as[(Double, Double)].collect()
+    assert(math.abs(out(0)._1) < 1e-12 && math.abs(out(0)._2) < 1e-12)
+    assert(math.abs(math.hypot(out(1)._1, out(1)._2) - kd) < 1e-12)
+  }
+
+  test("momentum calibrate two-point: independent per-axis scales (test_momentum.py:403)") {
+    val k = 4.0 / 3.0 * math.Pi / 3.28
+    val cal = MomentumCalibration.calibrateTwoPoint(512, 512,
+      pointA = (360.0, 300.0), pointB = (256.0, 360.0),
+      kCoordA = (k, -0.5), binRanges = ((-256.0, 1792.0), (-256.0, 1792.0)))
+    assert(math.abs(cal.kxScale - k / 104.0) < 1e-15)
+    assert(math.abs(cal.kyScale - (-0.5) / (300.0 - 360.0)) < 1e-15)
+    // detector coords of each symmetry point map to its k-coordinate
+    def det(p: (Double, Double)) =
+      (cal.rStart + cal.rStep * p._1, cal.cStart + cal.cStep * p._2)
+    val (bx, by) = det((256.0, 360.0)); val (ax, ay) = det((360.0, 300.0))
+    val out = SedProcessor(Seq((bx, by), (ax, ay)).toDF("x", "y")).appendKAxis(cal)
+      .dataframe.select("kx", "ky").as[(Double, Double)].collect()
+    assert(math.abs(out(0)._1) < 1e-12 && math.abs(out(0)._2) < 1e-12)
+    assert(math.abs(out(1)._1 - k) < 1e-12 && math.abs(out(1)._2 + 0.5) < 1e-12)
+    // non-origin k_coord_b shifts the center accordingly
+    val cal2 = MomentumCalibration.calibrateTwoPoint(512, 512,
+      pointA = (360.0, 300.0), pointB = (256.0, 360.0),
+      kCoordA = (k, -0.5), binRanges = ((-256.0, 1792.0), (-256.0, 1792.0)),
+      kCoordB = (0.1, 0.2))
+    assert(math.abs(cal2.xCenter - (256.0 - 0.1 / cal2.kxScale)) < 1e-12)
+    assert(math.abs(cal2.yCenter - (360.0 - 0.2 / cal2.kyScale)) < 1e-12)
+  }
+
+  test("energy correction fitParams recovers exact surface parameters") {
+    // synthetic bend: lorentzian with known amplitude/gamma, sampled on a grid
+    val (ampT, gammaT, cx, cy) = (-0.3, 700.0, 250.0, 75.0)
+    val pts = for (xi <- 0 to 10; yi <- 0 to 10)
+      yield (50.0 + 40.0 * xi, 10.0 + 13.0 * yi)
+    val shifts = pts.map { case (x, y) =>
+      EnergyCorrectionEstimation.surfaceValue("lorentzian", cx, cy, ampT,
+        Map("gamma" -> gammaT), x, y)
+    }
+    val fit = EnergyCorrectionEstimation.fitParams(
+      pts.map(_._1).toArray, pts.map(_._2).toArray, shifts.toArray,
+      "lorentzian", cx, cy, init = Map("gamma" -> 400.0), initAmplitude = -1.0)
+    assert(math.abs(fit.amplitude - ampT) < 1e-6, s"amplitude ${fit.amplitude}")
+    assert(math.abs(fit.params("gamma") - gammaT) < 1e-3, s"gamma ${fit.params("gamma")}")
+    // gaussian too
+    val gShifts = pts.map { case (x, y) =>
+      EnergyCorrectionEstimation.surfaceValue("gaussian", cx, cy, -0.2,
+        Map("sigma" -> 300.0), x, y)
+    }
+    val gFit = EnergyCorrectionEstimation.fitParams(
+      pts.map(_._1).toArray, pts.map(_._2).toArray, gShifts.toArray,
+      "gaussian", cx, cy, init = Map("sigma" -> 200.0), initAmplitude = -1.0)
+    assert(math.abs(gFit.amplitude + 0.2) < 1e-6 && math.abs(gFit.params("sigma") - 300.0) < 1e-3)
+  }
+
+  test("estimateFromData recovers surface parameters from binned events") {
+    import graft.operators.BinAxis
+    // gamma comparable to the sampled radius range: amplitude and gamma are
+    // separately identifiable (at r << gamma only a/g^3 is constrained)
+    val (ampT, gammaT, cx, cy) = (-0.3, 300.0, 250.0, 75.0)
+    val rows = for {
+      xi <- 0 until 16; yi <- 0 until 16; _ <- 1 to 20
+      // cell centers of the 16-bin (0,500) and (0,150) axes
+      x = 15.625 + 31.25 * xi; y = 4.6875 + 9.375 * yi
+    } yield (x, y,
+      80000.0 + EnergyCorrectionEstimation.surfaceValue("lorentzian", cx, cy, ampT,
+        Map("gamma" -> gammaT), x, y))
+    val df = rows.toDF("x", "y", "tof")
+    val fit = EnergyCorrectionEstimation.estimateFromData(df,
+      BinAxis("x", 16, 0.0, 500.0), BinAxis("y", 16, 0.0, 150.0),
+      BinAxis("tof", 4000, 79980.0, 80020.0),
+      "lorentzian", cx, cy, init = Map("gamma" -> 400.0), initAmplitude = -1.0)
+    assert(math.abs(fit.amplitude - ampT) / math.abs(ampT) < 0.05, s"amplitude ${fit.amplitude}")
+    assert(math.abs(fit.params("gamma") - gammaT) / gammaT < 0.05, s"gamma ${fit.params("gamma")}")
   }
 
   test("TPS interpolates its landmarks exactly") {

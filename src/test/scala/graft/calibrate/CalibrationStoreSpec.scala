@@ -1,0 +1,96 @@
+package graft.calibrate
+
+import java.nio.file.Files
+
+import graft.SparkSpecBase
+import graft.functions.SedFunctions.detectorToK
+import org.apache.spark.sql.functions.col
+
+import CalibrationStore._
+
+class CalibrationStoreSpec extends SparkSpecBase {
+
+  private def fullStore: Calibrations = {
+    // every section populated from an actual FIT, not hand-typed numbers —
+    // the round-trip must preserve fitted values bit-exactly
+    val poly = {
+      val a = Array(3e-9, -2e-4)
+      def p(t: Double): Double = a(0) * t * t + a(1) * t
+      val pos = Array(41000.0, 42000.0, 43000.0, 44000.0, 45000.0)
+      EnergyCalibration.polyFit(pos, pos.map(x => p(x) - p(pos(0))), refEnergy = 10.0, order = 2)
+    }
+    val kcal = MomentumCalibration.calibrate(64, 64, (30.0, 40.0), (32.0, 32.0),
+      kDistance = 4.0 / 3.0 * math.Pi / 3.28, binRanges = ((-256.0, 1792.0), (-256.0, 1792.0)))
+    val dfield = MomentumCorrection.splineWarp(
+      Array(0.0, 0.0, 15.0, 15.0, 7.0), Array(0.0, 15.0, 0.0, 15.0, 8.0),
+      Array(0.0, 0.0, 15.0, 15.0, 7.5), Array(0.0, 15.0, 0.0, 15.0, 7.5), 16, 16)
+    Calibrations(
+      energy = Some(poly),
+      energyCorrection = Some(EnergyCorrectionParams("lorentzian", 250.0, 75.0, -0.25,
+        Map("gamma" -> 700.0))),
+      momentum = Some(kcal),
+      dfield = Some(dfield),
+      sectorDelays = Some(Seq(0.0, 12.5, -7.25, 3.75)),
+      delay = Some(DelayCalibration((0.0, 500.0), (-110.0, 110.0), 1.5, flipTimeAxis = true)))
+  }
+
+  test("JSON round-trip preserves every calibration bit-exactly") {
+    val c = fullStore
+    val dir = Files.createTempDirectory("calstore").toString
+    val path = s"$dir/calibration.json"
+    CalibrationStore.save(c, path)
+    val r = CalibrationStore.load(path)
+
+    assert(r.energy.get.coeffs.sameElements(c.energy.get.coeffs))
+    assert(r.energy.get.e0 == c.energy.get.e0 && r.energy.get.offset == c.energy.get.offset)
+    assert(r.energyCorrection.get == c.energyCorrection.get)
+    val (m0, m1) = (c.momentum.get, r.momentum.get)
+    assert(m1.kxScale == m0.kxScale && m1.kyScale == m0.kyScale &&
+      m1.xCenter == m0.xCenter && m1.yCenter == m0.yCenter &&
+      m1.rStart == m0.rStart && m1.cStart == m0.cStart &&
+      m1.rStep == m0.rStep && m1.cStep == m0.cStep)
+    assert(m1.kxAxis.sameElements(m0.kxAxis) && m1.kyAxis.sameElements(m0.kyAxis))
+    assert(r.dfield.get.rows == c.dfield.get.rows && r.dfield.get.cols == c.dfield.get.cols)
+    assert(r.dfield.get.rdeform.sameElements(c.dfield.get.rdeform))
+    assert(r.dfield.get.cdeform.sameElements(c.dfield.get.cdeform))
+    assert(r.sectorDelays.get == c.sectorDelays.get)
+    assert(r.delay.get == c.delay.get)
+  }
+
+  test("loaded calibration yields IDENTICAL Column plan constants as the fit") {
+    val c = fullStore
+    val r = CalibrationStore.parse(CalibrationStore.render(c))
+    // momentum: the detectorToK literals must render to the identical plan
+    // (Column.toString prints every literal with round-trip precision)
+    def kCol(m: MomentumCalibration.KCalibration) =
+      detectorToK(col("x"), m.rStart, m.xCenter, m.kxScale, m.rStep)
+    assert(kCol(r.momentum.get).toString == kCol(c.momentum.get).toString)
+    // energy correction: rebuilt surface is plan-identical
+    assert(r.energyCorrection.get.column(col("x"), col("y")).toString ==
+      c.energyCorrection.get.column(col("x"), col("y")).toString)
+  }
+
+  test("partial stores round-trip (sections are independent)") {
+    val c = Calibrations(sectorDelays = Some(Seq(1.0, -2.0)))
+    val r = CalibrationStore.parse(CalibrationStore.render(c))
+    assert(r == c.copy())
+    assert(r.energy.isEmpty && r.momentum.isEmpty && r.dfield.isEmpty && r.delay.isEmpty)
+  }
+
+  test("every correction type rebuilds a valid column") {
+    import spark.implicits._
+    val df = Seq((250.0, 75.0), (300.0, 80.0)).toDF("x", "y")
+    val kinds = Seq(
+      EnergyCorrectionParams("spherical", 250.0, 75.0, -0.25, Map("diameter" -> 3000.0)),
+      EnergyCorrectionParams("lorentzian", 250.0, 75.0, -0.25, Map("gamma" -> 700.0)),
+      EnergyCorrectionParams("gaussian", 250.0, 75.0, -0.25, Map("sigma" -> 400.0)),
+      EnergyCorrectionParams("lorentzian_asymmetric", 250.0, 75.0, -0.25,
+        Map("gamma" -> 700.0, "amplitude2" -> -0.1, "gamma2" -> 500.0)))
+    for (p <- kinds) {
+      val vals = df.select(p.column(col("x"), col("y"))).as[Double].collect()
+      assert(vals.forall(v => !v.isNaN))
+      // at the center the correction is exactly 0
+      assert(math.abs(vals(0)) < 1e-12)
+    }
+  }
+}
