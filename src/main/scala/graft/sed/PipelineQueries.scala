@@ -31,6 +31,22 @@ object PipelineQueries {
   private val MaxBucket = 10000 // LSH skew guard (Dedup default)
   private val LshTables = 8
   private val LshBits = 8
+  private val IvfStride = 50 // centroid sample: every 50th vec_id
+  private val IvfNprobe = 2
+
+  /** Persisted IVF index per sf dir, built once per JVM (the offline
+    * indexing job of the fit-once/query-forever loop). */
+  private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
+  private def ivfIndexFor(s: SparkSession, d: String): Ann.IvfIndex =
+    ivfIndexes.getOrElseUpdate(d, {
+      val e = emb(s, d)
+      val centroids = e.filter(col("vec_id") % IvfStride === 0)
+        .select(col("vec_id").cast("long"), col("embedding")).collect()
+        .map(r => ((r.getLong(0) / IvfStride).toInt, r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Ann.buildIvfIndex(e, "vec_id", "embedding", path, centroids)
+    })
 
   // ---- DuckDB SQL fragments. Tokenizer and hash come from the single
   // definitions in TextFunctions so Spark and oracle can't drift apart.
@@ -188,13 +204,40 @@ object PipelineQueries {
            FROM embeddings q, embeddings c WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
            WHERE rank <= $TopK""".replaceAll("\\s+", " ")}),
 
+    // IVF over a PERSISTED index: centroids = deterministic stride sample
+    // (cid = vec_id/50), corpus written once partitioned by bucket (memoized
+    // per sf dir — the offline indexing job), search probes nprobe=2 buckets
+    // via partition-pruned scan. The oracle replays centroid assignment,
+    // probe selection, and ranking with the same tie-breaks (cos DESC, id).
     "q_ann_ivf" -> QueryDef(
       (s, d) => {
         val e = emb(s, d)
         val queries = Ann.collectQueries(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
-        Ann.ivfTopK(e, "vec_id", "embedding", queries, TopK)
+        Ann.searchIvfIndex(s, ivfIndexFor(s, d), queries, TopK)
       },
-      None),
+      Some {
+        val stride = IvfStride
+        val aCos = VectorFunctions.cosineSql("c.embedding", "e.embedding")
+        val pCos = VectorFunctions.cosineSql("c.embedding", "q.embedding")
+        val sCos = VectorFunctions.cosineSql("q.embedding", "e.embedding")
+        s"""WITH cent AS (SELECT CAST(vec_id // $stride AS INT) AS cid, embedding
+             FROM embeddings WHERE vec_id % $stride = 0),
+           assign AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $aCos DESC, c.cid) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1),
+           probes AS (SELECT q_id, cid FROM (
+             SELECT q.vec_id AS q_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $pCos DESC, c.cid) AS rn
+             FROM embeddings q, cent c WHERE q.vec_id < $NumQueries) WHERE rn <= $IvfNprobe)
+           SELECT query_id, vec_id, cosine, rank FROM (
+             SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $sCos AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $sCos DESC, e.vec_id) AS rank
+             FROM embeddings q, embeddings e, assign a, probes p
+             WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+               AND a.vec_id = e.vec_id AND p.q_id = q.vec_id AND p.cid = a.cid)
+           WHERE rank <= $TopK""".replaceAll("\\s+", " ")
+      }),
 
     // ---------------- text analysis ----------------
     "q_lang_id" -> QueryDef(

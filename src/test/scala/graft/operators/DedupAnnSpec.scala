@@ -101,6 +101,45 @@ class DedupAnnSpec extends SparkSpecBase {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("persisted IVF index returns IDENTICAL results to inline ivfTopK") {
+    val queries = embeddings.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val centroids = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    val inline = Ann.ivfTopK(embeddings, "vec_id", "embedding", queries, 5,
+      centroidsOpt = Some(centroids))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("ivfspec").toString
+    val idx = Ann.buildIvfIndex(embeddings, "vec_id", "embedding", path, centroids)
+    val viaIndex = Ann.searchIvfIndex(spark, idx, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaIndex == inline)
+    // load round-trip: centroids survive the sidecar
+    val loaded = Ann.loadIvfIndex(spark, path)
+    assert(loaded.centroids.length == centroids.length)
+    loaded.centroids.zip(centroids).foreach { case ((c1, v1), (c2, v2)) =>
+      assert(c1 == c2 && v1.sameElements(v2))
+    }
+  }
+
+  test("IVF probe scan is partition-pruned to the probed buckets only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val centroids = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    assert(centroids.length >= 3, "fixture must yield >= 3 buckets")
+    val path = java.nio.file.Files.createTempDirectory("ivfprune").toString
+    Ann.buildIvfIndex(embeddings, "vec_id", "embedding", path, centroids)
+    val probed = Seq(centroids.head._1, centroids.last._1)
+    val scan = spark.read.parquet(path).filter($"bucket".isin(probed: _*))
+    val scans = scan.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+    // only the 2 probed bucket directories are read, not all of them
+    assert(scans.head.selectedPartitions.partitionCount == probed.length,
+      s"scan read ${scans.head.selectedPartitions.partitionCount} partitions, wanted ${probed.length}")
+  }
+
   test("ngramJaccard drops documents shorter than n tokens instead of crashing") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "too short"), (4L, ""))
       .toDF("doc_id", "text")
