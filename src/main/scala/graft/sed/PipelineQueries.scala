@@ -141,8 +141,11 @@ object PipelineQueries {
 
     // End-to-end near-dup removal: LSH candidates -> n-gram-Jaccard verify
     // (>= 0.8) -> connected components -> keep each cluster's min id.
-    // Returns the surviving corpus ids. Component labels depend on the
-    // iterative propagation -> rows-only.
+    // Returns the surviving corpus ids. The oracle replays the whole
+    // pipeline: candidate generation + Jaccard reuse the q_dedup_minhash /
+    // q_ngram_jaccard fragments, and the iterated min-label propagation is
+    // a recursive reachability CTE (min over all reachable ids == the
+    // converged propagation label).
     "q_dedup_pipeline" -> QueryDef(
       (s, d) => {
         val dd = docs(s, d)
@@ -152,7 +155,41 @@ object PipelineQueries {
           .filter(col("jaccard") >= 0.8)
         Dedup.dedupCorpus(dd, "doc_id", verified).select("doc_id")
       },
-      None),
+      Some {
+        import graft.functions.SedFunctions.d2s
+        val numBands = NumHashes / RowsPerBand
+        val bandSelects = (0 until numBands).map { b =>
+          val key = bandKeySqlFrag((0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}"))
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        val shHash = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
+        s"""WITH RECURSIVE sig AS ($minhashSigSql),
+           banded AS ($bandSelects),
+           ok AS (SELECT band, key FROM banded GROUP BY band, key
+                  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+           cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM banded a
+             JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+             JOIN ok ON ok.band = a.band AND ok.key = a.key),
+           sh AS (SELECT doc_id, list_distinct($shHash) AS sh
+             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents
+                   WHERE len($toksSqlFrag) >= $ShingleN)),
+           verified AS (SELECT a_id, b_id FROM (
+             SELECT c.a_id, c.b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+             FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)
+             WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= ${d2s(0.8)}),
+           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+             UNION SELECT b_id AS src, a_id AS dst FROM verified),
+           walk(id, label) AS (
+             SELECT src AS id, src AS label FROM edges
+             UNION
+             SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id)
+           SELECT doc_id FROM documents WHERE doc_id NOT IN (
+             SELECT id FROM (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+             WHERE label <> id)""".replaceAll("\\s+", " ")
+      }),
 
     // Sign-plane LSH near-dups. The plane sign bits are dots with ±1
     // literal hyperplanes (VectorFunctions.signPlane — the SAME driver-side

@@ -288,7 +288,38 @@ object SedQueries {
           df, DfieldGrid, "xi", "yi", "x_corr", "y_corr", ((0.0, 500.0), (0.0, 150.0)))
           .select("event_id", "x_corr", "y_corr")
       },
-      None),
+      // the 64×64 deformation grids as DuckDB list literals (d2s — exact
+      // doubles), bilinear lookup replayed with Bilinear2D's arithmetic
+      // order so both engines compute identical IEEE sums
+      Some {
+        val g = DfieldGrid
+        val rows = g.rows; val cols = g.cols
+        val rStep = (500.0 - 0.0) / rows; val cStep = (150.0 - 0.0) / cols
+        val rdLit = g.rdeform.map(d2s).mkString("[", ",", "]")
+        val cdLit = g.cdeform.map(d2s).mkString("[", ",", "]")
+        def interp(lst: String): String =
+          s"($lst[i00] * (1.0 - fx) * (1.0 - fy) + $lst[i10] * fx * (1.0 - fy)" +
+            s" + $lst[i01] * (1.0 - fx) * fy + $lst[i11] * fx * fy)"
+        s"""WITH g AS (SELECT $rdLit AS rd, $cdLit AS cd),
+           pre AS (SELECT event_id,
+             (value * ${d2s(64.0 / 500.0)}) AS xi,
+             (CAST(user_id AS DOUBLE) * ${d2s(64.0 / 150.0)}) AS yi FROM events),
+           cl AS (SELECT event_id,
+             LEAST(GREATEST(xi, 0.0), ${d2s(rows - 1.0)}) AS x,
+             LEAST(GREATEST(yi, 0.0), ${d2s(cols - 1.0)}) AS y FROM pre),
+           ix AS (SELECT event_id, x, y,
+             LEAST(FLOOR(x), ${d2s(rows - 2.0)}) AS x0,
+             LEAST(FLOOR(y), ${d2s(cols - 2.0)}) AS y0 FROM cl),
+           f AS (SELECT event_id, (x - x0) AS fx, (y - y0) AS fy,
+             CAST(x0 * $cols + y0 + 1 AS BIGINT) AS i00,
+             CAST((x0 + 1) * $cols + y0 + 1 AS BIGINT) AS i10,
+             CAST(x0 * $cols + y0 + 2 AS BIGINT) AS i01,
+             CAST((x0 + 1) * $cols + y0 + 2 AS BIGINT) AS i11 FROM ix)
+           SELECT event_id,
+             (${interp("rd")} * ${d2s(rStep)}) AS x_corr,
+             (${interp("cd")} * ${d2s(cStep)}) AS y_corr
+           FROM f, g""".replaceAll("\\s+", " ")
+      }),
 
     "q_delay_axis" -> QueryDef(
       (s, d) => {
