@@ -49,13 +49,52 @@ object SedReader {
       .map { case (f, i) => (f, i.toLong) }.toSeq
     val mapping = broadcast(files.toDF(nameCol, idCol))
     val canonUdf = udf(canon _) // driver-listing parity beats codegen here
-    val joined = df.withColumn(nameCol, canonUdf(input_file_name()))
+    df.withColumn(nameCol, canonUdf(input_file_name()))
       .join(mapping, Seq(nameCol), "left")
-    // loud failure beats silent row loss if a name still doesn't match
-    joined.filter(col(idCol).isNull).limit(1).count() match {
-      case 0 => joined
-      case _ => throw new IllegalStateException(
-        "input_file_name() did not match the driver-side file listing")
+      // loud failure beats silent row loss if a name still doesn't match —
+      // checked IN-FLIGHT: an unmatched name trips raise_error inside the
+      // same job, instead of a second validation pass over the data
+      .withColumn(idCol, coalesce(col(idCol),
+        raise_error(concat(
+          lit("input_file_name() not in the driver-side file listing: "),
+          col(nameCol))).cast("long")))
+  }
+
+  /** Per-file metadata table — the Spark-native form of the reference's
+    * per-file parquet-footer gather (loader/utils.py:266
+    * get_parquet_metadata: filename + row count + per-column min/max):
+    * ONE distributed aggregation keyed by file id; map-side partial agg
+    * collapses to (files × columns) tiny rows, format-agnostic. */
+  def fileMetadata(df: DataFrame, statsCols: Seq[String] = Nil,
+                   idCol: String = "file_id", nameCol: String = "file_name"): DataFrame = {
+    val withId = withFileId(df, idCol, nameCol)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    withId.groupBy(col(idCol), col(nameCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Join driver-provided per-file attributes (keyed by file BASE name, as
+    * the reference keys its per-file metadata dicts) onto the events:
+    * broadcast map join, no event shuffle. Missing files get nulls.
+    * This is the per-run attribute plumbing of the hdf5 loaders (bias
+    * voltage, train id ranges, ...) on the parquet column contract. */
+  def withFileAttributes(df: DataFrame, attrs: Map[String, Map[String, String]],
+                         idCol: String = "file_id", nameCol: String = "file_name"): DataFrame = {
+    val spark = df.sparkSession
+    val attrCols = attrs.values.flatMap(_.keys).toSeq.distinct.sorted
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField("__attr_file",
+        org.apache.spark.sql.types.StringType) +:
+      attrCols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val rows = attrs.toSeq.sortBy(_._1).map { case (f, m) =>
+      org.apache.spark.sql.Row.fromSeq(f +: attrCols.map(c => m.getOrElse(c, null)))
     }
+    val attrDf = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema))
+    withFileId(df, idCol, nameCol)
+      .withColumn("__base", element_at(split(col(nameCol), "/"), -1))
+      .join(attrDf, col("__base") === col("__attr_file"), "left")
+      .drop("__base", "__attr_file")
   }
 }

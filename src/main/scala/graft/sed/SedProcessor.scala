@@ -35,6 +35,22 @@ case class SedProcessor(dataframe: DataFrame,
   def addAttribute(name: String, value: String): SedProcessor =
     copy(attributes = attributes + (name -> value))
 
+  /** Gather per-file metadata (file name, row count, per-column ranges —
+    * loader/utils.py:266 semantics) into the processor attributes and add
+    * the `file_id` column. EAGER: runs the one metadata aggregation job
+    * (files × columns output — driver-safe at any corpus size). */
+  def attachFileMetadata(statsCols: Seq[String] = Nil): SedProcessor = {
+    val meta = graft.io.SedReader.fileMetadata(dataframe, statsCols).collect()
+    val rendered = meta.map { r =>
+      val id = r.getAs[Long]("file_id")
+      val fields = r.schema.fieldNames.filter(_ != "file_id")
+        .map(f => s""""$f":"${r.getAs[Any](f)}"""").mkString(",")
+      s"file:$id" -> s"{$fields}"
+    }
+    copy(dataframe = graft.io.SedReader.withFileId(dataframe),
+      attributes = attributes ++ rendered)
+  }
+
   /** Bound filter on a column (processor.py:496 filter_column). */
   def filterColumn(col: String, lower: Double = Double.NegativeInfinity,
                    upper: Double = Double.PositiveInfinity): SedProcessor =

@@ -47,6 +47,80 @@ class IoSpec extends SparkSpecBase {
     assert(perFile == again)
   }
 
+  test("withFileId adds no extra validation job over a plain broadcast join") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    events.limit(10).write.parquet(s"$dir/f0")
+    events.limit(20).write.parquet(s"$dir/f1")
+    val df = SedReader.read(spark, s"$dir/f*")
+
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+
+    // baseline: the structurally identical broadcast join WITHOUT the
+    // in-flight null guard (AQE may split either into the same n jobs)
+    import org.apache.spark.sql.functions.{broadcast, input_file_name}
+    val mapping = df.inputFiles.sorted.zipWithIndex
+      .map { case (f, i) => (f, i.toLong) }.toSeq.toDF("file_name", "file_id")
+    val baseline = countJobs {
+      df.withColumn("file_name", input_file_name())
+        .join(broadcast(mapping), Seq("file_name"), "left").count()
+    }
+    val got = countJobs { assert(SedReader.withFileId(df).count() == 30) }
+    assert(got <= baseline,
+      s"withFileId ran $got jobs vs $baseline for the same join without validation")
+  }
+
+  test("fileMetadata: per-file row counts and column ranges") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    Seq((1L, 5.0), (2L, 9.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/fa")
+    Seq((3L, -1.0), (4L, 2.0), (5L, 3.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/fb")
+    val df = SedReader.read(spark, s"$dir/f*")
+    val meta = SedReader.fileMetadata(df, Seq("v"))
+      .select("n_rows", "v_min", "v_max").as[(Long, Double, Double)].collect().toSet
+    assert(meta == Set((2L, 5.0, 9.0), (3L, -1.0, 3.0)))
+  }
+
+  test("withFileAttributes joins per-file attributes by base name") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(s"$dir/m/r0")
+    Seq(3L).toDF("id").coalesce(1).write.parquet(s"$dir/m/r1")
+    val df = SedReader.read(spark, s"$dir/m/r*")
+    // base names of the actual part files, in file_id order
+    val bases = df.inputFiles.sorted.map(_.split('/').last)
+    val attrs = Map(
+      bases(0) -> Map("bias" -> "16.5"),
+      bases(1) -> Map("bias" -> "17.0"))
+    val got = SedReader.withFileAttributes(df, attrs)
+      .select("id", "bias").as[(Long, String)].collect().toMap
+    val fileOf = SedReader.withFileId(df).select("id", "file_id")
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, bias) =>
+      assert(bias == (if (fileOf(id) == 0L) "16.5" else "17.0"), s"row $id")
+    }
+  }
+
+  test("attachFileMetadata merges per-file entries into processor attributes") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    events.limit(10).select("event_id", "value").write.parquet(s"$dir/g0")
+    events.limit(20).select("event_id", "value").write.parquet(s"$dir/g1")
+    val df = SedReader.read(spark, s"$dir/g*")
+    val proc = graft.sed.SedProcessor(df).attachFileMetadata(Seq("value"))
+    assert(proc.dataframe.columns.contains("file_id"))
+    val fileKeys = proc.attributes.keys.filter(_.startsWith("file:")).toSeq.sorted
+    assert(fileKeys.size == df.inputFiles.length)
+    assert(proc.attributes(fileKeys.head).contains("n_rows"))
+    assert(proc.attributes(fileKeys.head).contains("value_min"))
+  }
+
   test("denseCube renders the sparse histogram row-major with zeros for empty bins") {
     val axes = Seq(BinAxis("a", 2, 0.0, 2.0), BinAxis("b", 3, 0.0, 3.0))
     val df = Seq((0.5, 0.5), (0.5, 0.5), (1.5, 2.5)).toDF("a", "b")
