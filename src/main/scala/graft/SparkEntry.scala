@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   private def defs = {
-    val maps = Seq(SedQueries.defs, PipelineQueries.defs, RelationalQueries.defs)
+    val maps = Seq(SedQueries.defs, PipelineQueries.defs, RelationalQueries.defs,
+      graft.streaming.StreamingQueries.defs)
     val merged = maps.reduce(_ ++ _)
     // a duplicate key across the maps would silently shadow a query (and
     // shrink the correctness gate) — fail fast instead

@@ -93,4 +93,37 @@ class SedStreamingSpec extends SparkSpecBase {
       assert(rows((2L, 3L)).contains(5.0))
     } finally q.stop()
   }
+  test("driver q_stream_sessionize equals the batch session_window aggregation") {
+    val d = "/root/testdata/sf0.001"
+    val got = StreamingQueries.streamSessionize(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    val batch = graft.sed.Tables.events(spark, d)
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "timestamp_micros(ts div 1000) AS ts")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
+  test("driver q_stream_enrich equals the batch range join") {
+    val d = "/root/testdata/sf0.001"
+    val got = StreamingQueries.streamEnrich(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty)
+    val ev = graft.sed.Tables.events(spark, d)
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts div 1000 AS ets_us")
+    val sn = graft.sed.Tables.events(spark, d)
+      .selectExpr("CAST(event_id AS BIGINT) AS sensor_id", "ts div 1000 AS sts_us",
+        "CAST(value AS DOUBLE) AS reading")
+      .filter(col("sensor_id") % 100 === 0)
+    val batch = ev.join(sn,
+        col("sts_us") <= col("ets_us") && col("sts_us") >= col("ets_us") - lit(600L * 1000000L))
+      .select("event_id", "ets_us", "sensor_id", "sts_us", "reading")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == batch)
+  }
 }
