@@ -73,6 +73,37 @@ object SedReader {
     withId.groupBy(col(idCol), col(nameCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Resolve run numbers to their data paths — the reference loaders'
+    * runs→files resolution (mpes `get_files_from_run_id`: entries named
+    * `Scan0123_*` belong to run 123; flash/sxp have equivalent run-id
+    * naming). `runPattern` needs one capture group holding the integer
+    * run id; listing is a driver-side FS call, sorted for determinism. */
+  def filesForRuns(spark: SparkSession, folder: String, runs: Seq[Int],
+                   runPattern: String = """.*Scan(\d+)_.*"""): Seq[String] = {
+    val re = runPattern.r
+    val want = runs.toSet
+    val p = new org.apache.hadoop.fs.Path(folder)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter { f =>
+        f.getName match {
+          case re(id) => want.contains(id.toInt)
+          case _ => false
+        }
+      }
+      .map(_.toString).sorted
+  }
+
+  /** Read the files of the given runs as one DataFrame (processor.py's
+    * runs= ingestion path on the parquet column contract). */
+  def readRuns(spark: SparkSession, folder: String, runs: Seq[Int],
+               format: String = "parquet",
+               runPattern: String = """.*Scan(\d+)_.*"""): DataFrame = {
+    val files = filesForRuns(spark, folder, runs, runPattern)
+    require(files.nonEmpty, s"no files for runs ${runs.mkString(",")} in $folder")
+    spark.read.format(format).load(files: _*)
+  }
+
   /** Join driver-provided per-file attributes (keyed by file BASE name, as
     * the reference keys its per-file metadata dicts) onto the events:
     * broadcast map join, no event shuffle. Missing files get nulls.

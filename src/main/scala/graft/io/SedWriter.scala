@@ -49,6 +49,48 @@ object SedWriter {
     out
   }
 
+  /** Export a 2-D binned histogram as a baseline TIFF — 32-bit IEEE float
+    * samples, uncompressed, little-endian, single strip — the same pixel
+    * format sed's `to_tiff` produces via tifffile (reference:
+    * src/sed/io/tiff.py:14 to_tiff, float32 conversion at :60). Written
+    * with plain byte I/O: no imaging library needed for baseline TIFF,
+    * so this export is NOT stubbed. Driver-local like denseCube (export
+    * of a plot-sized cube; the distributed representation stays
+    * long-form parquet via `binned`). */
+  def tiff(hist: DataFrame, axes: Seq[BinAxis], path: String,
+           cntCol: String = "cnt"): Unit = {
+    require(axes.size == 2, "TIFF export is for 2-D histograms")
+    val rows = axes(0).nBins; val cols = axes(1).nBins
+    val cube = denseCube(hist, axes, cntCol)
+    val dataBytes = rows * cols * 4
+    val entries = Seq[(Int, Int, Long)](  // (tag, type 3=SHORT/4=LONG, value)
+      (256, 4, cols.toLong),              // ImageWidth
+      (257, 4, rows.toLong),              // ImageLength
+      (258, 3, 32L),                      // BitsPerSample
+      (259, 3, 1L),                       // Compression: none
+      (262, 3, 1L),                       // Photometric: BlackIsZero
+      (273, 4, 8L),                       // StripOffsets: data right after header
+      (277, 3, 1L),                       // SamplesPerPixel
+      (278, 4, rows.toLong),              // RowsPerStrip: one strip
+      (279, 4, dataBytes.toLong),         // StripByteCounts
+      (339, 3, 3L))                       // SampleFormat: IEEE float
+    val bb = java.nio.ByteBuffer.allocate(8 + dataBytes + 2 + entries.size * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42)
+    bb.putInt(8 + dataBytes) // IFD offset
+    cube.foreach(v => bb.putFloat(v.toFloat))
+    bb.putShort(entries.size.toShort)
+    entries.foreach { case (tag, typ, value) =>
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+      if (typ == 3) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value.toInt)
+    }
+    bb.putInt(0) // no next IFD
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bb.array())
+  }
+
   /** Export a binned histogram with its axis spec: data as parquet under
     * `<path>/data`, axis metadata (name/bins/range — the xarray coords
     * contract) as a one-row-per-axis JSON table under `<path>/axes`. */

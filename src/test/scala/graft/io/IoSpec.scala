@@ -121,6 +121,51 @@ class IoSpec extends SparkSpecBase {
     assert(proc.attributes(fileKeys.head).contains("value_min"))
   }
 
+  test("tiff export writes a valid float32 baseline TIFF of the dense cube") {
+    val axes = Seq(BinAxis("a", 2, 0.0, 2.0), BinAxis("b", 3, 0.0, 3.0))
+    val df = Seq((0.5, 0.5), (0.5, 0.5), (1.5, 2.5)).toDF("a", "b")
+    val hist = Binning.histogram(df, axes)
+    val path = Files.createTempDirectory("grafttiff").toString + "/out.tiff"
+    SedWriter.tiff(hist, axes, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // header: II, magic 42, IFD offset
+    assert(bb.get() == 'I'.toByte && bb.get() == 'I'.toByte && bb.getShort() == 42)
+    val ifdOff = bb.getInt()
+    // parse the IFD into tag -> value
+    bb.position(ifdOff)
+    val n = bb.getShort()
+    val tags = (0 until n).map { _ =>
+      val tag = bb.getShort() & 0xffff; val typ = bb.getShort()
+      bb.getInt() // count
+      val v = if (typ == 3) { val s = bb.getShort() & 0xffff; bb.getShort(); s.toLong }
+              else bb.getInt().toLong
+      tag -> v
+    }.toMap
+    assert(tags(256) == 3 && tags(257) == 2) // width=3 (b bins), height=2 (a bins)
+    assert(tags(258) == 32 && tags(339) == 3 && tags(259) == 1) // float32, uncompressed
+    // pixel payload equals the dense cube, row-major
+    bb.position(tags(273).toInt)
+    val px = Array.fill(6)(bb.getFloat())
+    assert(px.toSeq == Seq(2.0f, 0.0f, 0.0f, 0.0f, 0.0f, 1.0f))
+    assert(tags(279) == 24)
+  }
+
+  test("filesForRuns resolves run ids from entry names and readRuns loads them") {
+    val dir = Files.createTempDirectory("graft_runs").toString
+    Seq(1L, 2L).toDF("id").write.parquet(s"$dir/Scan0001_part0")
+    Seq(3L).toDF("id").write.parquet(s"$dir/Scan0001_part1")
+    Seq(4L).toDF("id").write.parquet(s"$dir/Scan0002_part0")
+    Seq(9L).toDF("id").write.parquet(s"$dir/notarun")
+    val files = SedReader.filesForRuns(spark, dir, Seq(1))
+    assert(files.size == 2 && files.forall(_.contains("Scan0001")))
+    val both = SedReader.readRuns(spark, dir, Seq(1, 2))
+    assert(both.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      SedReader.readRuns(spark, dir, Seq(7))
+    }
+  }
+
   test("denseCube renders the sparse histogram row-major with zeros for empty bins") {
     val axes = Seq(BinAxis("a", 2, 0.0, 2.0), BinAxis("b", 3, 0.0, 3.0))
     val df = Seq((0.5, 0.5), (0.5, 0.5), (1.5, 2.5)).toDF("a", "b")
