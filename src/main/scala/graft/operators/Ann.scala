@@ -292,10 +292,16 @@ object Ann {
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    // persist the projected vectors: every Lloyd iteration re-scans them,
+    // so without this the (possibly wide) source is re-read `iters` times;
+    // MEMORY_AND_DISK spills instead of evicting on big corpora
+    val projected = corpus.select(col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     for (_ <- 0 until iters) {
       val cB = spark.sparkContext.broadcast(
         centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
-      val assigned = corpus.select(col(vecCol)).rdd.mapPartitions { it =>
+      val assigned = projected.rdd.mapPartitions { it =>
         it.map { row =>
           val v = row.getSeq[Float](0).toArray
           val nv = math.sqrt(dot(v, v))
@@ -318,6 +324,7 @@ object Ann {
         (cid, s.map(x => (x / n).toFloat))
       }
     }
+    } finally projected.unpersist()
     centroids
   }
 
