@@ -16,7 +16,9 @@ object ExplainAudit {
       println("Exchanges: " + (plan.split("Exchange ").length - 1))
       println("BHJ: " + (plan.split("BroadcastHashJoin").length - 1)
         + "  SMJ: " + (plan.split("SortMergeJoin").length - 1))
-      println("CodegenSpans: " + (plan.split("WholeStageCodegen").length - 1))
+      // Spark 4 formatted plans tag codegen'd operators "[codegen id : N]"
+      val codegenIds = "codegen id : (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+      println("CodegenSpans: " + codegenIds.size)
     }
     spark.stop()
   }
