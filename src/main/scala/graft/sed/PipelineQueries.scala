@@ -33,6 +33,7 @@ object PipelineQueries {
   private val LshBits = 8
   private val IvfStride = 50 // centroid sample: every 50th vec_id
   private val IvfNprobe = 2
+  private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
 
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
@@ -334,6 +335,57 @@ object PipelineQueries {
           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
           CAST(length(text) AS DOUBLE) / CAST(len($toksSqlFrag) AS DOUBLE) AS chars_per_token
         FROM documents""".replaceAll("\\s+", " "))),
+
+    // Repetition quality signal (the Gopher-style duplicate-n-gram
+    // fraction): 1 - distinct bigrams / total bigrams, 0 for docs too
+    // short to have a bigram. Pure per-row column algebra, no shuffle.
+    "q_repetition" -> QueryDef(
+      (s, d) => docs(s, d)
+        .withColumn("__toks", tokens(col("text")))
+        // bigrams materialized as their OWN column: referenced twice below
+        // and Spark does no CSE inside the projection otherwise
+        .withColumn("__bg", TextFunctions.shingles(col("__toks"), 2))
+        .select(col("doc_id"),
+          when(size(col("__toks")) >= 2,
+            lit(1.0) - size(array_distinct(col("__bg"))).cast("double") /
+              size(col("__bg")).cast("double"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac")),
+      Some {
+        import graft.functions.SedFunctions.d2s
+        val bg = shinglesSqlFrag("l", 2)
+        s"""SELECT doc_id, CASE WHEN len(l) >= 2
+             THEN ${d2s(1.0)} - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+             ELSE ${d2s(0.0)} END AS dup_bigram_frac
+           FROM (SELECT doc_id, l, $bg AS bg
+                 FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))"""
+          .replaceAll("\\s+", " ")
+      }),
+
+    // Context-window chunking: split each document into fixed-budget token
+    // chunks (doc -> ceil(n/W) rows with token ranges) — the pre-training
+    // sequence-preparation step. One posexplode, no shuffle.
+    "q_doc_chunks" -> QueryDef(
+      (s, d) => {
+        val w = ChunkTokens
+        docs(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") >= 1) // sequence(0,-1) would DESCEND
+          .select(col("doc_id"), col("n_tok"),
+            explode(sequence(lit(0L), expr(s"(n_tok - 1) div $w"))).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * w).as("tok_start"),
+            least(col("n_tok"), (col("chunk_id") + 1L) * w).as("tok_end"))
+      },
+      Some {
+        val w = ChunkTokens
+        s"""SELECT doc_id, chunk_id, chunk_id * $w AS tok_start,
+             LEAST(n_tok, (chunk_id + 1) * $w) AS tok_end
+           FROM (SELECT doc_id, n_tok,
+                   unnest(generate_series(0, (n_tok - 1) // $w)) AS chunk_id
+                 FROM (SELECT doc_id, CAST(len($toksSqlFrag) AS BIGINT) AS n_tok
+                       FROM documents)
+                 WHERE n_tok >= 1)""".replaceAll("\\s+", " ")
+      }),
 
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // explode -> groupBy(token) is the one genuinely token-per-row
