@@ -130,9 +130,27 @@ object Binning {
     *    occupancy, not P, is small): plain flat-key hash aggregate; partial
     *    agg collapses to the non-empty bins map-side.
     */
+  /** Aggregates bin-index columns that may be NULL for out-of-range rows.
+    *
+    * Out-of-range dropping is deliberately NOT a pre-aggregation Filter:
+    * PushDownPredicates would substitute the full derived-column
+    * expressions (a calibration chain can embed dozens of deformation
+    * lookups) into a scan-level predicate, and codegen'd Filter does no
+    * subexpression elimination — measured 30× slower on the full-workflow
+    * chain. A NULL key instead rides through the (CSE-capable) projection
+    * + hash aggregate and is dropped from the TINY aggregated output.
+    */
   private def aggregateBins(withIdx: DataFrame, bins: Seq[(String, Long)]): DataFrame = {
     val cnt = count(lit(1)).as("cnt")
-    if (bins.size == 1) return withIdx.groupBy(col(bins.head._1)).agg(cnt)
+    // NoPushBarrier: without it the isNotNull drop would be predicate-
+    // pushed through the aggregate and re-derive the full axis expression
+    // chain at the scan (see the barrier's Scaladoc)
+    if (bins.size == 1) {
+      val nm = bins.head._1
+      return withIdx.groupBy(col(nm)).agg(cnt)
+        .select(org.apache.spark.sql.graft.NoPushBarrier(col(nm)).as(nm), col("cnt"))
+        .filter(col(nm).isNotNull)
+    }
     val total = bins.map(_._2).reduce { (p, n) =>
       require(p <= Long.MaxValue / n, "bin-count product overflows Long"); p * n
     }
@@ -157,6 +175,8 @@ object Binning {
           .select((shiftleft(col("__chunk"), bits) + col("__pos")).as("__k"), col("cnt"))
       } else {
         withIdx.select(key.as("__k")).groupBy("__k").agg(cnt)
+          .select(org.apache.spark.sql.graft.NoPushBarrier(col("__k")).as("__k"), col("cnt"))
+          .filter(col("__k").isNotNull)
       }
     val outCols = bins.zip(strides).map { case ((nm, n), st) =>
       expr(s"(__k div ${st}L) % ${n}L").as(nm)
@@ -165,21 +185,26 @@ object Binning {
   }
 
   /** Sparse N-d histogram: one row per non-empty bin, columns
-    * `<axis>_bin`..., `cnt`. */
+    * `<axis>_bin`..., `cnt`. Out-of-range rows are dropped via NULL bin
+    * keys (see aggregateBins — a pre-agg Filter would be predicate-pushed
+    * through the calibration chain and re-derive every axis expression at
+    * the scan without CSE). */
   def histogram(df: DataFrame, axes: Seq[BinAxis]): DataFrame = {
     val inRange = axes.map(a => a.inRange(df(a.col))).reduce(_ && _)
-    val idxCols = axes.map(a => a.idx(df(a.col)).as(a.idxName))
-    aggregateBins(df.filter(inRange).select(idxCols: _*),
+    val idxCols = axes.map(a => when(inRange, a.idx(df(a.col))).as(a.idxName))
+    aggregateBins(df.select(idxCols: _*),
       axes.map(a => (a.idxName, a.nBins.toLong)))
   }
 
   /** Sparse N-d histogram over explicit-edge axes (out-of-range rows,
-    * idx −1, are dropped — numpy semantics). */
+    * idx −1, are dropped — numpy semantics; same NULL-key technique as
+    * `histogram`, layered so each BucketIdx evaluates once). */
   def histogramEdges(df: DataFrame, axes: Seq[EdgeAxis]): DataFrame = {
     val idxCols = axes.map(a => a.idx(df(a.col)).as(a.idxName))
-    val withIdx = df.select(idxCols: _*)
-      .filter(axes.map(a => col(a.idxName) >= 0).reduce(_ && _))
-    aggregateBins(withIdx, axes.map(a => (a.idxName, a.nBins.toLong)))
+    val ok = axes.map(a => col(a.idxName) >= 0).reduce(_ && _)
+    val guarded = df.select(idxCols: _*)
+      .select(axes.map(a => when(ok, col(a.idxName)).as(a.idxName)): _*)
+    aggregateBins(guarded, axes.map(a => (a.idxName, a.nBins.toLong)))
   }
 
   def histogramEdgesSql(table: String, axes: Seq[EdgeAxis]): String = {

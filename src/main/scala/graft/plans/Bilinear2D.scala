@@ -2,7 +2,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType}
@@ -21,7 +21,14 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType}
   */
 case class Bilinear2D(left: Expression, right: Expression,
                       grid: Array[Double], rows: Int, cols: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes with UserDefinedExpression {
+  // UserDefinedExpression marks this NON-CHEAP for CollapseProject: a
+  // multi-referenced alias of this expression must stay materialized in
+  // its own projection instead of being inlined (= re-evaluated) into
+  // every consumer -- inlining turned one dfield lookup into 34 in the
+  // full-workflow plan and dominated its runtime
+  override def name: String = prettyName
+
   require(grid.length == rows * cols, "grid must be rows*cols row-major")
   require(rows >= 2 && cols >= 2, "bilinear needs a >= 2x2 grid") // x0+1/y0+1 lookups
 

@@ -2,7 +2,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType}
@@ -14,7 +14,14 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongT
   * reference object; lookup is O(log nBins) branch-predictable codegen.
   */
 case class BucketIdx(child: Expression, edges: Array[Double])
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
+  // UserDefinedExpression marks this NON-CHEAP for CollapseProject: a
+  // multi-referenced alias of this expression must stay materialized in
+  // its own projection instead of being inlined (= re-evaluated) into
+  // every consumer -- inlining turned one dfield lookup into 34 in the
+  // full-workflow plan and dominated its runtime
+  override def name: String = prettyName
+
   require(edges.length >= 2 && edges.sliding(2).forall(p => p(0) < p(1)),
     "edges must be strictly increasing")
 

@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * (~50× on 64-dim vectors).
   */
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes with UserDefinedExpression {
+  // UserDefinedExpression marks this NON-CHEAP for CollapseProject: a
+  // multi-referenced alias of this expression must stay materialized in
+  // its own projection instead of being inlined (= re-evaluated) into
+  // every consumer -- inlining turned one dfield lookup into 34 in the
+  // full-workflow plan and dominated its runtime
+  override def name: String = prettyName
+
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))

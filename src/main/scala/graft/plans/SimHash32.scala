@@ -2,7 +2,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UserDefinedExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -16,7 +16,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * computed once per token, not once per bit).
   */
 case class SimHash32(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
+  // UserDefinedExpression marks this NON-CHEAP for CollapseProject: a
+  // multi-referenced alias of this expression must stay materialized in
+  // its own projection instead of being inlined (= re-evaluated) into
+  // every consumer -- inlining turned one dfield lookup into 34 in the
+  // full-workflow plan and dominated its runtime
+  override def name: String = prettyName
+
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
