@@ -108,6 +108,29 @@ class BinningSpec extends SparkSpecBase {
     assert(spark.conf.getOption(fbKey) == before, "conf mutated at execution time")
   }
 
+  test("range drop is NOT pushed through an expensive transform chain") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // chain: dfield bilinear (marked UserDefinedExpression) -> derived axis
+    val grid = Array.tabulate(64)(i => (i / 8).toDouble) // 8x8
+    val df = events
+      .withColumn("xi", $"value" * (7.0 / 500.0))
+      .withColumn("yi", $"user_id".cast("double") * (7.0 / 150.0))
+      .withColumn("xc", org.apache.spark.sql.graft.Bilinear2D($"xi", $"yi", grid, 8, 8))
+      .withColumn("energy", $"xc" * 2.0 + 1.0)
+    val hist = Binning.histogram(df, Seq(BinAxis("energy", 10, 0.0, 20.0)))
+    val opt = hist.queryExecution.optimizedPlan
+    val inFilters = opt.collect { case f: LFilter =>
+      "bilinear2d".r.findAllMatchIn(f.condition.toString.toLowerCase).length
+    }.sum
+    assert(inFilters == 0, "range predicate was pushed into a Filter re-deriving the chain")
+    val total = "bilinear2d".r.findAllMatchIn(opt.toString.toLowerCase).length
+    assert(total == 1, s"dfield lookup duplicated $total times in the plan")
+    // and the null-key drop is still numpy-correct
+    val got = hist.agg(sum("cnt")).as[Long].head()
+    val expected = df.filter($"energy".between(0.0, 20.0)).count()
+    assert(got == expected)
+  }
+
   test("3-d histogram total equals in-range row count") {
     val axes = Seq(BinAxis("value", 8, 0.0, 500.0), BinAxis("user_id", 8, 0.0, 150.0),
       BinAxis("m", 8, 0.0, 97.0))
