@@ -186,7 +186,11 @@ object Dedup {
   private def jaccardOf(joined: DataFrame): DataFrame =
     joined
       .select(col("a_id"), col("b_id"),
-        org.apache.spark.sql.graft.SortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
+        // NoPushBarrier: callers filter on jaccard (>= threshold); without
+        // the barrier that predicate is pushed below this projection and
+        // re-runs the intersect merge-scan a second time per pair
+        org.apache.spark.sql.graft.NoPushBarrier(
+          org.apache.spark.sql.graft.SortedIntersectCount(col("a_sh"), col("b_sh"))).as("inter"),
         (size(col("a_sh")) + size(col("b_sh"))).cast("long").as("__sum"))
       // |A ∪ B| = |A| + |B| − |A ∩ B| — avoids materializing the union
       .withColumn("uni", col("__sum") - col("inter")).drop("__sum")
@@ -275,7 +279,11 @@ object Dedup {
       .select(col("a"),
         explode(slice(es, col("i") + lit(2), size(es) - col("i") - lit(1))).as("b"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        VectorFunctions.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+        // barrier: keep the 64-dim cosine evaluated ONCE per candidate —
+        // the >= threshold filter would otherwise be pushed below this
+        // projection and duplicate the fold
+        org.apache.spark.sql.graft.NoPushBarrier(
+          VectorFunctions.cosine(col("a.vec"), col("b.vec"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

@@ -453,9 +453,11 @@ object PipelineQueries {
           .withColumn("n_chars", length(col("text")).cast("long"))
           .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
           .withColumn("c_stop", markerCount(col("text"), LangMarkers.head._2).cast("long"))
-          .withColumn("quality",
+          // barrier: the >= 0.3 filter must test the materialized score,
+          // not get pushed down re-running the regex/tokenizer chain twice
+          .withColumn("quality", org.apache.spark.sql.graft.NoPushBarrier(
             lit(0.6) * (col("c_stop").cast("double") / col("n_tok").cast("double")) +
-              lit(0.4) * least(col("n_chars").cast("double") / lit(500.0), lit(1.0)))
+              lit(0.4) * least(col("n_chars").cast("double") / lit(500.0), lit(1.0))))
         df.filter(col("quality") >= 0.3).select("doc_id", "quality")
       },
       Some(s"""SELECT doc_id, quality FROM (
