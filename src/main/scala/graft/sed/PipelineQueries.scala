@@ -387,6 +387,24 @@ object PipelineQueries {
                  WHERE n_tok >= 1)""".replaceAll("\\s+", " ")
       }),
 
+    // Deterministic stratified sampling — the data-mixture step of a
+    // training pipeline: each source gets a reproducible sampling rate
+    // (a pure function of the source name, [20,80)%), each document a
+    // reproducible bucket in [0,100); keep bucket < rate. Hash-based, so
+    // the SAME rows are kept on every run/engine — no RNG state — and the
+    // filter is a cheap scan-level predicate (map-only, no shuffle).
+    "q_sample_stratified" -> QueryDef(
+      (s, d) => {
+        val df = docs(s, d)
+        val rate = expr_hash32(col("source")) % lit(60L) + lit(20L)
+        val bucket = expr_hash32(
+          concat(col("doc_id").cast("string"), lit(":"), col("source"))) % lit(100L)
+        df.filter(bucket < rate).select(col("doc_id"), col("source"))
+      },
+      Some(s"""SELECT doc_id, source FROM documents
+           WHERE ${hash32Frag("(CAST(doc_id AS VARCHAR) || ':' || source)")} % 100 <
+                 ${hash32Frag("source")} % 60 + 20""".replaceAll("\\s+", " "))),
+
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // explode -> groupBy(token) is the one genuinely token-per-row
     // shuffle in the text suite; partial agg collapses repeats map-side,
