@@ -10,15 +10,73 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata extracted by a batched
   * per-partition decode pass.
   *
-  * The decode itself is STUBBED — this container has no codec libraries —
-  * with a deterministic fake keyed on the payload bytes (md5 prefix +
-  * size-derived dimensions). Everything around it is the real pipeline
-  * shape: binary column in, `mapPartitions` streaming fixed-size batches
-  * (the JVM analogue of `mapInPandas` batch iteration — a real decoder
-  * would hand each batch to a native lib in one call), typed struct
-  * schema out, no driver involvement, arbitrary-scale parallelism.
+  * Decode is REAL for the binary netpbm formats (P5 grayscale / P6 RGB —
+  * header + raw pixel bytes, no codec library needed): header parse,
+  * pixel extraction, and nearest-neighbour resampling are actual image
+  * math. Codec formats (JPEG/PNG/video) fall back to a deterministic
+  * STUB (this container has no codec libraries) keyed on the payload
+  * bytes. Either way the pipeline shape is the production one: binary
+  * column in, `mapPartitions` streaming fixed-size batches (the JVM
+  * analogue of `mapInPandas` batch iteration — a native decoder takes
+  * each batch in one call), typed struct schema out, no driver
+  * involvement, arbitrary-scale parallelism.
   */
 object Multimodal {
+
+  /** REAL decode of binary netpbm: "P5" (1 channel) / "P6" (3 channels),
+    * whitespace/#-comment tolerant header, maxval ≤ 255, raw pixels.
+    * Returns (width, height, channels, row-major pixel bytes); None if
+    * the payload is not a well-formed binary PNM. */
+  def decodePnm(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes.length < 2 || bytes(0) != 'P') return None
+    val ch = bytes(1) match { case '5' => 1; case '6' => 3; case _ => return None }
+    var pos = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val b = bytes(pos)
+        if (b == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    pos += 1 // exactly one whitespace byte separates maxval from pixels
+    val n = w.toLong * h * ch
+    if (n > Int.MaxValue || bytes.length - pos < n) return None
+    Some((w, h, ch, java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)))
+  }
+
+  /** REAL nearest-neighbour resample of a decoded pixel matrix. */
+  def resamplePixels(px: Array[Byte], w: Int, h: Int, ch: Int,
+                     tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * ch)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        var c = 0
+        while (c < ch) {
+          out((y * tw + x) * ch + c) = px((sy * w + sx) * ch + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   val metaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -28,15 +86,18 @@ object Multimodal {
     StructField("channels", LongType),
     StructField("fp", LongType)))
 
-  /** STUB decode: a real implementation would parse the image header /
-    * decode frames here. Deterministic fake: dimensions from the payload
-    * size, fingerprint = first 32 bits of md5 (matches the SQL oracle's
-    * `('0x' || substr(md5(payload), 1, 8))::BIGINT`). */
+  /** Dimension extraction: REAL for binary PNM payloads, deterministic
+    * STUB for codec formats (dimensions from the payload size; the
+    * fingerprint is always the first 32 bits of md5, matching the SQL
+    * oracle's `('0x' || substr(md5(payload), 1, 8))::BIGINT`). */
   def decodeStub(bytes: Array[Byte]): (Long, Long, Long, Long) = {
     val d = MessageDigest.getInstance("MD5").digest(bytes)
     val fp = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    (bytes.length % 640 + 1, bytes.length % 480 + 1, 3L, fp)
+    decodePnm(bytes) match {
+      case Some((w, h, c, _)) => (w.toLong, h.toLong, c.toLong, fp)
+      case None => (bytes.length % 640 + 1, bytes.length % 480 + 1, 3L, fp)
+    }
   }
 
   /** Attach a binary payload column derived from text (stand-in for real
@@ -56,10 +117,11 @@ object Multimodal {
     StructField("height", LongType),
     StructField("pixels", BinaryType)))
 
-  /** STUB resize: a real implementation decodes, resamples to
-    * `targetW`×`targetH`, re-encodes. Deterministic fake: "pixels" are the
-    * payload bytes cyclically resampled to targetW*targetH bytes — the
-    * output schema/size contract of a real resizer. */
+  /** Resize to `targetW`×`targetH`: REAL nearest-neighbour resampling for
+    * PNM payloads (output = targetW*targetH*channels pixel bytes); codec
+    * formats keep the deterministic stand-in ("pixels" = payload bytes
+    * cyclically resampled to targetW*targetH — the schema/size contract
+    * of a real resizer, minus the codec this container lacks). */
   def resize(docs: DataFrame, idCol: String, payloadCol: String,
              targetW: Int, targetH: Int, batchSize: Int = 64): DataFrame = {
     val spark = docs.sparkSession
@@ -69,8 +131,11 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]](1)
-            val out = Array.tabulate[Byte](n)(i =>
-              if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+            val out = decodePnm(bytes) match {
+              case Some((w, h, c, px)) => resamplePixels(px, w, h, c, targetW, targetH)
+              case None => Array.tabulate[Byte](n)(i =>
+                if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+            }
             Row(r.getLong(0), targetW.toLong, targetH.toLong, out)
           }
         }

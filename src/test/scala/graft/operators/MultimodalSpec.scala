@@ -57,4 +57,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.count() == 999)
     assert(out.select("doc_id").distinct().count() == 999)
   }
+  test("PNM payloads decode for REAL: header dims, pixels, nearest-neighbour resize") {
+    // a 4x2 P6 RGB image: left half red, right half blue
+    val header = "P6\n# test image\n4 2\n255\n".getBytes("US-ASCII")
+    val px = Array(
+      255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255,
+      255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255).map(_.toByte)
+    val img = header ++ px
+    // direct decode
+    val Some((w, h, c, pixels)) = Multimodal.decodePnm(img)
+    assert(w == 4 && h == 2 && c == 3 && pixels.sameElements(px))
+    // through the Spark pipeline: real dimensions (not the size stub)
+    val df = Seq((1L, img), (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val metaRows = Multimodal.decodeMeta(df, "doc_id", "payload")
+      .select("doc_id", "width", "height", "channels")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(metaRows(1L) == ((4L, 2L, 3L)))
+    assert(metaRows(2L) == (("not an image".length % 640 + 1).toLong,
+      ("not an image".length % 480 + 1).toLong, 3L)) // codec fallback
+    // real 2x2 nearest-neighbour downsample: picks columns 0 and 2
+    val rs = Multimodal.resize(df.filter($"doc_id" === 1L), "doc_id", "payload", 2, 2)
+      .select("pixels").as[Array[Byte]].head()
+    val expected = Array(255, 0, 0, 0, 0, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    assert(rs.sameElements(expected))
+  }
 }
