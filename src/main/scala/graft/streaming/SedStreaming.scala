@@ -66,6 +66,19 @@ object SedStreaming {
       .drop("__bk")
   }
 
+  /** Streaming exact dedup at ingest: drop events whose content hash was
+    * already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state is one entry per distinct
+    * hash inside the horizon, evicted as the watermark passes; unbounded
+    * exact dedup is impossible on an infinite stream, so the horizon IS
+    * the contract). The batch analogue is Dedup.exact keep-first. */
+  def streamingDedup(events: DataFrame, tsCol: String, contentCol: String,
+                     watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .withColumn("__h", md5(col(contentCol).cast("string")))
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Streaming forward-fill of `valueCol` within each `keyCol` group, in
     * arrival order within each micro-batch: nulls inherit the last
     * non-null seen for that key, carried across batches in GroupState —

@@ -126,4 +126,21 @@ class SedStreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(got == batch)
   }
+  test("streamingDedup drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val out = SedStreaming.streamingDedup(df, "ts", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+      input.addData((t(1), "aaa"), (t(1), "bbb"), (t(2), "aaa"))
+      q.processAllAvailable()
+      input.addData((t(3), "aaa"), (t(3), "ccc")) // dup carried across batches
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("aaa", "bbb", "ccc"))
+    } finally q.stop()
+  }
 }
