@@ -1,0 +1,72 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+
+/** Validates the pure-JVM HDF5 reader against REAL files written by
+  * libhdf5/h5py (the reference repo's loader test fixtures — read-only):
+  * a classic-format mpes scan file and the v2-object-header EuXFEL sxp
+  * file. These are ground-truth artifacts of the production writer, so a
+  * structural misparse (B-tree walk, heap offsets, chunk assembly) cannot
+  * produce the expected names, shapes, and physical value ranges. */
+class Hdf5Spec extends SparkSpecBase {
+
+  private val mpes = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
+  private val sxp = "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
+
+  private def have(p: String): Boolean = Files.exists(Paths.get(p))
+
+  test("parses a real mpes scan file: streams, attributes, values") {
+    assume(have(mpes))
+    val f = Hdf5File.fromPath(Paths.get(mpes))
+    assert(f.rootNames.contains("Stream_0") && f.rootNames.contains("msMarkers"))
+    // Name attributes identify the physics channels
+    val names = f.rootNames.filter(_.startsWith("Stream_"))
+      .flatMap(s => f.attributes(s).get("Name")).map(_.toString)
+    assert(Set("X", "Y", "t", "ADC").subsetOf(names.toSet))
+    // all streams equal length, > 0
+    val lens = f.rootNames.filter(_.startsWith("Stream_")).map(s => f.shape(s).head)
+    assert(lens.distinct.size == 1 && lens.head > 0)
+    // physical ranges: detector coords and TOF values
+    val x = f.readDoubles("Stream_0")
+    assert(x.forall(v => v >= 0 && v < 4096))
+    val t = f.readDoubles("Stream_2")
+    assert(t.forall(v => v > 0 && v < 1e7))
+    // msMarkers is a nondecreasing cumulative event count ending <= n
+    val mk = f.readDoubles("msMarkers")
+    assert(mk.zip(mk.tail).forall { case (a, b) => a <= b } && mk.last <= lens.head)
+    // file attribute used for timestamping exists
+    assert(f.attributes("/").contains("FirstEventTimeStamp"))
+  }
+
+  test("parses v2 object headers + chunked datasets (real EuXFEL sxp file)") {
+    assume(have(sxp))
+    val f = Hdf5File.fromPath(Paths.get(sxp))
+    assert(f.rootNames.toSet == Set("CONTROL", "INDEX", "INSTRUMENT"))
+    val trains = f.readDoubles("/INDEX/trainId")
+    assert(trains.length == f.shape("/INDEX/trainId").head)
+    // train ids are large, strictly increasing integers
+    assert(trains.forall(_ > 1e9))
+    assert(trains.zip(trains.tail).forall { case (a, b) => b > a })
+  }
+
+  test("readMpesH5 loads a scan into a DataFrame distributed per file") {
+    assume(have(mpes))
+    import org.apache.spark.sql.functions._
+    val df = SedReader.readMpesH5(spark, Seq(mpes))
+    val n = Hdf5File.fromPath(Paths.get(mpes)).shape("Stream_0").head
+    assert(df.count() == n)
+    assert(df.columns.toSeq == Seq("file_id", "X", "Y", "t", "ADC", "timeStamps"))
+    val row = df.agg(min("t"), max("t"), min("timeStamps"), max("timeStamps")).head()
+    assert(row.getDouble(0) > 0 && row.getDouble(1) > row.getDouble(0))
+    // timestamps: ~epoch-2022 seconds, spanning the ms-marker count
+    val mk = Hdf5File.fromPath(Paths.get(mpes)).readDoubles("msMarkers")
+    assert(row.getDouble(2) > 1.6e9 && row.getDouble(2) < 1.8e9)
+    assert(math.abs((row.getDouble(3) - row.getDouble(2)) - mk.length / 1000.0) < 0.1)
+    // the loaded frame drives the standard processor chain
+    val hist = graft.operators.Binning.histogram(df,
+      Seq(graft.operators.BinAxis("t", 100, 120000.0, 280000.0)))
+    assert(hist.agg(sum("cnt")).head().getLong(0) > 0)
+  }
+}
