@@ -91,6 +91,33 @@ object SedWriter {
     java.nio.file.Files.write(p, bb.array())
   }
 
+  /** Export a binned histogram as a NeXus NXdata HDF5 file — actual HDF5
+    * bytes via the dependency-free [[Hdf5Writer]], following the NeXus
+    * conventions the reference's io/nexus.py export produces through
+    * pynxtools: `/entry` (NXentry) → `/entry/data` (NXdata) with
+    * `signal`/`axes` attributes, a dense row-major `counts` array, and a
+    * bin-center dataset per axis. Driver-local like denseCube (export of
+    * a plot-sized cube). Round-trip readable by [[Hdf5File]]. */
+  def nexus(hist: DataFrame, axes: Seq[BinAxis], path: String,
+            cntCol: String = "cnt"): Unit = {
+    import Hdf5Writer._
+    val cube = denseCube(hist, axes, cntCol)
+    val axisSets = axes.map { a =>
+      val centers = Array.tabulate(a.nBins)(i => a.lo + (i + 0.5) * a.step)
+      DoubleDataset(a.col, Seq(a.nBins.toLong), centers,
+        attrs = Seq("long_name" -> a.col))
+    }
+    val counts = DoubleDataset("counts", axes.map(_.nBins.toLong), cube,
+      attrs = Seq("long_name" -> "counts"))
+    val data = Group("data", counts +: axisSets, attrs = Seq(
+      "NX_class" -> "NXdata",
+      "signal" -> "counts",
+      "axes" -> axes.map(_.col).mkString(":"))) // legacy colon form: fixed-size string
+    val entry = Group("entry", Seq(data), attrs = Seq(
+      "NX_class" -> "NXentry", "default" -> "data"))
+    Hdf5Writer.write(Seq(entry), Seq("default" -> "entry"), path)
+  }
+
   /** Export a binned histogram with its axis spec: data as parquet under
     * `<path>/data`, axis metadata (name/bins/range — the xarray coords
     * contract) as a one-row-per-axis JSON table under `<path>/axes`. */

@@ -69,4 +69,46 @@ class Hdf5Spec extends SparkSpecBase {
       Seq(graft.operators.BinAxis("t", 100, 120000.0, 280000.0)))
     assert(hist.agg(sum("cnt")).head().getLong(0) > 0)
   }
+  test("Hdf5Writer round-trips through the reader proven on real files") {
+    import Hdf5Writer._
+    val dir = Files.createTempDirectory("h5w").toString
+    val path = s"$dir/out.h5"
+    val d2 = DoubleDataset("matrix", Seq(2L, 3L),
+      Array(1.5, -2.25, 3.0, 4.0, 5.5, 6.125), attrs = Seq("units" -> "eV"))
+    val l1 = LongDataset("ids", Seq(4L), Array(10L, 20L, -30L, 40L))
+    val grp = Group("grp", Seq(d2, l1), attrs = Seq("NX_class" -> "NXdata", "weight" -> 2.5))
+    Hdf5Writer.write(Seq(grp), Seq("creator" -> "graft"), path)
+
+    val f = Hdf5File.fromPath(Paths.get(path))
+    assert(f.rootNames == Seq("grp"))
+    assert(f.attributes("/") == Map("creator" -> "graft"))
+    assert(f.attributes("/grp")("NX_class") == "NXdata")
+    assert(f.attributes("/grp")("weight") == 2.5)
+    assert(f.shape("/grp/matrix") == Seq(2L, 3L))
+    assert(f.readDoubles("/grp/matrix").sameElements(
+      Array(1.5, -2.25, 3.0, 4.0, 5.5, 6.125)))
+    assert(f.attributes("/grp/matrix")("units") == "eV")
+    assert(f.readDoubles("/grp/ids").sameElements(Array(10.0, 20.0, -30.0, 40.0)))
+  }
+
+  test("nexus export writes an NXdata HDF5 file with signal, axes, and counts") {
+    import spark.implicits._
+    val axes = Seq(graft.operators.BinAxis("a", 2, 0.0, 2.0), graft.operators.BinAxis("b", 3, 0.0, 3.0))
+    val df = Seq((0.5, 0.5), (0.5, 0.5), (1.5, 2.5)).toDF("a", "b")
+    val hist = graft.operators.Binning.histogram(df, axes)
+    val dir = Files.createTempDirectory("nexus").toString
+    val path = s"$dir/cube.nxs"
+    SedWriter.nexus(hist, axes, path)
+    val f = Hdf5File.fromPath(Paths.get(path))
+    assert(f.rootNames == Seq("entry"))
+    assert(f.attributes("/")("default") == "entry")
+    assert(f.attributes("/entry")("NX_class") == "NXentry")
+    assert(f.attributes("/entry/data")("NX_class") == "NXdata")
+    assert(f.attributes("/entry/data")("signal") == "counts")
+    assert(f.attributes("/entry/data")("axes") == "a:b")
+    assert(f.shape("/entry/data/counts") == Seq(2L, 3L))
+    assert(f.readDoubles("/entry/data/counts").toSeq == Seq(2.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+    assert(f.readDoubles("/entry/data/a").toSeq == Seq(0.5, 1.5))
+    assert(f.readDoubles("/entry/data/b").toSeq == Seq(0.5, 1.5, 2.5))
+  }
 }
