@@ -130,6 +130,57 @@ object SedReader {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Distributed train-resolved HDF5 ingestion (the flash/sxp DAQ shape —
+    * reference src/sed/loader/sxp/loader.py): per-electron channels are
+    * 2-D [train × maxHits] datasets zero-padded past the last hit,
+    * per-train channels are 1-D [train] datasets, and a 1-D train-id
+    * dataset indexes the rows. Each train's valid hits (validity channel
+    * ≠ 0) explode into events carrying (train_id, electron_id, channels,
+    * per-train values) — the flat form of the reference's
+    * (trainId, pulseId, electronId) multi-index; pulse splitting stays a
+    * downstream groupBy on the pulse-id channel. One task per file. */
+  def readTrainH5(spark: SparkSession, paths: Seq[String],
+                  electronChannels: Map[String, String],
+                  trainIdKey: String,
+                  validityChannel: String,
+                  trainChannels: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(electronChannels.contains(validityChannel), "validity channel must be an electron channel")
+    val eNames = electronChannels.keys.toSeq.sorted
+    val tNames = trainChannels.keys.toSeq.sorted
+    val files = paths.sorted.zipWithIndex
+    val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size)).flatMap {
+      case (path, fid) =>
+        val f = Hdf5File.fromHadoop(path, new org.apache.hadoop.conf.Configuration())
+        val trains = f.readDoubles(trainIdKey)
+        val n = trains.length
+        val eData = eNames.map(c => f.readDoubles(electronChannels(c)))
+        val maxHits = (eData.head.length / n).toInt
+        require(eData.forall(_.length == n.toLong * maxHits), s"ragged electron channels in $path")
+        val tData = tNames.map(c => f.readDoubles(trainChannels(c)))
+        require(tData.forall(_.length == n), s"per-train channel length mismatch in $path")
+        val vIdx = eNames.indexOf(validityChannel)
+        (0 until n).iterator.flatMap { ti =>
+          val rowBase = ti * maxHits
+          (0 until maxHits).iterator
+            .filter(h => eData(vIdx)(rowBase + h) != 0.0)
+            .map { h =>
+              Row.fromSeq(
+                fid.toLong +: trains(ti).toLong +: h.toLong +:
+                  (eNames.indices.map(c => eData(c)(rowBase + h)) ++
+                    tNames.indices.map(c => tData(c)(ti))))
+            }
+        }
+    }
+    val schema = StructType(
+      Seq(StructField("file_id", LongType), StructField("train_id", LongType),
+        StructField("electron_id", LongType)) ++
+        eNames.map(c => StructField(c, DoubleType)) ++
+        tNames.map(c => StructField(c, DoubleType)))
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Resolve run numbers to their data paths — the reference loaders'
     * runs→files resolution (mpes `get_files_from_run_id`: entries named
     * `Scan0123_*` belong to run 123; flash/sxp have equivalent run-id

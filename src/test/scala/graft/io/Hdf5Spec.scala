@@ -111,4 +111,30 @@ class Hdf5Spec extends SparkSpecBase {
     assert(f.readDoubles("/entry/data/a").toSeq == Seq(0.5, 1.5))
     assert(f.readDoubles("/entry/data/b").toSeq == Seq(0.5, 1.5, 2.5))
   }
+  test("readTrainH5 explodes the real sxp file into per-hit rows") {
+    assume(have(sxp))
+    import org.apache.spark.sql.functions._
+    val base = "/INSTRUMENT/SXP_TR_XPES/DET/MCP_DETECTOR:output/data"
+    val df = SedReader.readTrainH5(spark, Seq(sxp),
+      electronChannels = Map(
+        "dldPosX" -> s"$base/x", "dldPosY" -> s"$base/y",
+        "dldTimeSteps" -> s"$base/t", "pulseId" -> s"$base/starterCounter"),
+      trainIdKey = s"$base/trainId",
+      validityChannel = "dldTimeSteps",
+      trainChannels = Map("timeStamp" -> "/INDEX/timestamp"))
+    // expected row count = nonzero t cells, computed independently
+    val f = Hdf5File.fromPath(Paths.get(sxp))
+    val expected = f.readDoubles(s"$base/t").count(_ != 0.0)
+    assert(df.count() == expected && expected > 0)
+    assert(df.columns.toSeq == Seq("file_id", "train_id", "electron_id",
+      "dldPosX", "dldPosY", "dldTimeSteps", "pulseId", "timeStamp"))
+    // train ids come from the index dataset; 50 distinct trains at most
+    val trains = df.select(countDistinct("train_id")).head().getLong(0)
+    assert(trains > 0 && trains <= f.shape(s"$base/trainId").head)
+    // spot-check: first hit of the first train matches the raw arrays
+    val t0 = f.readDoubles(s"$base/trainId")(0).toLong
+    val first = df.filter(col("train_id") === t0 && col("electron_id") === 0)
+      .select("dldPosX").head().getDouble(0)
+    assert(first == f.readDoubles(s"$base/x")(0))
+  }
 }
