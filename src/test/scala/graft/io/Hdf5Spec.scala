@@ -14,6 +14,8 @@ class Hdf5Spec extends SparkSpecBase {
 
   private val mpes = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
   private val sxp = "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
+  private val flash =
+    "/root/reference/tests/data/loader/flash/FLASH1_USER3_stream_2_run43878_file1_20230130T153807.1.h5"
 
   private def have(p: String): Boolean = Files.exists(Paths.get(p))
 
@@ -49,6 +51,19 @@ class Hdf5Spec extends SparkSpecBase {
     // train ids are large, strictly increasing integers
     assert(trains.forall(_ > 1e9))
     assert(trains.zip(trains.tail).forall { case (a, b) => b > a })
+  }
+
+  test("assembles 3-D chunked datasets (real FLASH DAQ file)") {
+    assume(have(flash))
+    val f = Hdf5File.fromPath(Paths.get(flash))
+    val dld = "/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/value"
+    val dims = f.shape(dld)
+    assert(dims.length == 3 && dims.head == 20)
+    val v = f.readDoubles(dld)
+    assert(v.length == dims.product)
+    assert(v.exists(x => x != 0.0 && !x.isNaN))
+    // per-train index aligns with the value dataset's leading dim
+    assert(f.shape("/uncategorised/FLASH.EXP/HEXTOF.DAQ/DLD1/index") == Seq(dims.head))
   }
 
   test("readMpesH5 loads a scan into a DataFrame distributed per file") {
