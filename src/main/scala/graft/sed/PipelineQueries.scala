@@ -228,6 +228,34 @@ object PipelineQueries {
       }),
 
     // ---------------- similarity search ----------------
+    // Symmetric int8 scalar quantization of the embedding column — the
+    // storage-compression step of an embedding pipeline: per-vector scale
+    // = 127/max|v|, q_i = round-half-up(v_i * scale) clamped to [-127,127].
+    // Map-only; the scale is materialized as its own column first (no CSE
+    // inside higher-order-function lambdas — see verify-skill gotchas).
+    "q_quantize" -> QueryDef(
+      (s, d) => emb(s, d)
+        .withColumn("__mx", aggregate(col("embedding"), lit(0.0d),
+          (acc, v) => greatest(acc, abs(v.cast("double")))))
+        .filter(col("__mx") > 0.0)
+        .withColumn("scale", lit(127.0) / col("__mx"))
+        // q8 rendered as a joined string: the oracle compare is scalar-
+        // column based (arrays don't sort/hash across engines)
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("embedding"), v =>
+            greatest(lit(-127L), least(lit(127L),
+              floor(v.cast("double") * col("scale") + lit(0.5)).cast("long")))
+              .cast("string"))).as("q8")),
+      Some {
+        s"""SELECT vec_id, scale,
+             array_to_string(list_transform(embedding, v -> CAST(GREATEST(-127, LEAST(127,
+               CAST(FLOOR(CAST(v AS DOUBLE) * scale + 0.5E0) AS BIGINT))) AS VARCHAR)), ',') AS q8
+           FROM (SELECT vec_id, embedding, 127.0E0 / mx AS scale FROM (
+             SELECT vec_id, embedding,
+               list_aggregate(list_transform(embedding, v -> ABS(CAST(v AS DOUBLE))), 'max') AS mx
+             FROM embeddings) WHERE mx > 0.0E0)""".replaceAll("\\s+", " ")
+      }),
+
     "q_ann_topk" -> QueryDef(
       (s, d) => {
         val e = emb(s, d)
