@@ -108,6 +108,27 @@ class BinningSpec extends SparkSpecBase {
     assert(spark.conf.getOption(fbKey) == before, "conf mutated at execution time")
   }
 
+  test("dense-chunk and sparse flat-key paths agree on random shapes") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 3) {
+      // product > 4096 -> dense regime by default; values straddle the
+      // range so the NULL-key drop is exercised on both paths
+      val n1 = 70 + rnd.nextInt(60); val n2 = 70 + rnd.nextInt(60)
+      val data = Seq.fill(5000)((rnd.nextDouble() * 120.0 - 10.0, rnd.nextDouble() * 120.0 - 10.0))
+      val axes = Seq(BinAxis("a", n1, 0.0, 100.0), BinAxis("b", n2, 0.0, 100.0))
+      val dense = Binning.histogram(data.toDF("a", "b"), axes)
+        .as[(Long, Long, Long)].collect().toSet
+      // independent session with the dense path disabled -> sparse flat key
+      val s2 = spark.newSession()
+      s2.conf.set(Binning.DenseMaxBinsKey, "1")
+      val df2 = s2.createDataFrame(data).toDF("a", "b")
+      val sparse = Binning.histogram(df2, axes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dense == sparse, s"paths disagree for ${n1}x$n2")
+      assert(dense.nonEmpty)
+    }
+  }
+
   test("range drop is NOT pushed through an expensive transform chain") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     // chain: dfield bilinear (marked UserDefinedExpression) -> derived axis
