@@ -42,13 +42,17 @@ final class Hdf5File(bytes: Array[Byte]) {
     val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
     require((0 until 8).forall(i => bytes(i) == sig(i)), "not an HDF5 file (bad signature)")
     u8(8) match {
-      case 0 | 1 =>
+      case v @ (0 | 1) =>
         require(u8(13) == 8 && u8(14) == 8, "only 8-byte offsets/lengths supported")
-        // root group symbol table entry at 24 + 4*8 = 56; header addr at +8
-        addr(56 + 8)
+        // v1 inserts 4 bytes (indexed-storage K + reserved) before the
+        // address block; the root symbol table entry follows 4 addresses,
+        // and its object header address is its second 8-byte field
+        val symEntry = (if (v == 1) 28 else 24) + 4 * 8
+        addr(symEntry + 8)
       case 2 | 3 =>
         require(u8(9) == 8 && u8(10) == 8, "only 8-byte offsets/lengths supported")
-        addr(12 + 8 + 8) // base, sb-extension, eof -> root header
+        // fields: base@12, sb-extension@20, EOF@28, root header@36
+        addr(12 + 8 + 8 + 8)
       case v => throw new UnsupportedOperationException(s"superblock v$v")
     }
   }
@@ -214,9 +218,13 @@ final class Hdf5File(bytes: Array[Byte]) {
       var p = m.bodyPos + (if (ver == 1) 8 else 2)
       for (_ <- 0 until nf) {
         val id = u16(p)
-        val nameLen = if (ver == 1 || id >= 256) u16(p + 2) else 0
-        val ncv = u16(p + 6)
-        p += 8 + (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen)
+        // v2 descriptions for pre-registered filters (id < 256) omit the
+        // Name Length field entirely: flags@p+2, ncv@p+4, 6-byte header
+        val hasNameLen = ver == 1 || id >= 256
+        val nameLen = if (hasNameLen) u16(p + 2) else 0
+        val ncv = if (hasNameLen) u16(p + 6) else u16(p + 4)
+        p += (if (hasNameLen) 8 else 6) +
+          (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen)
         val cvs = Array.tabulate(ncv)(i => u32(p + i * 4).toInt)
         p += ncv * 4
         if (ver == 1 && ncv % 2 == 1) p += 4

@@ -17,6 +17,32 @@ import org.apache.spark.sql.types.StructType
   */
 object SedReader {
 
+  /** Timestamp format of the mpes `FirstEventTimeStamp` attribute —
+    * flexible like the reference's `%Y-%m-%dT%H:%M:%S.%f%z`: 0–9
+    * fractional digits and `Z` / `±HH:MM` / `±HHMM` / `±HH` offsets. */
+  private[io] val FirstEventTsFormat: java.time.format.DateTimeFormatter = {
+    import java.time.format.DateTimeFormatterBuilder
+    import java.time.temporal.ChronoField
+    new DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .optionalStart()
+      .appendFraction(ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .optionalStart().appendOffset("+HH:MM", "Z").optionalEnd()
+      .optionalStart().appendOffset("+HHMM", "Z").optionalEnd()
+      .optionalStart().appendOffset("+HH", "Z").optionalEnd()
+      .toFormatter()
+  }
+
+  /** Epoch seconds of a file's first event: the parsed attribute when
+    * present, else the file's modification time (reference fallback). */
+  private[io] def firstEventSeconds(attr: Option[String], mtimeMillis: => Long): Double =
+    attr match {
+      case Some(s) =>
+        java.time.OffsetDateTime.parse(s, FirstEventTsFormat).toInstant.toEpochMilli / 1000.0
+      case None => mtimeMillis / 1000.0
+    }
+
   /** Read a file, folder, or glob in the given format. */
   def read(spark: SparkSession, path: String, format: String = "parquet",
            schema: Option[StructType] = None): DataFrame = {
@@ -95,7 +121,9 @@ object SedReader {
     val withTs = timestamps
     val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size)).flatMap {
       case (path, fid) =>
-        val f = Hdf5File.fromHadoop(path, new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val f = Hdf5File.fromHadoop(path, conf)
         val byName = f.rootNames.filter(_.startsWith("Stream_"))
           .flatMap(s => f.attributes(s).get("Name").map(_.toString -> s)).toMap
         val cols = chs.map(c => f.readDoubles(byName.getOrElse(c,
@@ -104,10 +132,12 @@ object SedReader {
         require(cols.forall(_.length == n), s"unequal stream lengths in $path")
         val tsOf: Int => Double = if (withTs) {
           val markers = f.readDoubles(msMarkersKey)
-          val t0 = java.time.OffsetDateTime.parse(
-            f.attributes("/")(firstEventTimeStampKey).toString,
-            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSZ"))
-            .toInstant.toEpochMilli / 1000.0
+          // reference semantics (loader/mpes/loader.py get_start_and_end_time):
+          // %f%z accepts 1-6 fractional digits and ±HH:MM / ±HHMM / Z
+          // offsets; a missing attribute degrades to the file mtime
+          val t0 = firstEventSeconds(
+            f.attributes("/").get(firstEventTimeStampKey).map(_.toString),
+            hp.getFileSystem(conf).getFileStatus(hp).getModificationTime)
           (i: Int) => {
             // ms elapsed = count of markers <= i (searchsorted right)
             var lo = 0; var hi = markers.length

@@ -104,6 +104,15 @@ object Binning {
     math.min(MaxChunkBits, math.max(0, bits))
   }
 
+  /** Whether the dense-chunk path can keep a map task's chunk-group count
+    * under the ObjectHashAggregate sort fallback. chunkBits caps the chunk
+    * width at 2^MaxChunkBits, so once `denseMaxBins` is raised past
+    * `threshold · 2^16` the group count would exceed the threshold and
+    * every task would silently sort-fallback — in that regime the sparse
+    * flat-key path is the right plan and the caller must fall through. */
+  private[graft] def denseViable(total: Long, fallbackThreshold: Long): Boolean =
+    (total + (1L << MaxChunkBits) - 1) >> MaxChunkBits <= math.max(8L, fallbackThreshold - 8)
+
   /** The histogram aggregation core, shared by every N-d entry point.
     *
     * Multi-axis bin tuples are first collapsed into ONE row-major long key
@@ -159,10 +168,10 @@ object Binning {
     val key = bins.zip(strides).map { case ((nm, _), st) => col(nm) * lit(st) }.reduce(_ + _)
     val ss = withIdx.sparkSession
     val denseMax = ss.conf.getOption(DenseMaxBinsKey).map(_.toLong).getOrElse(DefaultDenseMaxBins)
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fb = ss.conf.get(fbKey, "128").toLong
     val keyed =
-      if (total > MinDenseBins && total <= denseMax) {
-        val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-        val fb = ss.conf.get(fbKey, "128").toLong
+      if (total > MinDenseBins && total <= denseMax && denseViable(total, fb)) {
         val bits = chunkBits(total, ss.sparkContext.defaultParallelism, fb)
         val cs = 1L << bits
         withIdx.select(key.as("__k"))

@@ -106,6 +106,64 @@ class Hdf5Spec extends SparkSpecBase {
     assert(f.readDoubles("/grp/ids").sameElements(Array(10.0, 20.0, -30.0, 40.0)))
   }
 
+  test("latest format round-trips: superblock v3, OHDR v2 links, v2 filter pipeline") {
+    import Hdf5Writer._
+    val dir = Files.createTempDirectory("h5latest").toString
+    val path = s"$dir/latest.h5"
+    // low-entropy values so deflate genuinely shrinks the file
+    val data = Array.tabulate(37 * 19)(i => math.floor(math.sin(i * 0.01) * 100))
+    val wave = ChunkedDoubleDataset("wave", Seq(37L, 19L), Seq(16, 8), data,
+      attrs = Seq("units" -> "counts")) // shuffle + deflate by default
+    val flat = DoubleDataset("flat", Seq(5L), Array(1.0, 2.0, 3.0, 4.0, 5.0))
+    val grp = Group("g", Seq(wave, flat), attrs = Seq("NX_class" -> "NXdata"))
+    Hdf5Writer.write(Seq(grp), Seq("creator" -> "graft", "n" -> 42L), path, Latest)
+
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes(8) == 3, "file must carry a v3 superblock")
+    assert(bytes.length < data.length * 8, "deflate must shrink the payload")
+    val f = Hdf5File.fromPath(Paths.get(path))
+    assert(f.rootNames == Seq("g"))
+    assert(f.attributes("/")("creator") == "graft")
+    assert(f.attributes("/")("n") == 42L)
+    assert(f.shape("/g/wave") == Seq(37L, 19L))
+    assert(f.readDoubles("/g/wave").sameElements(data))
+    assert(f.attributes("/g/wave")("units") == "counts")
+    assert(f.readDoubles("/g/flat").toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
+
+  test("superblock v1 round-trips (4-byte K-field shift before the address block)") {
+    import Hdf5Writer._
+    val dir = Files.createTempDirectory("h5v1").toString
+    val path = s"$dir/v1.h5"
+    val d = DoubleDataset("x", Seq(3L), Array(1.25, -2.5, 3.75), attrs = Seq("k" -> 7L))
+    Hdf5Writer.write(Seq(d), Seq("creator" -> "graft"), path, ClassicV1)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes(8) == 1, "file must carry a v1 superblock")
+    val f = Hdf5File.fromPath(Paths.get(path))
+    assert(f.rootNames == Seq("x"))
+    assert(f.readDoubles("/x").toSeq == Seq(1.25, -2.5, 3.75))
+    assert(f.attributes("/x")("k") == 7L)
+  }
+
+  test("classic chunked deflate+shuffle round-trips (v1 filter pipeline, edge chunks)") {
+    import Hdf5Writer._
+    val dir = Files.createTempDirectory("h5chunk").toString
+    val path = s"$dir/chunked.h5"
+    // 3-D with chunk dims that do NOT divide the dataset dims: edge chunks
+    // are zero-padded on write and clipped on read
+    val dims = Seq(5L, 7L, 11L)
+    val data = Array.tabulate(5 * 7 * 11)(_.toDouble)
+    val ds = ChunkedDoubleDataset("cube", dims, Seq(2, 3, 4), data)
+    Hdf5Writer.write(Seq(ds), Nil, path, ClassicV0)
+    val f = Hdf5File.fromPath(Paths.get(path))
+    assert(f.shape("/cube") == dims)
+    assert(f.readDoubles("/cube").sameElements(data))
+    // deflate-only variant (no shuffle) exercises the single-filter path
+    val p2 = s"$dir/deflate_only.h5"
+    Hdf5Writer.write(Seq(ds.copy(name = "cube2", shuffle = false)), Nil, p2, ClassicV0)
+    assert(Hdf5File.fromPath(Paths.get(p2)).readDoubles("/cube2").sameElements(data))
+  }
+
   test("nexus export writes an NXdata HDF5 file with signal, axes, and counts") {
     import spark.implicits._
     val axes = Seq(graft.operators.BinAxis("a", 2, 0.0, 2.0), graft.operators.BinAxis("b", 3, 0.0, 3.0))

@@ -173,6 +173,25 @@ class IoSpec extends SparkSpecBase {
     assert(cube.toSeq == Seq(2.0, 0.0, 0.0, 0.0, 0.0, 1.0)) // (0,0)=2, (1,2)=1
   }
 
+  test("FirstEventTimeStamp parsing: flexible fractions/offsets, mtime fallback") {
+    import SedReader.firstEventSeconds
+    // µs precision with a colon offset — the shape the strict pattern rejected
+    val t = firstEventSeconds(Some("2023-01-30T15:38:07.123456+01:00"), 0L)
+    assert(t == java.time.OffsetDateTime
+      .parse("2023-01-30T15:38:07.123456+01:00").toInstant.toEpochMilli / 1000.0)
+    // %z also accepts the compact +HHMM form — both must agree
+    assert(firstEventSeconds(Some("2023-01-30T15:38:07.123456+0100"), 0L) == t)
+    // ms precision + Z, and no fraction at all
+    assert(firstEventSeconds(Some("1970-01-01T00:00:01.500Z"), 0L) == 1.5)
+    assert(firstEventSeconds(Some("1970-01-01T00:00:02Z"), 0L) == 2.0)
+    // missing attribute degrades to the file modification time
+    assert(firstEventSeconds(None, 1700000000123L) == 1700000000.123)
+    // unparseable input still fails loudly
+    intercept[java.time.format.DateTimeParseException] {
+      firstEventSeconds(Some("not-a-timestamp"), 0L)
+    }
+  }
+
   test("binned export writes data + axis metadata") {
     val dir = Files.createTempDirectory("graft_io").toString
     val axes = Seq(BinAxis("value", 10, 0.0, 500.0))

@@ -108,6 +108,33 @@ class BinningSpec extends SparkSpecBase {
     assert(spark.conf.getOption(fbKey) == before, "conf mutated at execution time")
   }
 
+  test("dense path is skipped when 2^16-wide chunks would trip the agg fallback") {
+    // boundary algebra: default threshold 128 caps the dense regime at
+    // ~120 * 2^16 bins regardless of how high denseMaxBins is raised
+    assert(Binning.denseViable(1L << 22, 128))
+    assert(!Binning.denseViable(1L << 24, 128)) // 256 chunks > 120
+    assert(Binning.denseViable(1L << 24, 1024)) // raised threshold unlocks it
+    // functional: denseMaxBins raised past threshold*2^16 must fall through
+    // to the sparse flat-key plan (not ship a sort-fallback dense plan)
+    val denseHist = Binning.histogram(
+      events.withColumn("m", ($"event_id" % 97).cast("double")),
+      Seq(BinAxis("value", 50, 0.0, 500.0), BinAxis("user_id", 50, 0.0, 150.0),
+        BinAxis("m", 20, 0.0, 97.0)))
+    assert(denseHist.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dense_hist_chunk"), "sanity: dense regime uses the chunk aggregate")
+    val s2 = spark.newSession()
+    s2.conf.set(Binning.DenseMaxBinsKey, (1L << 26).toString)
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(2000)((rnd.nextDouble() * 100, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+    val df = s2.createDataFrame(data).toDF("a", "b", "c")
+    val axes = Seq(BinAxis("a", 300, 0.0, 100.0), BinAxis("b", 300, 0.0, 100.0),
+      BinAxis("c", 300, 0.0, 100.0)) // 2.7e7 bins: <= denseMaxBins, not denseViable
+    val hist = Binning.histogram(df, axes)
+    assert(!hist.queryExecution.executedPlan.toString.toLowerCase.contains("dense_hist_chunk"),
+      "plan must fall through to the sparse flat-key path")
+    assert(hist.agg(sum("cnt")).head().getLong(0) == 2000L)
+  }
+
   test("dense-chunk and sparse flat-key paths agree on random shapes") {
     val rnd = new scala.util.Random(23)
     for (_ <- 0 until 3) {
