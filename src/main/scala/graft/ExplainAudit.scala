@@ -19,6 +19,7 @@ object ExplainAudit {
       // Spark 4 formatted plans tag codegen'd operators "[codegen id : N]"
       val codegenIds = "codegen id : (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
       println("CodegenSpans: " + codegenIds.size)
+      if (sys.env.contains("GRAFT_EXPLAIN_FULL")) println(plan)
     }
     spark.stop()
   }

@@ -34,6 +34,8 @@ object PipelineQueries {
   private val IvfStride = 50 // centroid sample: every 50th vec_id
   private val IvfNprobe = 2
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
+  private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
+  private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
 
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
@@ -413,6 +415,82 @@ object PipelineQueries {
                  FROM (SELECT doc_id, CAST(len($toksSqlFrag) AS BIGINT) AS n_tok
                        FROM documents)
                  WHERE n_tok >= 1)""".replaceAll("\\s+", " ")
+      }),
+
+    // Benchmark decontamination — flag training documents sharing any
+    // word n-gram with the eval set (docs with doc_id % DecontamMod == 0
+    // stand in for a held-out benchmark). The eval shingle-hash set is
+    // tiny by construction (benchmarks are), so it BROADCASTS: the train
+    // side is one map-side explode + broadcast left join, and the only
+    // big shuffle is the per-doc distinct-count aggregation. n_contam is
+    // the number of distinct contaminated n-grams per doc (0 = clean).
+    "q_decontaminate" -> QueryDef(
+      (s, d) => {
+        val sh = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
+          .filter(size(col("__toks")) >= ShingleN)
+          .select(col("doc_id"),
+            explode(transform(TextFunctions.shingles(col("__toks"), ShingleN),
+              expr_hash32 _)).as("h"))
+        val ev = sh.filter(col("doc_id") % DecontamMod === 0)
+          .select(col("h")).distinct().withColumn("__m", lit(1))
+        sh.filter(col("doc_id") % DecontamMod =!= 0)
+          .join(broadcast(ev), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(countDistinct(when(col("__m") === 1, col("h"))).as("n_contam"))
+      },
+      Some {
+        val shFrag = shinglesSqlFrag("l", ShingleN)
+        s"""WITH sh AS (
+             SELECT doc_id, ${hash32Frag("sg")} AS h FROM (
+               SELECT doc_id, unnest($shFrag) AS sg
+               FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents)
+               WHERE len(l) >= $ShingleN)),
+           ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $DecontamMod = 0)
+           SELECT s.doc_id, COUNT(DISTINCT e.h) AS n_contam
+           FROM (SELECT doc_id, h FROM sh WHERE doc_id % $DecontamMod <> 0) s
+           LEFT JOIN ev e USING (h)
+           GROUP BY s.doc_id""".replaceAll("\\s+", " ")
+      }),
+
+    // Sequence packing — the pre-training step after chunking: documents
+    // are laid end-to-end per source shard (deterministic doc_id order)
+    // and cut into fixed PackTokens-budget packs; a document spans every
+    // pack its token range overlaps. One window cumsum per source
+    // (shuffle on source + in-partition sort) + a bounded sequence
+    // explode — no global single-task window.
+    "q_pack_sequences" -> QueryDef(
+      (s, d) => {
+        val w = PackTokens
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") >= 1)
+          .withColumn("st", sum("n_tok").over(win) - col("n_tok"))
+          .select(col("doc_id"), col("source"), col("st"), col("n_tok"),
+            explode(sequence(expr(s"st div $w"),
+              expr(s"(st + n_tok - 1) div $w"))).as("pack_id"))
+          .select(col("doc_id"), col("source"), col("pack_id"),
+            (greatest(col("st"), col("pack_id") * w) - col("st")).as("tok_start"),
+            (least(col("st") + col("n_tok"), (col("pack_id") + 1) * w) - col("st")).as("tok_end"))
+      },
+      Some {
+        val w = PackTokens
+        s"""SELECT doc_id, source, pack_id,
+             GREATEST(st, pack_id * $w) - st AS tok_start,
+             LEAST(st + n_tok, (pack_id + 1) * $w) - st AS tok_end
+           FROM (
+             SELECT doc_id, source, st, n_tok,
+               unnest(generate_series(st // $w, (st + n_tok - 1) // $w)) AS pack_id
+             FROM (
+               SELECT doc_id, source, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok
+                      AS BIGINT) AS st
+               FROM (SELECT doc_id, source,
+                       CAST(len($toksSqlFrag) AS BIGINT) AS n_tok FROM documents)
+               WHERE n_tok >= 1))""".replaceAll("\\s+", " ")
       }),
 
     // Deterministic stratified sampling — the data-mixture step of a
