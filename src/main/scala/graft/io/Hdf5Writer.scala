@@ -386,6 +386,10 @@ object Hdf5Writer {
   /** Chunk-index B-tree (v1, single leaf); returns its address. */
   private def writeChunkBtree(out: Buf, rank: Int,
                               entries: Seq[(Seq[Long], Long, Int)]): Long = {
+    // one leaf node; 2K entries at the default indexed-storage K=32 is
+    // the conformant per-node bound -- callers size chunks to fit
+    require(entries.size <= 64,
+      s"minimal writer supports <= 64 chunks per dataset, got ${entries.size}")
     out.pad8()
     val addr = out.pos
     out.bytes("TREE".getBytes("US-ASCII"))

@@ -99,7 +99,7 @@ object SedWriter {
     * bin-center dataset per axis. Driver-local like denseCube (export of
     * a plot-sized cube). Round-trip readable by [[Hdf5File]]. */
   def nexus(hist: DataFrame, axes: Seq[BinAxis], path: String,
-            cntCol: String = "cnt"): Unit = {
+            cntCol: String = "cnt", compress: Boolean = false): Unit = {
     import Hdf5Writer._
     val cube = denseCube(hist, axes, cntCol)
     val axisSets = axes.map { a =>
@@ -107,8 +107,19 @@ object SedWriter {
       DoubleDataset(a.col, Seq(a.nBins.toLong), centers,
         attrs = Seq("long_name" -> a.col))
     }
-    val counts = DoubleDataset("counts", axes.map(_.nBins.toLong), cube,
-      attrs = Seq("long_name" -> "counts"))
+    val dims = axes.map(_.nBins.toLong)
+    // compressed cubes: shuffle+deflate chunked layout (physics cubes are
+    // mostly-empty -> order-of-magnitude smaller files). Chunk count is
+    // kept <= 64 (one conformant chunk B-tree leaf at the default
+    // indexed-storage K=32), splitting each axis ~64^(1/rank) ways
+    val counts =
+      if (compress) {
+        val splits = math.max(1, math.pow(64.0, 1.0 / dims.size).toInt)
+        val chunkDims = dims.map(d => (((d + splits - 1) / splits)).toInt)
+        ChunkedDoubleDataset("counts", dims, chunkDims, cube,
+          attrs = Seq("long_name" -> "counts"))
+      } else DoubleDataset("counts", dims, cube,
+        attrs = Seq("long_name" -> "counts"))
     val data = Group("data", counts +: axisSets, attrs = Seq(
       "NX_class" -> "NXdata",
       "signal" -> "counts",

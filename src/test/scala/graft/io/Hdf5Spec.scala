@@ -184,6 +184,25 @@ class Hdf5Spec extends SparkSpecBase {
     assert(f.readDoubles("/entry/data/a").toSeq == Seq(0.5, 1.5))
     assert(f.readDoubles("/entry/data/b").toSeq == Seq(0.5, 1.5, 2.5))
   }
+  test("compressed nexus export: identical cube, much smaller file") {
+    val axes = Seq(graft.operators.BinAxis("a", 64, 0.0, 64.0),
+      graft.operators.BinAxis("b", 64, 0.0, 64.0))
+    val df = spark.range(1000)
+      .selectExpr("CAST(id % 64 AS DOUBLE) AS a", "CAST((id * 7) % 64 AS DOUBLE) AS b")
+    val hist = graft.operators.Binning.histogram(df, axes)
+    val dir = Files.createTempDirectory("nexusz").toString
+    SedWriter.nexus(hist, axes, s"$dir/plain.nxs")
+    SedWriter.nexus(hist, axes, s"$dir/packed.nxs", compress = true)
+    val plain = Hdf5File.fromPath(Paths.get(s"$dir/plain.nxs"))
+    val packed = Hdf5File.fromPath(Paths.get(s"$dir/packed.nxs"))
+    assert(packed.readDoubles("/entry/data/counts")
+      .sameElements(plain.readDoubles("/entry/data/counts")))
+    assert(packed.attributes("/entry/data")("signal") == "counts")
+    val szPlain = Files.size(Paths.get(s"$dir/plain.nxs"))
+    val szPacked = Files.size(Paths.get(s"$dir/packed.nxs"))
+    assert(szPacked < szPlain / 2, s"compressed $szPacked vs plain $szPlain")
+  }
+
   test("readTrainH5 explodes the real sxp file into per-hit rows") {
     assume(have(sxp))
     import org.apache.spark.sql.functions._
