@@ -119,6 +119,25 @@ object RelationalQueries {
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
         .replaceAll("\\s+", " "))),
 
+    // Top-k per group: the 3 highest-value orders per priority class.
+    // rank <= k over a window is planned as WindowGroupLimit in Spark 4:
+    // each map task keeps a bounded k-heap per group BEFORE the shuffle,
+    // so the exchange carries k rows per (task, group) instead of the
+    // full fact table — the scale-correct shape for per-group leaders.
+    "q_topk_per_group" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rk"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        FROM orders QUALIFY rk <= 3""".replaceAll("\\s+", " "))),
+
     // Rollup aggregate over the region -> nation hierarchy.
     "q_rollup" -> QueryDef(
       (s, d) => {
