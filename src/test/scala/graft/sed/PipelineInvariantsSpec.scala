@@ -1,0 +1,66 @@
+package graft.sed
+
+import graft.{SparkEntry, SparkSpecBase}
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the round-5 pipeline queries — properties the
+  * DuckDB hash-match cannot express (it proves Spark == oracle, not that
+  * both compute the *intended* thing). */
+class PipelineInvariantsSpec extends SparkSpecBase {
+
+  test("q_pack_sequences: slices tile each document exactly and respect the pack budget") {
+    import graft.functions.TextFunctions.tokens
+    val packs = SparkEntry.queries("q_pack_sequences")(spark, Sf).cache()
+    val w = 128L
+
+    // each slice is non-empty and no longer than the pack budget
+    assert(packs.filter(col("tok_end") <= col("tok_start")).count() == 0)
+    assert(packs.filter(col("tok_end") - col("tok_start") > w).count() == 0)
+
+    // per document: slices are disjoint, contiguous from 0, and sum to n_tok
+    val docTok = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 1)
+    val tiled = packs.groupBy("doc_id").agg(
+      sum(col("tok_end") - col("tok_start")).as("covered"),
+      min("tok_start").as("first_start"),
+      max("tok_end").as("last_end"),
+      count(lit(1)).as("n_slices"))
+      .join(docTok, "doc_id")
+    assert(tiled.filter(col("covered") =!= col("n_tok")).count() == 0,
+      "slice lengths must sum to the doc's token count")
+    assert(tiled.filter(col("first_start") =!= 0 || col("last_end") =!= col("n_tok")).count() == 0)
+    // every tokenized document appears
+    assert(tiled.count() == docTok.count())
+
+    // per (source, pack): assigned token mass never exceeds the budget
+    val packLoad = packs.groupBy("source", "pack_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("load"))
+    assert(packLoad.filter(col("load") > w).count() == 0)
+    // and every pack except the last of each source is exactly full
+    val lastPack = packs.groupBy("source").agg(max("pack_id").as("last"))
+    val full = packLoad.join(lastPack, "source")
+      .filter(col("pack_id") < col("last"))
+    assert(full.filter(col("load") =!= w).count() == 0,
+      "interior packs must be exactly full")
+    packs.unpersist()
+  }
+
+  test("q_decontaminate: eval docs excluded, verbatim copies of eval docs flagged") {
+    val out = SparkEntry.queries("q_decontaminate")(spark, Sf).cache()
+    // no eval (doc_id % 97 == 0) rows in the output
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(out.filter(col("n_contam") < 0).count() == 0)
+
+    // ground truth: a train doc sharing its full text with an eval doc
+    // (the documents fixture is near-duplicate-heavy) must be flagged
+    val ev = documents.filter(col("doc_id") % 97 === 0).select(col("text").as("et"))
+    val copies = documents.filter(col("doc_id") % 97 =!= 0)
+      .join(ev, col("text") === col("et"))
+      .select("doc_id").distinct()
+    val missed = copies.join(out.filter(col("n_contam") > 0), Seq("doc_id"), "left_anti")
+    if (copies.count() > 0)
+      assert(missed.count() == 0, "verbatim eval copies must have n_contam > 0")
+    out.unpersist()
+  }
+}
