@@ -28,12 +28,13 @@ object StreamingQueries {
     * partitioning at first start from `spark.sql.shuffle.partitions`, and
     * every micro-batch commits one state-store delta PER PARTITION PER
     * STORE — at the session default of 32 that fixed commit overhead
-    * dominates the driver-fed MemoryStream runs 3-to-1 (measured 6.1 s →
-    * 2.5 s at 8 for the stream-stream join). 8 keeps the harness honest
-    * (state is still partitioned and shuffled) without paying 32 ways for
-    * a small feed; production jobs reusing [[SedStreaming]] inherit their
-    * own session's setting. Applied on a CLONED session so the caller's
-    * conf is never mutated. */
+    * dominates the driver-fed MemoryStream runs ~3-to-1 (measured 6.1 s
+    * vs 2.5 s per single-batch run at 8 partitions for the stream-stream
+    * join; flat below 8). 8 keeps the harness honest (state is still
+    * partitioned and shuffled) without paying 32 ways for a small feed;
+    * production jobs reusing [[SedStreaming]] inherit their own
+    * session's setting. Applied on a CLONED session so the caller's conf
+    * is never mutated. */
   private val StatePartitions = 8
 
   private def streamSession(s: SparkSession): SparkSession = {
@@ -48,21 +49,30 @@ object StreamingQueries {
   private val Watermark = "30 minutes"
   private val ToleranceSec = 600
 
-  private def feed3[T <: Product : org.apache.spark.sql.Encoder](
-      s: SparkSession, rows: Seq[T]): MemoryStream[T] = {
+  private def emptyStream[T <: Product : org.apache.spark.sql.Encoder](
+      s: SparkSession): MemoryStream[T] = {
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ms = MemoryStream[T]
-    // 3 chunks => 3 micro-batches: state carries across triggers, the
-    // watermark actually advances — a single batch would not exercise
-    // incremental execution at all
-    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach(c => ms.addData(c))
-    ms
+    MemoryStream[T]
   }
 
-  private def runToTable(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+  private def chunk3[T](rows: Seq[T]): Seq[Seq[T]] =
+    rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+
+  /** Start the query, then feed each chunk and drain it as its OWN
+    * micro-batch (addData interleaved with processAllAvailable). Data
+    * added entirely before start would be served as ONE batch (the
+    * MemoryStream read limit is all-available), so state would never
+    * carry across triggers and the watermark would never advance —
+    * interleaving is what makes these entries exercise real incremental
+    * execution. Event-time-ordered chunks + a watermark delay far larger
+    * than the join tolerance / session gap keep the emitted row set
+    * identical to the batch plan (spec-asserted). */
+  private def runChunked(s: SparkSession, out: DataFrame, mode: String)
+                        (feedChunk: Int => Unit, nChunks: Int): DataFrame = {
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try (0 until nChunks).foreach { i => feedChunk(i); q.processAllAvailable() }
+    finally q.stop()
     s.table(name)
   }
 
@@ -74,10 +84,12 @@ object StreamingQueries {
     val rows = Tables.events(s0, d)
       .selectExpr("CAST(user_id AS BIGINT) AS u", "ts div 1000 AS ts_us")
       .as[(Long, Long)].collect().sortBy(_._2).toSeq
-    val src = feed3(s, rows).toDF().toDF("user_id", "ts_us")
+    val ms = emptyStream[(Long, Long)](s)
+    val src = ms.toDF().toDF("user_id", "ts_us")
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
     val sess = SedStreaming.sessionize(src, "ts", "user_id", Watermark, SessionGap)
-    runToTable(s, sess, "complete")
+    val cks = chunk3(rows)
+    runChunked(s, sess, "complete")(i => ms.addData(cks(i)), cks.size)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),
@@ -96,17 +108,26 @@ object StreamingQueries {
         "CAST(value AS DOUBLE) AS v")
       .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
     val sensorRows = base.filter(_._1 % 100 == 0)
-    val evStream = feed3(s, base).toDF().toDF("event_id", "ts_us", "v")
+    val evMs = emptyStream[(Long, Long, Double)](s)
+    val snMs = emptyStream[(Long, Long, Double)](s)
+    val evStream = evMs.toDF().toDF("event_id", "ts_us", "v")
       .withColumn("ets", expr("timestamp_micros(ts_us)"))
       .select("event_id", "ets")
-    val snStream = feed3(s, sensorRows).toDF().toDF("sensor_id", "sts_us", "reading")
+    val snStream = snMs.toDF().toDF("sensor_id", "sts_us", "reading")
       .withColumn("sts", expr("timestamp_micros(sts_us)"))
       .select("sensor_id", "sts", "reading")
     val joined = SedStreaming.enrichWithSensor(evStream, snStream,
       "ets", "sts", Watermark, ToleranceSec)
       .select(col("event_id"), unix_micros(col("ets")).as("ets_us"),
         col("sensor_id"), unix_micros(col("sts")).as("sts_us"), col("reading"))
-    runToTable(s, joined, "append")
+    // both sides chunked over the SAME time ranges (both are sorted by
+    // ts), so each micro-batch advances the two watermarks together
+    val evCks = chunk3(base)
+    val snCks = chunk3(sensorRows)
+    runChunked(s, joined, "append")({ i =>
+      if (i < evCks.size) evMs.addData(evCks(i))
+      if (i < snCks.size) snMs.addData(snCks(i))
+    }, math.max(evCks.size, snCks.size))
   }
 
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
