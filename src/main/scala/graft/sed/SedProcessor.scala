@@ -198,6 +198,31 @@ case class SedProcessor(dataframe: DataFrame,
     * with normalize_to_acquisition_time). */
   def computeNormalized(axes: Seq[BinAxis], normAxis: BinAxis): DataFrame =
     Binning.normalizedHistogram(dataframe, requireTimed, axes, normAxis)
+
+  /** Inverse-deformation-field estimation from landmark pairs
+    * (processor.py:637 generate_splinewarp / momentum.py:627): driver-side
+    * thin-plate-spline solve; feed the result to
+    * [[applyMomentumCorrection]] and persist it via `CalibrationStore`. */
+  def generateSplinewarp(srcLandmarks: Seq[(Double, Double)],
+                         dstLandmarks: Seq[(Double, Double)],
+                         rows: Int, cols: Int): MomentumCorrection.Dfield =
+    MomentumCorrection.splineWarp(
+      srcLandmarks.map(_._1).toArray, srcLandmarks.map(_._2).toArray,
+      dstLandmarks.map(_._1).toArray, dstLandmarks.map(_._2).toArray,
+      rows, cols)
+
+  /** Compute + export in one call, dispatched on the file extension
+    * (processor.py:2481 save: tiff / NeXus-HDF5 / everything else as
+    * parquet data + axis metadata). `compress` applies to NeXus cubes. */
+  def save(path: String, axes: Seq[BinAxis], compress: Boolean = false): Unit = {
+    val hist = compute(axes, withCenters = false)
+    val lower = path.toLowerCase
+    if (lower.endsWith(".tiff") || lower.endsWith(".tif"))
+      graft.io.SedWriter.tiff(hist, axes, path)
+    else if (lower.endsWith(".nxs") || lower.endsWith(".nexus") || lower.endsWith(".h5"))
+      graft.io.SedWriter.nexus(hist, axes, path, compress = compress)
+    else graft.io.SedWriter.binned(hist, axes, path)
+  }
 }
 
 object SedProcessor {

@@ -54,6 +54,29 @@ class SedProcessorSpec extends SparkSpecBase {
     assert(d.forall(v => v >= -56.0 + 3.0 - 1e-9 && v <= 76.0 + 3.0 + 1e-9))
   }
 
+  test("save dispatches on extension: nexus bytes, tiff bytes, parquet+axes") {
+    val axes = Seq(BinAxis("x", 4, 0.0, 512.0), BinAxis("y", 4, 0.0, 512.0))
+    val dir = java.nio.file.Files.createTempDirectory("proc_save").toString
+    proc.save(s"$dir/cube.nxs", axes, compress = true)
+    val f = graft.io.Hdf5File.fromPath(java.nio.file.Paths.get(s"$dir/cube.nxs"))
+    assert(f.attributes("/entry/data")("signal") == "counts")
+    assert(f.readDoubles("/entry/data/counts").sum > 0)
+    proc.save(s"$dir/img.tiff", axes)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/img.tiff")) > 8)
+    proc.save(s"$dir/binned", axes)
+    assert(spark.read.parquet(s"$dir/binned/data").count() > 0)
+  }
+
+  test("generateSplinewarp: identity landmarks yield the identity field") {
+    val marks = Seq((10.0, 10.0), (10.0, 50.0), (50.0, 10.0), (50.0, 50.0), (30.0, 30.0))
+    val df = proc.generateSplinewarp(marks, marks, rows = 8, cols = 8)
+    // identity warp: rdeform(r,c) == r and cdeform(r,c) == c on the grid
+    for (r <- 0 until 8; c <- 0 until 8) {
+      assert(math.abs(df.rdeform(r * 8 + c) - r) < 1e-6)
+      assert(math.abs(df.cdeform(r * 8 + c) - c) < 1e-6)
+    }
+  }
+
   test("whole chain is one scan: no shuffle before the histogram groupBy") {
     val plan = proc
       .addJitter(Seq("tof"), "event_id", 0.5)
