@@ -130,8 +130,30 @@ object StreamingQueries {
     }, math.max(evCks.size, snCks.size))
   }
 
+  /** Incremental windowed histogram — the flagship sed streaming shape:
+    * per-event value binned within event-time windows, counts maintained
+    * as windowed state behind a watermark. */
+  def streamHistogram(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    import s.implicits._
+    val rows = Tables.events(s0, d)
+      .selectExpr("ts div 1000 AS ts_us", "CAST(value AS DOUBLE) AS v")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val ms = emptyStream[(Long, Double)](s)
+    val src = ms.toDF().toDF("ts_us", "value")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val hist = SedStreaming.streamingHistogram(src, "ts", Watermark,
+      "1 hour", Seq(graft.operators.BinAxis("value", 50, 0.0, 500.0)))
+    val cks = chunk3(rows)
+    runChunked(s, hist, "complete")(i => ms.addData(cks(i)), cks.size)
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("value_bin"), col("cnt"))
+  }
+
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
   val defs: Map[String, QueryDef] = Map(
     "q_stream_sessionize" -> QueryDef((s, d) => streamSessionize(s, d), None),
-    "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None))
+    "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None),
+    "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None))
 }

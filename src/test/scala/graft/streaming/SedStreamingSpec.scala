@@ -126,6 +126,23 @@ class SedStreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(got == batch)
   }
+  test("driver q_stream_hist equals the batch windowed histogram") {
+    val d = "/root/testdata/sf0.001"
+    val got = StreamingQueries.streamHistogram(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    val batch = graft.sed.Tables.events(spark, d)
+      .selectExpr("timestamp_micros(ts div 1000) AS ts", "CAST(value AS DOUBLE) AS value")
+      .filter(col("value") >= 0.0 && col("value") <= 500.0)
+      .select(col("ts"),
+        least(floor(col("value") / 10.0), lit(49.0)).cast("long").as("value_bin"))
+      .groupBy(window(col("ts"), "1 hour"), col("value_bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("w"), col("value_bin"), col("cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("streamingDedup drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
