@@ -119,6 +119,27 @@ object RelationalQueries {
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
         .replaceAll("\\s+", " "))),
 
+    // Salted fact-fact join: lineitem ⋈ orders through Skew.saltedJoin
+    // (factor 8). The salt spreads each order key over 8 reducers — the
+    // rewrite for hot keys too big for one reducer when neither side
+    // broadcasts — and is provably result-invariant: the oracle is the
+    // PLAIN join, so the hash-match certifies the rewrite's equivalence.
+    "q_salted_join" -> QueryDef(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.Skew.saltedJoin(li, o, "l_orderkey",
+          col("l_orderkey") + col("l_linenumber"), factor = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5)
+              .cast("long")).cast("double") / lit(10000.0)).as("revenue"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items, $revSumSql AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority""".replaceAll("\\s+", " "))),
+
     // Top-k per group: the 3 highest-value orders per priority class.
     // rank <= k over a window is planned as WindowGroupLimit in Spark 4:
     // each map task keeps a bounded k-heap per group BEFORE the shuffle,
