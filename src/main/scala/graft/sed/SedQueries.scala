@@ -364,6 +364,32 @@ object SedQueries {
             WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
           GROUP BY user_id, session""".replaceAll("\\s+", " "))),
 
+    // Batch as-of join: each event takes the latest sensor reading at or
+    // before its timestamp (every 100th event doubles as a reading; one
+    // deterministic reading per timestamp). Linear plan: union + ONE
+    // range shuffle + boundary-seeded fill (see operators.AsOf) — no
+    // candidate-pair expansion. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).selectExpr("event_id", "ts div 1000 AS ts_us")
+        val w = Window.partitionBy("sts_us").orderBy(col("sensor_id").desc)
+        val rd = events(s, d).filter(col("event_id") % 100 === 0)
+          .selectExpr("event_id AS sensor_id", "ts div 1000 AS sts_us",
+            "CAST(value AS DOUBLE) AS reading")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        graft.operators.AsOf.asofJoin(ev, rd, "ts_us", "sts_us", Seq("sensor_id", "reading"))
+      },
+      Some("""SELECT e.event_id, e.ts_us, r.sensor_id, r.reading
+          FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events) e
+          ASOF LEFT JOIN (
+            SELECT sensor_id, sts_us, reading FROM (
+              SELECT event_id AS sensor_id, epoch_us(ts) AS sts_us,
+                CAST(value AS DOUBLE) AS reading,
+                ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_id % 100 = 0) WHERE rn = 1) r
+          ON e.ts_us >= r.sts_us""".replaceAll("\\s+", " "))),
+
     // ---------------- binning ----------------
     "q_hist1d" -> QueryDef(
       (s, d) => Binning.histogram(events(s, d), Seq(AxValue)),

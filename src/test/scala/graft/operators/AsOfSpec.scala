@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("asofJoin attaches the latest reading at or before each event") {
+    val events = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 20L), (5L, 10L))
+      .toDF("event_id", "ts")
+    val readings = Seq((100L, 10L, 1.5), (200L, 18L, 2.5)).toDF("rid", "rts", "reading")
+    val out = AsOf.asofJoin(events, readings, "ts", "rts", Seq("rid", "reading"))
+      .select("event_id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(
+      1L -> None,        // before any reading
+      2L -> Some(100L),  // reading at the SAME time is included (>=)
+      5L -> Some(100L),  // every event at that time gets it
+      3L -> Some(100L),
+      4L -> Some(200L))) // superseded by the later reading
+  }
+
+  test("asofJoin matches a brute-force argmax on random data") {
+    val rnd = new scala.util.Random(11)
+    val ev = Seq.fill(500)((rnd.nextInt(10000).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((t, _), i) => (i.toLong, t) }
+    val rd = Seq.tabulate(40)(i => (i.toLong, rnd.nextInt(10000).toLong, rnd.nextDouble()))
+      .groupBy(_._2).map(_._2.maxBy(_._1)).toSeq // unique ts, max id wins
+    val got = AsOf.asofJoin(ev.toDF("event_id", "ts"),
+        rd.toDF("rid", "rts", "reading"), "ts", "rts", Seq("rid"))
+      .select("event_id", "rid").as[(Long, Option[Long])].collect().toMap
+    val expected = ev.map { case (id, t) =>
+      id -> rd.filter(_._2 <= t).sortBy(r => (r._2, r._1)).lastOption.map(_._1)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("payload column collisions are rejected loudly") {
+    val e = Seq((1L, 2L)).toDF("event_id", "ts")
+    val r = Seq((3L, 4L)).toDF("ts", "event_id")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(e, r, "ts", "ts", Seq("event_id"))
+    }
+  }
+}
