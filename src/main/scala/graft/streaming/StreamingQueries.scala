@@ -55,8 +55,16 @@ object StreamingQueries {
     MemoryStream[T]
   }
 
+  /** Rows per feed chunk are capped so the stateful operators hold at
+    * most ~one chunk of in-flight state per side (watermark eviction
+    * trails one batch): an unbounded chunk would grow join state with the
+    * dataset and OOM the single-JVM harness — a real stream trickles, so
+    * the harness should too. At least 3 chunks regardless of size. */
+  private val MaxChunkRows = 500000
+
   private def chunk3[T](rows: Seq[T]): Seq[Seq[T]] =
-    rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    rows.grouped(math.max(1,
+      math.min(rows.length / 3 + 1, MaxChunkRows))).toSeq
 
   /** Start the query, then feed each chunk and drain it as its OWN
     * micro-batch (addData interleaved with processAllAvailable). Data
