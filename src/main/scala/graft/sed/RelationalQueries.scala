@@ -119,6 +119,33 @@ object RelationalQueries {
         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
         .replaceAll("\\s+", " "))),
 
+    // Bucketized range join: events joined into value intervals derived
+    // from part with NO equality key. Spark would plan the raw inequality
+    // join as BroadcastNestedLoopJoin (quadratic + full broadcast);
+    // RangeJoin manufactures a bucket equality key instead — points hash
+    // to floor(v/width), intervals explode into overlapped buckets, exact
+    // containment prunes after an ordinary shuffled equi-join. The oracle
+    // runs the PLAIN inequality join, certifying the rewrite.
+    "q_range_join" -> QueryDef(
+      (s, d) => {
+        val pts = Tables.events(s, d).select(col("event_id"),
+          col("value").cast("double").as("value"))
+        val ivs = t(s, d, "part").filter(col("p_partkey") % 4 === 0)
+          .select(col("p_partkey"),
+            ((col("p_partkey") % 500).cast("double") - lit(0.5)).as("lo"),
+            ((col("p_partkey") % 500).cast("double") + lit(0.5)).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(pts, ivs,
+            "value", "lo", "hi", bucketWidth = 1.0)
+          .select("event_id", "p_partkey", "value")
+      },
+      Some("""SELECT event_id, p_partkey, value
+          FROM (SELECT event_id, CAST(value AS DOUBLE) AS value FROM events) e
+          JOIN (SELECT p_partkey,
+                  CAST(p_partkey % 500 AS DOUBLE) - 0.5E0 AS lo,
+                  CAST(p_partkey % 500 AS DOUBLE) + 0.5E0 AS hi
+                FROM part WHERE p_partkey % 4 = 0) i
+          ON i.lo <= e.value AND e.value <= i.hi""".replaceAll("\\s+", " "))),
+
     // Salted fact-fact join: lineitem ⋈ orders through Skew.saltedJoin
     // (factor 8). The salt spreads each order key over 8 reducers — the
     // rewrite for hot keys too big for one reducer when neither side
