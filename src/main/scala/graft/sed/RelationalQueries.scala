@@ -128,6 +128,7 @@ object RelationalQueries {
     // runs the PLAIN inequality join, certifying the rewrite.
     "q_range_join" -> QueryDef(
       (s, d) => {
+        SedQueries.ensureConfs(s) // events.parquet carries TIMESTAMP(NANOS)
         val pts = Tables.events(s, d).select(col("event_id"),
           col("value").cast("double").as("value"))
         val ivs = t(s, d, "part").filter(col("p_partkey") % 4 === 0)
