@@ -23,6 +23,14 @@ object SedWriter {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Columnar ORC sink (Spark-native; readable back via SedReader.read
+    * with format="orc"). Avro is NOT offered: the spark-avro datasource
+    * module is not on this distribution's classpath. */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Render a (small) binned result as a DENSE row-major cube on the
     * driver — the xarray `DataArray.values` analogue for plotting/export.
     * Deliberately driver-local: only valid when ∏ nBins is plot-sized;

@@ -1,6 +1,7 @@
 package graft.sed
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
@@ -36,6 +37,7 @@ object PipelineQueries {
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
   private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
+  private val TfidfTopK = 10 // salient terms kept per doc (q_tfidf)
 
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
@@ -524,6 +526,44 @@ object PipelineQueries {
       Some(s"""SELECT tok, COUNT(*) AS cnt FROM (
           SELECT UNNEST($toksSqlFrag) AS tok FROM documents)
         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".replaceAll("\\s+", " "))),
+
+    // TF-IDF salience: top-10 terms per doc by tf * ln((N+1)/(df+1)).
+    // Shuffle shape at scale: one explode->groupBy(doc,term) with map-side
+    // partial agg (the only pass over token-per-row data); the document
+    // frequencies derive from THAT table (vocab-sized) not the corpus; the
+    // corpus size N is a 1-row global aggregate broadcast-cross-joined onto
+    // the vocab table (linear — PlanAuditSpec proves the 1-row side); the
+    // top-k rank-filter plans as WindowGroupLimit. Both engines rank by the
+    // ROUNDED score (ties by term) so 1-ULP ln() drift can't flip ranks.
+    "q_tfidf" -> QueryDef(
+      (s, d) => {
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq.crossJoin(broadcast(nDocs)), "tok")
+          .withColumn("score", round(col("tf") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
+        val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+        scored.select(col("doc_id"), col("tok"), col("score"),
+            row_number().over(w).cast("long").as("rk"))
+          .filter(col("rk") <= TfidfTopK)
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST($toksSqlFrag) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tf.tok AS tok,
+            ROUND(tf * LN(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS score
+          FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n)
+        SELECT doc_id, tok, score, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+          FROM scored) WHERE rk <= $TfidfTopK""".replaceAll("\\s+", " "))),
 
     // Corpus-level stats per source: doc counts + exact char/token means
     // (integer sums, one divide — reduction-order independent).

@@ -187,6 +187,30 @@ object RelationalQueries {
                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
         FROM orders QUALIFY rk <= 3""".replaceAll("\\s+", " "))),
 
+    // Semi-structured extraction: the events `props` column carries JSON
+    // payloads; parse with a schema (JsonToStructs — codegen'd, no UDF)
+    // and aggregate the extracted field per event type. The parse is
+    // map-side, so the shuffle carries only (event_type, k) partials —
+    // schema-on-read at 100 TB costs one pass, not a conversion job.
+    "q_json_extract" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s) // events.parquet carries TIMESTAMP(NANOS)
+        Tables.events(s, d)
+          .select(col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+              .getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+          CAST(SUM(k) AS DOUBLE)/COUNT(*) AS avg_k
+        FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+        GROUP BY event_type""".replaceAll("\\s+", " "))),
+
     // Rollup aggregate over the region -> nation hierarchy.
     "q_rollup" -> QueryDef(
       (s, d) => {

@@ -20,6 +20,20 @@ class IoSpec extends SparkSpecBase {
     assert(SedReader.read(spark, s"$dir/j", "json").count() == 100)
   }
 
+  test("orc round-trips values exactly and prunes partitions") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val df = events.select("event_id", "value", "event_type").limit(100)
+    SedWriter.orc(df, s"$dir/o")
+    val back = SedReader.read(spark, s"$dir/o", "orc")
+    assert(back.count() == 100)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      df.orderBy("event_id").collect().toSeq)
+    SedWriter.orc(df, s"$dir/op", partitionBy = Seq("event_type"))
+    val one = SedReader.read(spark, s"$dir/op", "orc").filter($"event_type" === "click")
+    assert(one.count() == df.filter($"event_type" === "click").count())
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("partitioned parquet write prunes on the partition column") {
     val dir = Files.createTempDirectory("graft_io").toString
     SedWriter.parquet(events.select("event_id", "value", "event_type"),
