@@ -287,4 +287,33 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Two-phase benchmark decontamination for eval n-gram sets too large
+    * to broadcast exactly: a Bloom filter over the eval shingle hashes
+    * (~10 bits/item at 1% fpp — 10-60× smaller than the exact 64-bit
+    * set) prunes the train shingle stream MAP-SIDE, and only the
+    * surviving candidates enter the exact semi-join that removes the
+    * Bloom's false positives. Bloom filters have no false NEGATIVES, so
+    * the output is exactly the per-doc count of distinct contaminated
+    * n-grams (> 0 by construction) — phase 1 changes the cost, never
+    * the result, which is why the oracle for this operator is the plain
+    * inner-join decontamination. At 100 TB the win is twofold: the
+    * broadcast shrinks by the Bloom factor, and the exact join's probe
+    * side shrinks from every train shingle to fpp·|train| + true hits.
+    *
+    * Both inputs carry `hashCol` int64 shingle hashes (train side also
+    * `docCol`). The eval side is aggregated once (driver-side Bloom
+    * build — same eager-index pattern as Ann.buildIvfIndex). */
+  def bloomDecontaminate(trainShingles: DataFrame, evalHashes: DataFrame,
+                         docCol: String = "doc_id", hashCol: String = "h",
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val bf = evalHashes.stat.bloomFilter(hashCol, expectedItems, fpp)
+    val bc = trainShingles.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    trainShingles.filter(mightContain(col(hashCol)))
+      .join(evalHashes.select(col(hashCol)).distinct(), Seq(hashCol), "left_semi")
+      .groupBy(docCol)
+      .agg(countDistinct(col(hashCol)).as("n_contam"))
+  }
 }

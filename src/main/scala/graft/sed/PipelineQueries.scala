@@ -38,6 +38,7 @@ object PipelineQueries {
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
   private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
   private val TfidfTopK = 10 // salient terms kept per doc (q_tfidf)
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
 
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
@@ -454,6 +455,54 @@ object PipelineQueries {
            LEFT JOIN ev e USING (h)
            GROUP BY s.doc_id""".replaceAll("\\s+", " ")
       }),
+
+    // The SAME decontamination through the two-phase Bloom path
+    // (Dedup.bloomDecontaminate): a Bloom filter over the eval hashes
+    // prunes train shingles map-side before the exact semi-join removes
+    // the false positives. The oracle is the PLAIN inner-join
+    // decontamination — the hash-match certifies the Bloom phase is
+    // result-invariant (no false negatives), exactly the salted-join
+    // certification pattern.
+    "q_decontaminate_bloom" -> QueryDef(
+      (s, d) => {
+        val sh = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
+          .filter(size(col("__toks")) >= ShingleN)
+          .select(col("doc_id"),
+            explode(transform(TextFunctions.shingles(col("__toks"), ShingleN),
+              expr_hash32 _)).as("h"))
+        val ev = sh.filter(col("doc_id") % DecontamMod === 0).select(col("h"))
+        graft.operators.Dedup.bloomDecontaminate(
+          sh.filter(col("doc_id") % DecontamMod =!= 0), ev,
+          expectedItems = 100000L)
+      },
+      Some {
+        val shFrag = shinglesSqlFrag("l", ShingleN)
+        s"""WITH sh AS (
+             SELECT doc_id, ${hash32Frag("sg")} AS h FROM (
+               SELECT doc_id, unnest($shFrag) AS sg
+               FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents)
+               WHERE len(l) >= $ShingleN)),
+           ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % $DecontamMod = 0)
+           SELECT s.doc_id, COUNT(DISTINCT s.h) AS n_contam
+           FROM (SELECT doc_id, h FROM sh WHERE doc_id % $DecontamMod <> 0) s
+           JOIN ev e USING (h)
+           GROUP BY s.doc_id""".replaceAll("\\s+", " ")
+      }),
+
+    // Data-mixture pivot: doc counts per source × language as a wide
+    // table. Pivot values are DECLARED (no driver pre-pass collecting
+    // distinct langs) so the plan is one ordinary partial-agg groupBy —
+    // a pivot with explicit values costs the same as the long-form agg.
+    "q_pivot" -> QueryDef(
+      (s, d) => docs(s, d)
+        .groupBy("source")
+        .pivot("lang", PivotLangs)
+        .agg(count(lit(1)))
+        .na.fill(0L, PivotLangs),
+      Some(s"""SELECT source, ${PivotLangs.map(l =>
+            s"COUNT(*) FILTER (WHERE lang = '$l') AS \"$l\"").mkString(", ")}
+        FROM documents GROUP BY source""".replaceAll("\\s+", " "))),
 
     // Sequence packing — the pre-training step after chunking: documents
     // are laid end-to-end per source shard (deterministic doc_id order)

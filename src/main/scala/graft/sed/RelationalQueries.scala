@@ -211,6 +211,32 @@ object RelationalQueries {
         FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
         GROUP BY event_type""".replaceAll("\\s+", " "))),
 
+    // Exact per-group percentiles (linear-interpolated, the numpy/
+    // PERCENTILE_CONT definition both engines implement). Spark's exact
+    // `percentile` buffers each group's values, so this shape assumes
+    // bounded groups (event types here); at 100 TB with unbounded groups
+    // the scale path is approx_percentile (bounded-error sketch, mergeable
+    // map-side) — which can never hash-match a cross-engine oracle, so the
+    // driver-gradeable entry is the exact one. One aggregation buffer
+    // serves both percentiles (array form), ROUND(6) absorbs the engines'
+    // different interpolation orderings.
+    "q_percentiles" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        Tables.events(s, d).groupBy("event_type")
+          .agg(expr("percentile(value, array(0.5D, 0.95D))").as("__ps"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            round(element_at(col("__ps"), 1), 6).as("p50"),
+            round(element_at(col("__ps"), 2), 6).as("p95"),
+            col("n"))
+      },
+      Some("""SELECT event_type,
+          ROUND(quantile_cont(value, 0.5E0), 6) AS p50,
+          ROUND(quantile_cont(value, 0.95E0), 6) AS p95,
+          COUNT(*) AS n
+        FROM events GROUP BY event_type""".replaceAll("\\s+", " "))),
+
     // Rollup aggregate over the region -> nation hierarchy.
     "q_rollup" -> QueryDef(
       (s, d) => {

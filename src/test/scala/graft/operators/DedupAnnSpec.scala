@@ -198,4 +198,23 @@ class DedupAnnSpec extends SparkSpecBase {
       .select("cosine").as[Double].collect()
     assert(out.nonEmpty && out.forall(_ >= 0.3))
   }
+
+  test("bloomDecontaminate equals the exact join and prunes before it") {
+    // train shingle stream: docs 1-2 share hashes with the eval set,
+    // doc 3 is clean; plenty of clean hashes make pruning observable
+    val train = ((1 to 400).map(i => (3L, 1000L + i)) ++
+      Seq((1L, 10L), (1L, 11L), (1L, 11L), (2L, 12L)))
+      .toDF("doc_id", "h")
+    val eval = Seq(10L, 11L, 12L, 13L).toDF("h")
+    val got = Dedup.bloomDecontaminate(train, eval, expectedItems = 100L)
+      .as[(Long, Long)].collect().toMap
+    // exact semantics: distinct contaminated hashes per doc, clean docs absent
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    // the Bloom phase must prune the join probe side: at fpp=1% over 400
+    // clean hashes, survivors are the 4 true hits + a handful of false
+    // positives, never the whole stream
+    val bf = eval.stat.bloomFilter("h", 100L, 0.01)
+    val survivors = train.collect().count(r => bf.mightContainLong(r.getLong(1)))
+    assert(survivors < 50, s"bloom pruned nothing: $survivors of ${train.count()}")
+  }
 }
