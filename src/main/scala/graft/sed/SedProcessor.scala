@@ -3,7 +3,7 @@ package graft.sed
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.calibrate.{MomentumCalibration, MomentumCorrection}
+import graft.calibrate.{CalibrationStore, FeatureDetection, MomentumCalibration, MomentumCorrection}
 import graft.functions.SedFunctions._
 import graft.operators.{BinAxis, Binning, ColumnOffset, DfOps}
 
@@ -25,7 +25,9 @@ case class SedProcessor(dataframe: DataFrame,
                         timed: Option[DataFrame] = None,
                         xCol: String = "x", yCol: String = "y",
                         tofCol: String = "tof",
-                        attributes: Map[String, String] = Map.empty) {
+                        attributes: Map[String, String] = Map.empty,
+                        calibrations: CalibrationStore.Calibrations =
+                          CalibrationStore.Calibrations()) {
 
   private def next(df: DataFrame): SedProcessor = copy(dataframe = df)
 
@@ -70,13 +72,15 @@ case class SedProcessor(dataframe: DataFrame,
   /** Apply a SAVED/LOADED energy-correction parameter set (the
     * CalibrationStore persistence round-trip of processor.py:1072
     * save_energy_correction). */
-  def applyEnergyCorrection(p: graft.calibrate.CalibrationStore.EnergyCorrectionParams): SedProcessor =
+  def applyEnergyCorrection(p: CalibrationStore.EnergyCorrectionParams): SedProcessor =
     applyEnergyCorrection((x, y) => p.column(x, y))
+      .copy(calibrations = calibrations.copy(energyCorrection = Some(p)))
 
   /** Per-sector TOF delay alignment (processor.py:1684 align_dld_sectors). */
   def alignDldSectors(sectorCol: String, sectorDelays: Seq[Double]): SedProcessor =
     next(dataframe.withColumn(tofCol,
       sectorAlign(col(tofCol), col(sectorCol), sectorDelays)))
+      .copy(calibrations = calibrations.copy(sectorDelays = Some(sectorDelays)))
 
   /** TOF → energy axis, flight-tube model (processor.py:1471
     * append_energy_axis with calibration method "tof2ev"). */
@@ -91,6 +95,13 @@ case class SedProcessor(dataframe: DataFrame,
   def appendEnergyAxisPoly(polyA: Seq[Double], energyOffset: Double,
                            energyCol: String = "energy"): SedProcessor =
     next(dataframe.withColumn(energyCol, tof2evpoly(col(tofCol), polyA, energyOffset)))
+
+  /** Apply a FITTED polynomial energy calibration (the
+    * `EnergyCalibration.polyFit` / bias-series output; recorded for
+    * [[saveWorkflowParams]]). */
+  def appendEnergyAxisPoly(cal: graft.calibrate.EnergyCalibration.PolyCalibration): SedProcessor =
+    appendEnergyAxisPoly(cal.coeffs.toSeq, cal.e0)
+      .copy(calibrations = calibrations.copy(energy = Some(cal)))
 
   /** Energy offsets incl. weighted columns and preserve-mean
     * (processor.py:1531 add_energy_offset). */
@@ -121,6 +132,7 @@ case class SedProcessor(dataframe: DataFrame,
                               newXCol: String = "xc", newYCol: String = "yc"): SedProcessor =
     next(MomentumCorrection.applyDfield(dataframe, dfield, xCol, yCol,
       newXCol, newYCol, detectorRanges))
+      .copy(calibrations = calibrations.copy(dfield = Some(dfield)))
 
   /** Detector → k-space calibration (processor.py:964
     * apply_momentum_calibration / momentum.py:1890 append_k_axis). */
@@ -137,6 +149,7 @@ case class SedProcessor(dataframe: DataFrame,
   def appendKAxis(cal: MomentumCalibration.KCalibration): SedProcessor =
     appendKAxis(cal.rStart, cal.xCenter, cal.kxScale, cal.rStep,
       cal.cStart, cal.yCenter, cal.kyScale, cal.cStep)
+      .copy(calibrations = calibrations.copy(momentum = Some(cal)))
 
   /** Momentum axis calibration fit from two symmetry-point pixel positions
     * in a binned momentum map (processor.py:877 calibrate_momentum_axes /
@@ -164,6 +177,8 @@ case class SedProcessor(dataframe: DataFrame,
                          delayRange: (Double, Double),
                          delayCol: String = "delay"): SedProcessor =
     next(dataframe.withColumn(delayCol, adcToDelay(col(adcCol), adcRange, delayRange)))
+      .copy(calibrations = calibrations.copy(
+        delay = Some(CalibrationStore.DelayCalibration(adcRange, delayRange))))
 
   /** Delay offsets incl. flip (processor.py:1862 add_delay_offset). */
   def addDelayOffset(constant: Double = 0.0, flip: Boolean = false,
@@ -199,6 +214,31 @@ case class SedProcessor(dataframe: DataFrame,
   def computeNormalized(axes: Seq[BinAxis], normAxis: BinAxis): DataFrame =
     Binning.normalizedHistogram(dataframe, requireTimed, axes, normAxis)
 
+  /** Automatic symmetry-feature detection (processor.py:583
+    * define_features / momentum.py:419 feature_extract, auto mode): bin
+    * the 2-D momentum image DISTRIBUTEDLY (the only pass over event
+    * data), then detect + order the rotsym (+1 center) strongest local
+    * maxima on the plot-sized dense grid driver-side. Returned positions
+    * are in the axes' ORIGINAL column units (bin-center convention), so
+    * `features.outer`/`idealPolygon` feed [[generateSplinewarp]]
+    * directly — the full auto momentum-correction loop:
+    * defineFeatures → splineWarp → applyMomentumCorrection. */
+  def defineFeatures(xAxis: BinAxis, yAxis: BinAxis, rotsym: Int = 6,
+                     includeCenter: Boolean = true, radius: Int = 4,
+                     ampFraction: Double = 0.1,
+                     direction: String = "ccw"): FeatureDetection.Features = {
+    val hist = compute(Seq(xAxis, yAxis), withCenters = false)
+    val flat = graft.io.SedWriter.denseCube(hist, Seq(xAxis, yAxis))
+    val img = Array.tabulate(xAxis.nBins, yAxis.nBins)((r, c) => flat(r * yAxis.nBins + c))
+    val peaks = FeatureDetection.peakDetect2d(img, radius, ampFraction)
+    val want = if (includeCenter) rotsym + 1 else rotsym
+    require(peaks.size >= want,
+      s"found only ${peaks.size} peaks, need $want — lower ampFraction/radius")
+    val pts = peaks.take(want).map(p =>
+      (xAxis.lo + (p.row + 0.5) * xAxis.step, yAxis.lo + (p.col + 0.5) * yAxis.step))
+    FeatureDetection.addFeatures(pts, rotsym, direction)
+  }
+
   /** Inverse-deformation-field estimation from landmark pairs
     * (processor.py:637 generate_splinewarp / momentum.py:627): driver-side
     * thin-plate-spline solve; feed the result to
@@ -210,6 +250,20 @@ case class SedProcessor(dataframe: DataFrame,
       srcLandmarks.map(_._1).toArray, srcLandmarks.map(_._2).toArray,
       dstLandmarks.map(_._1).toArray, dstLandmarks.map(_._2).toArray,
       rows, cols)
+
+  /** Persist every calibration APPLIED through this processor chain in
+    * one call (processor.py:1946 save_workflow_params): the typed apply
+    * methods (applyEnergyCorrection(params), appendEnergyAxisPoly(cal),
+    * appendKAxis(cal), applyMomentumCorrection, alignDldSectors,
+    * calibrateDelayAxis) record their parameters as they go, so the
+    * fit-once/apply-forever loop is one save + one
+    * `CalibrationStore.load` next run. */
+  def saveWorkflowParams(path: String): Unit = {
+    require(calibrations != CalibrationStore.Calibrations(),
+      "no calibrations applied through this chain — nothing to save " +
+        "(the reference raises here too, processor.py:1946)")
+    CalibrationStore.save(calibrations, path)
+  }
 
   /** Compute + export in one call, dispatched on the file extension
     * (processor.py:2481 save: tiff / NeXus-HDF5 / everything else as

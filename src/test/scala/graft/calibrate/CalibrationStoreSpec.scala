@@ -77,6 +77,33 @@ class CalibrationStoreSpec extends SparkSpecBase {
     assert(r.energy.isEmpty && r.momentum.isEmpty && r.dfield.isEmpty && r.delay.isEmpty)
   }
 
+  test("saveWorkflowParams persists exactly the calibrations the chain applied") {
+    import spark.implicits._
+    val c = fullStore
+    val df = Seq((250.0, 75.0, 41000.0, 1L, 100.0), (300.0, 80.0, 43000.0, 2L, 300.0))
+      .toDF("x", "y", "tof", "sector", "adc")
+    val proc = graft.sed.SedProcessor(df)
+      .applyEnergyCorrection(c.energyCorrection.get)
+      .appendEnergyAxisPoly(c.energy.get)
+      .appendKAxis(c.momentum.get)
+      .alignDldSectors("sector", c.sectorDelays.get)
+      .calibrateDelayAxis("adc", c.delay.get.adcRange, c.delay.get.delayRange)
+    val dir = Files.createTempDirectory("calstore").toString
+    val path = s"$dir/workflow.json"
+    proc.saveWorkflowParams(path)
+    val r = CalibrationStore.load(path)
+    assert(r.energyCorrection.get == c.energyCorrection.get)
+    assert(r.energy.get.coeffs.sameElements(c.energy.get.coeffs))
+    assert(r.momentum.get.kxScale == c.momentum.get.kxScale)
+    assert(r.sectorDelays.get == c.sectorDelays.get)
+    assert(r.delay.get == c.delay.get.copy(time0mm = 0.0, flipTimeAxis = false))
+    assert(r.dfield.isEmpty) // never applied -> never saved
+    // an untouched chain refuses to save (reference parity)
+    intercept[IllegalArgumentException] {
+      graft.sed.SedProcessor(df).saveWorkflowParams(s"$dir/empty.json")
+    }
+  }
+
   test("every correction type rebuilds a valid column") {
     import spark.implicits._
     val df = Seq((250.0, 75.0), (300.0, 80.0)).toDF("x", "y")
