@@ -576,6 +576,37 @@ object PipelineQueries {
           SELECT UNNEST($toksSqlFrag) AS tok FROM documents)
         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".replaceAll("\\s+", " "))),
 
+    // Per-class embedding centroids — the class-prototype primitive
+    // (clustering seeds, nearest-class-mean classification, drift
+    // monitoring). Scale shape: posexplode to (label, dim) and partial-agg
+    // sum/count map-side — the shuffle carries labels × dims rows, never
+    // vectors; the per-label re-assembly aggregates 64 structs. Centroid
+    // components are rendered in exact micro-units (FLOOR(x*1e6+0.5) —
+    // FLOOR mirrors exactly in DuckDB, double→string does not), joined to
+    // one string because the oracle compare is scalar-column based.
+    "q_class_centroids" -> QueryDef(
+      (s, d) => emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(max("n").as("n_vecs"),
+          concat_ws(",",
+            transform(array_sort(collect_list(struct(col("pos"), col("sv"), col("n")))),
+              e => floor(e.getField("sv") / e.getField("n") * lit(1000000) + lit(0.5))
+                .cast("long").cast("string"))).as("centroid_u")),
+      Some("""WITH per AS (
+          SELECT label, pos, SUM(CAST(v AS DOUBLE)) AS sv, COUNT(*) AS n
+          FROM (SELECT label,
+                  unnest(generate_series(1, len(embedding))) AS pos,
+                  unnest(embedding) AS v
+                FROM embeddings)
+          GROUP BY label, pos)
+        SELECT label, MAX(n) AS n_vecs,
+          string_agg(CAST(CAST(FLOOR(sv / n * 1000000 + 0.5E0) AS BIGINT) AS VARCHAR),
+                     ',' ORDER BY pos) AS centroid_u
+        FROM per GROUP BY label""".replaceAll("\\s+", " "))),
+
     // TF-IDF salience: top-10 terms per doc by tf * ln((N+1)/(df+1)).
     // Shuffle shape at scale: one explode->groupBy(doc,term) with map-side
     // partial agg (the only pass over token-per-row data); the document
