@@ -288,6 +288,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Merge per-document token intervals [pos, pos+n) of corpus-duplicated
+    * n-grams into maximal spans — the span-level output of exact substring
+    * dedup (the "remove duplicated text, not whole documents" cleanup):
+    * overlapping or adjacent duplicated n-grams chain into one
+    * (span_start, span_end) row. `hits` carries one row per duplicated
+    * n-gram occurrence (docCol, posCol). Scale shape: both window passes
+    * share ONE sort partitioned by document — state is bounded by doc
+    * length, never corpus size. */
+  def duplicatedSpans(hits: DataFrame, n: Int, docCol: String = "doc_id",
+                      posCol: String = "pos"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(docCol).orderBy(posCol)
+    val wPrev = w.rowsBetween(Long.MinValue, -1)
+    hits
+      .withColumn("__pme", max(col(posCol) + lit(n)).over(wPrev))
+      .withColumn("__new",
+        when(col("__pme").isNull || col(posCol) > col("__pme"), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("__new")).over(w))
+      .groupBy(col(docCol), col("span_id"))
+      .agg(min(col(posCol)).cast("long").as("span_start"),
+        (max(col(posCol)) + lit(n)).cast("long").as("span_end"))
+  }
+
   /** Two-phase benchmark decontamination for eval n-gram sets too large
     * to broadcast exactly: a Bloom filter over the eval shingle hashes
     * (~10 bits/item at 1% fpp — 10-60× smaller than the exact 64-bit

@@ -576,6 +576,57 @@ object PipelineQueries {
           SELECT UNNEST($toksSqlFrag) AS tok FROM documents)
         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".replaceAll("\\s+", " "))),
 
+    // Exact duplicated-SPAN detection — the "remove duplicated text, not
+    // whole documents" cleanup (the span-level form of suffix-array
+    // substring dedup, done Spark-first): n-grams appearing in >= 2
+    // distinct docs are located by position, and per doc the overlapping
+    // [pos, pos+n) intervals chain into maximal spans. Shuffle shape: one
+    // groupBy(h) for the duplicated-n-gram set, one shuffle join back on h
+    // (the dup set scales with the corpus — deliberately NOT broadcast),
+    // one per-doc sort shared by both window passes.
+    "q_repeated_spans" -> QueryDef(
+      (s, d) => {
+        val sh = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
+          .filter(size(col("__toks")) >= ShingleN)
+          .select(col("doc_id"),
+            posexplode(transform(TextFunctions.shingles(col("__toks"), ShingleN),
+              expr_hash32 _)).as(Seq("pos", "h")))
+        val dup = sh.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        graft.operators.Dedup.duplicatedSpans(
+          sh.join(dup, Seq("h")).select(col("doc_id"), col("pos")), ShingleN)
+          .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end"))
+      },
+      Some {
+        val shFrag = shinglesSqlFrag("l", ShingleN)
+        s"""WITH sg AS (
+             SELECT doc_id, $shFrag AS sgl
+             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents)
+             WHERE len(l) >= $ShingleN),
+           pairs AS (SELECT doc_id,
+             unnest(generate_series(1, len(sgl))) - 1 AS pos,
+             unnest(sgl) AS sg FROM sg),
+           sh AS (SELECT doc_id, pos, ${hash32Frag("sg")} AS h FROM pairs),
+           dup AS (SELECT h FROM (
+             SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY h) WHERE nd >= 2),
+           hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+           marked AS (SELECT doc_id, pos,
+             MAX(pos + $ShingleN) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM hits),
+           flagged AS (SELECT doc_id, pos,
+             CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS is_new
+             FROM marked),
+           ids AS (SELECT doc_id, pos,
+             CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+             FROM flagged)
+           SELECT doc_id, span_id, MIN(pos) AS span_start,
+             MAX(pos) + $ShingleN AS span_end
+           FROM ids GROUP BY doc_id, span_id""".replaceAll("\\s+", " ")
+      }),
+
     // Per-class embedding centroids — the class-prototype primitive
     // (clustering seeds, nearest-class-mean classification, drift
     // monitoring). Scale shape: posexplode to (label, dim) and partial-agg

@@ -199,6 +199,17 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(out.nonEmpty && out.forall(_ >= 0.3))
   }
 
+  test("duplicatedSpans merges overlapping and touching n-gram intervals per doc") {
+    val hits = Seq((1L, 0), (1L, 1), (1L, 5), (1L, 9), // overlap, gap, gap
+      (2L, 5), (2L, 8), // touching intervals [5,8)+[8,11) chain
+      (3L, 2)).toDF("doc_id", "pos")
+    val got = Dedup.duplicatedSpans(hits, n = 3)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 4L), (1L, 5L, 8L), (1L, 9L, 12L),
+      (2L, 5L, 11L), (3L, 2L, 5L)))
+  }
+
   test("bloomDecontaminate equals the exact join and prunes before it") {
     // train shingle stream: docs 1-2 share hashes with the eval set,
     // doc 3 is clean; plenty of clean hashes make pruning observable
