@@ -581,9 +581,11 @@ object PipelineQueries {
     // substring dedup, done Spark-first): n-grams appearing in >= 2
     // distinct docs are located by position, and per doc the overlapping
     // [pos, pos+n) intervals chain into maximal spans. Shuffle shape: one
-    // groupBy(h) for the duplicated-n-gram set, one shuffle join back on h
-    // (the dup set scales with the corpus — deliberately NOT broadcast),
-    // one per-doc sort shared by both window passes.
+    // groupBy(h) for the duplicated-n-gram set, one join back on h with NO
+    // broadcast hint — the dup set scales with the corpus, so Catalyst
+    // broadcasts it while small and falls back to a shuffled join when its
+    // size estimate outgrows the threshold — and one per-doc sort shared
+    // by both window passes.
     "q_repeated_spans" -> QueryDef(
       (s, d) => {
         val sh = docs(s, d)
