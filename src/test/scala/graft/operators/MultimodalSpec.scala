@@ -81,4 +81,75 @@ class MultimodalSpec extends SparkSpecBase {
     val expected = Array(255, 0, 0, 0, 0, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
     assert(rs.sameElements(expected))
   }
+
+  test("PNG payloads decode for REAL via the JDK: exact pixels through the Spark pipeline") {
+    // 4x2 RGB: left half red, right half blue — same fixture as the PNM test
+    val px = Array(
+      255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255,
+      255, 0, 0, 255, 0, 0, 0, 0, 255, 0, 0, 255).map(_.toByte)
+    val png = Multimodal.encodeJdk(px, 4, 2, 3, "png")
+    assert(png.length > 8 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    // PNG is lossless: direct decode returns the exact raster
+    val Some((w, h, c, pixels)) = Multimodal.decodeJdk(png)
+    assert(w == 4 && h == 2 && c == 3 && pixels.sameElements(px))
+    // through the Spark pipeline: real dimensions + real resampled pixels
+    val df = Seq((1L, png)).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload")
+      .select("width", "height", "channels").head()
+    assert((meta.getLong(0), meta.getLong(1), meta.getLong(2)) == ((4L, 2L, 3L)))
+    val rs = Multimodal.resize(df, "doc_id", "payload", 2, 2)
+      .select("pixels").as[Array[Byte]].head()
+    val expected = Array(255, 0, 0, 0, 0, 255, 255, 0, 0, 0, 0, 255).map(_.toByte)
+    assert(rs.sameElements(expected))
+  }
+
+  test("JPEG payloads decode for REAL: dimensions exact, pixels near the original") {
+    val px = Array.tabulate[Byte](8 * 8 * 3)(i => if ((i / 3) % 8 < 4) 200.toByte else 40.toByte)
+    val jpg = Multimodal.encodeJdk(px, 8, 8, 3, "jpg")
+    assert(jpg.length > 2 && (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // SOI marker
+    val df = Seq((1L, jpg)).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(df, "doc_id", "payload")
+      .select("width", "height", "channels").head()
+    assert((meta.getLong(0), meta.getLong(1), meta.getLong(2)) == ((8L, 8L, 3L)))
+    // lossy codec: assert the decoded raster is close, not bit-equal
+    val Some((_, _, _, dec)) = Multimodal.decodeJdk(jpg)
+    val maxErr = dec.zip(px).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 64, s"JPEG round-trip drifted too far: $maxErr")
+  }
+
+  test("grayscale PNG decodes to a 1-channel raster") {
+    val px = Array.tabulate[Byte](6 * 3)(i => (i * 10).toByte)
+    val png = Multimodal.encodeJdk(px, 6, 3, 1, "png")
+    val Some((w, h, c, dec)) = Multimodal.decodeJdk(png)
+    assert(w == 6 && h == 3 && c == 1 && dec.sameElements(px))
+  }
+
+  test("animated GIF payloads explode into REAL decoded frames") {
+    // build a 2-frame animated GIF with the JDK writer: frame 0 all-red, frame 1 all-blue
+    import javax.imageio.{ImageIO, IIOImage}
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    Seq(0xffff0000, 0xff0000ff).foreach { argb =>
+      val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 3, 2, Array.fill(6)(argb), 0, 3)
+      writer.writeToSequence(new IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); writer.dispose(); out.close()
+    val gif = bos.toByteArray
+
+    val df = Seq((7L, gif)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(df, "doc_id", "payload", frameBytes = 1, stride = 1)
+      .collect().map(r => r.getLong(1) -> r.getAs[Array[Byte]]("frame")).toMap
+    assert(frames.keySet == Set(0L, 1L))
+    assert(frames(0L).length == 3 * 2 * 3)
+    // frame 0 red, frame 1 blue (GIF palette is exact for primary colors)
+    assert((frames(0L)(0) & 0xff) >= 200 && (frames(0L)(2) & 0xff) <= 50)
+    assert((frames(1L)(2) & 0xff) >= 200 && (frames(1L)(0) & 0xff) <= 50)
+    // stride skips frames
+    val strided = Multimodal.sampleFrames(df, "doc_id", "payload", frameBytes = 1, stride = 2)
+    assert(strided.count() == 1)
+  }
 }
