@@ -333,8 +333,8 @@ object Dedup {
                          fpp: Double = 0.01): DataFrame = {
     val bf = evalHashes.stat.bloomFilter(hashCol, expectedItems, fpp)
     val bc = trainShingles.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-    trainShingles.filter(mightContain(col(hashCol)))
+    trainShingles
+      .filter(org.apache.spark.sql.graft.BloomMightContainLong(col(hashCol), bc))
       .join(evalHashes.select(col(hashCol)).distinct(), Seq(hashCol), "left_semi")
       .groupBy(docCol)
       .agg(countDistinct(col(hashCol)).as("n_contam"))

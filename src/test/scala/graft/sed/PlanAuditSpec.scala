@@ -50,4 +50,21 @@ class PlanAuditSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, s"quadratic join in: ${offenders.mkString(", ")}")
   }
+
+  /** A ScalaUDF boxes its inputs and breaks whole-stage codegen at the
+    * exact spot it runs — the library's answer to "needs custom logic"
+    * is a native Expression (FloatVecDot, Bilinear2D, SimHash32,
+    * BloomMightContainLong), never a UDF. Gate every contract plan so a
+    * convenience UDF can't creep back into a hot path. */
+  test("no driver query plans a ScalaUDF") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skip(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, Sf).queryExecution.executedPlan
+        val hasUdf = plan.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+        if (hasUdf) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"ScalaUDF in: ${offenders.mkString(", ")}")
+  }
 }
