@@ -37,10 +37,19 @@ object StreamingQueries {
     * is never mutated. */
   private val StatePartitions = 8
 
-  private def streamSession(s: SparkSession): SparkSession = {
+  private def streamSession(s: SparkSession,
+                            partitions: Int = StatePartitions): SparkSession = {
     val s2 = s.newSession()
     SedQueries.ensureConfs(s2)
-    s2.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // processAllAvailable() after each chunk would otherwise schedule a
+    // no-data micro-batch purely to advance the watermark — re-committing
+    // EVERY state store delta (8 per partition for a stream-stream join)
+    // with zero new rows, nearly doubling batch count. Inner-join and
+    // complete-mode aggregation output is emitted on DATA batches, so
+    // dropping no-data batches changes cost, never results (the batch-
+    // equivalence specs pin this).
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2
   }
 
@@ -109,7 +118,14 @@ object StreamingQueries {
     * `ToleranceSec` (bucketed equality key + exact range predicate). */
   def streamEnrich(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
-    val s = streamSession(s0)
+    // A symmetric-hash stream-stream join commits FOUR state stores per
+    // side per partition per batch (keyToNumValues + keyWithIndexToValue
+    // × left/right) — 8× the per-partition store budget of the single-
+    // store aggregations. Halving the partitions equalizes the per-batch
+    // delta-commit count with the other entries while the state stays
+    // partitioned and shuffled; production jobs inherit their session's
+    // own setting via SedStreaming.
+    val s = streamSession(s0, StatePartitions / 2)
     import s.implicits._
     val base = Tables.events(s0, d)
       .selectExpr("CAST(event_id AS BIGINT) AS id", "ts div 1000 AS ts_us",
