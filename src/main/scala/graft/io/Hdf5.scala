@@ -407,6 +407,10 @@ final class Hdf5File(bytes: Array[Byte]) {
   /** Names of a group's children. */
   def childNames(path: String): Seq[String] = groupEntries(resolve(path)).map(_._1)
 
+  /** Whether an object (dataset or group) exists at the absolute path. */
+  def exists(path: String): Boolean =
+    try { resolve(path); true } catch { case _: NoSuchElementException => false }
+
   def shape(path: String): Seq[Long] = readDatasetAt(resolve(path)).dims.toSeq
 
   /** Read a numeric dataset as doubles (row-major flat). */
