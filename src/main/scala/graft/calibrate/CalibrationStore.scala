@@ -95,50 +95,106 @@ object CalibrationStore {
     JObject(sections.flatten)
   }
 
-  // ---- JSON read ----
+  // ---- JSON read with load-time validation ----
 
-  private def dbl(v: JValue): Double = v match {
-    case JDouble(d) => d
-    case JInt(i) => i.toDouble
-    case JLong(l) => l.toDouble
-    case JDecimal(d) => d.toDouble
-    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  /** Load-time validation failure naming the exact section and field
+    * (the reference's typed-config behavior, core/config_model.py:1 —
+    * a malformed file fails AT LOAD with a pointed message, never as a
+    * cast error deep inside a Catalyst plan). */
+  final class ConfigFieldError(val section: String, val field: String, problem: String)
+      extends IllegalArgumentException(
+        s"invalid calibration config: $section.$field $problem")
+
+  private final class Sect(val name: String, v: JValue) {
+    private def get(field: String): JValue = v \ field match {
+      case JNothing => throw new ConfigFieldError(name, field, "is missing")
+      case x => x
+    }
+    def dbl(field: String): Double = get(field) match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => throw new ConfigFieldError(name, field,
+        s"must be a number, got ${other.getClass.getSimpleName.stripPrefix("J")}")
+    }
+    def dbls(field: String, exactLen: Int = -1): Array[Double] = get(field) match {
+      case JArray(xs) =>
+        val arr = xs.zipWithIndex.map {
+          case (JDouble(d), _) => d
+          case (JInt(i), _) => i.toDouble
+          case (JLong(l), _) => l.toDouble
+          case (JDecimal(d), _) => d.toDouble
+          case (other, i) => throw new ConfigFieldError(name, s"$field[$i]",
+            s"must be a number, got ${other.getClass.getSimpleName.stripPrefix("J")}")
+        }.toArray
+        if (exactLen >= 0 && arr.length != exactLen)
+          throw new ConfigFieldError(name, field,
+            s"must have exactly $exactLen elements, got ${arr.length}")
+        arr
+      case other => throw new ConfigFieldError(name, field,
+        s"must be an array of numbers, got ${other.getClass.getSimpleName.stripPrefix("J")}")
+    }
+    def str(field: String): String = get(field) match {
+      case JString(s) => s
+      case other => throw new ConfigFieldError(name, field,
+        s"must be a string, got ${other.getClass.getSimpleName.stripPrefix("J")}")
+    }
+    def bool(field: String, default: Boolean): Boolean = v \ field match {
+      case JNothing => default
+      case JBool(b) => b
+      case other => throw new ConfigFieldError(name, field,
+        s"must be a boolean, got ${other.getClass.getSimpleName.stripPrefix("J")}")
+    }
   }
 
-  private def dbls(v: JValue): Array[Double] = v match {
-    case JArray(xs) => xs.map(dbl).toArray
-    case other => throw new IllegalArgumentException(s"expected array, got $other")
-  }
+  private val CorrectionKinds =
+    Map("spherical" -> Seq("diameter"), "lorentzian" -> Seq("gamma"),
+      "gaussian" -> Seq("sigma"),
+      "lorentzian_asymmetric" -> Seq("gamma", "amplitude2", "gamma2"))
 
   private def fromJson(j: JValue): Calibrations = {
-    def sect(name: String): Option[JValue] = j \ name match {
+    def sect(name: String): Option[Sect] = j \ name match {
       case JNothing => None
-      case v => Some(v)
+      case v => Some(new Sect(name, v))
     }
     Calibrations(
-      energy = sect("energy_calibration").map(s =>
-        EnergyCalibration.PolyCalibration(dbls(s \ "coeffs"), dbl(s \ "E0"), dbl(s \ "offset"))),
+      energy = sect("energy_calibration").map { s =>
+        val coeffs = s.dbls("coeffs")
+        if (coeffs.isEmpty)
+          throw new ConfigFieldError(s.name, "coeffs", "must be non-empty")
+        EnergyCalibration.PolyCalibration(coeffs, s.dbl("E0"), s.dbl("offset"))
+      },
       energyCorrection = sect("energy_correction").map { s =>
-        val params = (s \ "params") match {
-          case JObject(fields) => fields.map { case (k, v) => k -> dbl(v) }.toMap
-          case _ => Map.empty[String, Double]
-        }
-        EnergyCorrectionParams((s \ "correction_type").asInstanceOf[JString].s,
-          dbl(s \ "center_x"), dbl(s \ "center_y"), dbl(s \ "amplitude"), params)
+        val kind = s.str("correction_type")
+        val needed = CorrectionKinds.getOrElse(kind,
+          throw new ConfigFieldError(s.name, "correction_type",
+            s"must be one of ${CorrectionKinds.keys.toSeq.sorted.mkString(", ")}, got '$kind'"))
+        val ps = new Sect(s"${s.name}.params", j \ s.name \ "params")
+        val params = needed.map(f => f -> ps.dbl(f)).toMap
+        EnergyCorrectionParams(kind,
+          s.dbl("center_x"), s.dbl("center_y"), s.dbl("amplitude"), params)
       },
       momentum = sect("momentum_calibration").map(s =>
         MomentumCalibration.KCalibration(
-          dbl(s \ "kx_scale"), dbl(s \ "ky_scale"), dbl(s \ "x_center"), dbl(s \ "y_center"),
-          dbl(s \ "rstart"), dbl(s \ "cstart"), dbl(s \ "rstep"), dbl(s \ "cstep"),
-          dbls(s \ "kx_axis"), dbls(s \ "ky_axis"))),
-      dfield = sect("momentum_correction").map(s =>
-        MomentumCorrection.Dfield(dbls(s \ "rdeform"), dbls(s \ "cdeform"),
-          dbl(s \ "rows").toInt, dbl(s \ "cols").toInt)),
-      sectorDelays = sect("sector_delays").map(s => dbls(s).toSeq),
+          s.dbl("kx_scale"), s.dbl("ky_scale"), s.dbl("x_center"), s.dbl("y_center"),
+          s.dbl("rstart"), s.dbl("cstart"), s.dbl("rstep"), s.dbl("cstep"),
+          s.dbls("kx_axis"), s.dbls("ky_axis"))),
+      dfield = sect("momentum_correction").map { s =>
+        val rows = s.dbl("rows").toInt; val cols = s.dbl("cols").toInt
+        if (rows < 2 || cols < 2)
+          throw new ConfigFieldError(s.name, "rows/cols", "must each be >= 2")
+        MomentumCorrection.Dfield(
+          s.dbls("rdeform", rows * cols), s.dbls("cdeform", rows * cols), rows, cols)
+      },
+      sectorDelays = (j \ "sector_delays") match {
+        case JNothing => None
+        case _ => Some(new Sect("<root>", j).dbls("sector_delays").toSeq)
+      },
       delay = sect("delay_calibration").map { s =>
-        val ar = dbls(s \ "adc_range"); val dr = dbls(s \ "delay_range")
-        DelayCalibration((ar(0), ar(1)), (dr(0), dr(1)), dbl(s \ "time0_mm"),
-          (s \ "flip_time_axis") match { case JBool(b) => b; case _ => false })
+        val ar = s.dbls("adc_range", 2); val dr = s.dbls("delay_range", 2)
+        DelayCalibration((ar(0), ar(1)), (dr(0), dr(1)), s.dbl("time0_mm"),
+          s.bool("flip_time_axis", default = false))
       })
   }
 
@@ -146,7 +202,20 @@ object CalibrationStore {
   def render(c: Calibrations): String =
     JsonMethods.pretty(JsonMethods.render(toJson(c)))
 
-  def parse(text: String): Calibrations = fromJson(JsonMethods.parse(text))
+  /** The applied calibrations as a nested metadata tree (same section
+    * and field names as the JSON contract) — feeds the MetaHandler /
+    * NeXus "process" branch (reference core/metadata.py accumulating
+    * each calibrator stage's metadata dict). */
+  def tree(c: Calibrations): Map[String, Any] =
+    toJson(c).values.asInstanceOf[Map[String, Any]]
+
+  def parse(text: String): Calibrations = {
+    val j = try JsonMethods.parse(text) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"invalid calibration config: not valid JSON (${e.getMessage})")
+    }
+    fromJson(j)
+  }
 
   /** Save to a local file (the reference's user-config analogue,
     * config.py:196 save_config with overwrite semantics). */

@@ -284,16 +284,24 @@ object Hdf5Writer {
       out.u64(nameOffsets(i)); out.u64(hdr); out.u32(0); out.u32(0)
       out.bytes(new Array[Byte](16))
     }
-    // B-tree: single leaf pointing at the SNOD
+    // B-tree: single leaf pointing at the SNOD; an attrs-only group
+    // (metadata leaves) gets a childless tree — the reader's walk sees
+    // n=0 and yields no entries
     out.pad8()
     val btreeAddr = out.pos
     out.bytes("TREE".getBytes("US-ASCII"))
     out.u8(0); out.u8(0) // group node, level 0
-    out.u16(1)           // one child
-    out.u64(Undef); out.u64(Undef) // siblings
-    out.u64(nameOffsets.head)      // key 0: heap offset of first name
-    out.u64(snodAddr)
-    out.u64(nameOffsets.last)      // key 1
+    if (sorted.isEmpty) {
+      out.u16(0)
+      out.u64(Undef); out.u64(Undef) // siblings
+      out.u64(0)                     // key 0: empty-name heap offset
+    } else {
+      out.u16(1)           // one child
+      out.u64(Undef); out.u64(Undef) // siblings
+      out.u64(nameOffsets.head)      // key 0: heap offset of first name
+      out.u64(snodAddr)
+      out.u64(nameOffsets.last)      // key 1
+    }
     // group object header: symbol table message + attributes
     val stBody = {
       val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)

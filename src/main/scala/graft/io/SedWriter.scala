@@ -106,8 +106,38 @@ object SedWriter {
     * `signal`/`axes` attributes, a dense row-major `counts` array, and a
     * bin-center dataset per axis. Driver-local like denseCube (export of
     * a plot-sized cube). Round-trip readable by [[Hdf5File]]. */
+  /** Render a nested metadata tree (MetaHandler.metadata shape) as an
+    * HDF5 group: sub-maps become sub-groups, numeric sequences become
+    * double datasets, scalar leaves become attributes. Groups are tagged
+    * NXcollection — the NeXus class pynxtools uses for free-form
+    * metadata (reference io/nexus.py via the pynxtools converter, fed
+    * from core/metadata.py MetaHandler). */
+  private def metaGroup(name: String, m: Map[String, Any]): Hdf5Writer.Group = {
+    import Hdf5Writer._
+    val children = scala.collection.mutable.ArrayBuffer.empty[Node]
+    val attrs = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+    m.toSeq.sortBy(_._1).foreach {
+      case (k, v: Map[_, _]) =>
+        children += metaGroup(k, v.asInstanceOf[Map[String, Any]])
+      case (k, v: Seq[_]) if v.nonEmpty && v.forall(_.isInstanceOf[Double]) =>
+        children += DoubleDataset(k, Seq(v.length.toLong),
+          v.asInstanceOf[Seq[Double]].toArray)
+      case (k, v) => attrs += (k -> (v match {
+        case s: String => s
+        case d: Double => d
+        case l: Long => l
+        case i: Int => i.toLong
+        case b: Boolean => if (b) 1L else 0L
+        case bi: BigInt => bi.toLong
+        case other => String.valueOf(other)
+      }))
+    }
+    Group(name, children.toSeq, attrs = ("NX_class" -> "NXcollection") +: attrs.toSeq)
+  }
+
   def nexus(hist: DataFrame, axes: Seq[BinAxis], path: String,
-            cntCol: String = "cnt", compress: Boolean = false): Unit = {
+            cntCol: String = "cnt", compress: Boolean = false,
+            metadata: Map[String, Any] = Map.empty): Unit = {
     import Hdf5Writer._
     val cube = denseCube(hist, axes, cntCol)
     val axisSets = axes.map { a =>
@@ -132,7 +162,15 @@ object SedWriter {
       "NX_class" -> "NXdata",
       "signal" -> "counts",
       "axes" -> axes.map(_.col).mkString(":"))) // legacy colon form: fixed-size string
-    val entry = Group("entry", Seq(data), attrs = Seq(
+    // the metadata tree rides under /entry as one NXcollection group per
+    // top-level key (instrument, process, ...), nested maps as
+    // sub-groups, leaves as attributes — the structural twin of the
+    // instrument/process tree the reference's NeXus export carries
+    val metaGroups = metadata.toSeq.sortBy(_._1).collect {
+      case (k, v: Map[_, _]) => metaGroup(k, v.asInstanceOf[Map[String, Any]])
+      case (k, v) => metaGroup(k, Map("value" -> v))
+    }
+    val entry = Group("entry", data +: metaGroups, attrs = Seq(
       "NX_class" -> "NXentry", "default" -> "data"))
     Hdf5Writer.write(Seq(entry), Seq("default" -> "entry"), path)
   }

@@ -27,7 +27,8 @@ case class SedProcessor(dataframe: DataFrame,
                         tofCol: String = "tof",
                         attributes: Map[String, String] = Map.empty,
                         calibrations: CalibrationStore.Calibrations =
-                          CalibrationStore.Calibrations()) {
+                          CalibrationStore.Calibrations(),
+                        meta: MetaHandler = MetaHandler()) {
 
   private def next(df: DataFrame): SedProcessor = copy(dataframe = df)
 
@@ -36,6 +37,28 @@ case class SedProcessor(dataframe: DataFrame,
     * and exported alongside results. */
   def addAttribute(name: String, value: String): SedProcessor =
     copy(attributes = attributes + (name -> value))
+
+  /** Add a (possibly nested) metadata entry to the processor's metadata
+    * tree (core/metadata.py:95 MetaHandler.add — raise / overwrite /
+    * merge / append duplicate policies). The tree is exported with NeXus
+    * saves and inspectable via [[metadataTree]]. */
+  def addMetadata(entry: Any, name: String,
+                  duplicatePolicy: String = "raise"): SedProcessor =
+    copy(meta = meta.add(entry, name, duplicatePolicy))
+
+  /** The full metadata tree as exported: user entries, the flat run
+    * attributes (under "attributes"), and every calibration applied
+    * through the chain (under "process", with the CalibrationStore
+    * section/field names). */
+  def metadataTree: Map[String, Any] = {
+    val attrBranch: Map[String, Any] =
+      if (attributes.isEmpty) Map.empty
+      else Map("attributes" -> (attributes: Map[String, Any]))
+    val processBranch: Map[String, Any] =
+      if (calibrations == CalibrationStore.Calibrations()) Map.empty
+      else Map("process" -> CalibrationStore.tree(calibrations))
+    meta.metadata ++ attrBranch ++ processBranch
+  }
 
   /** Gather per-file metadata (file name, row count, per-column ranges —
     * loader/utils.py:266 semantics) into the processor attributes and add
@@ -274,7 +297,8 @@ case class SedProcessor(dataframe: DataFrame,
     if (lower.endsWith(".tiff") || lower.endsWith(".tif"))
       graft.io.SedWriter.tiff(hist, axes, path)
     else if (lower.endsWith(".nxs") || lower.endsWith(".nexus") || lower.endsWith(".h5"))
-      graft.io.SedWriter.nexus(hist, axes, path, compress = compress)
+      graft.io.SedWriter.nexus(hist, axes, path, compress = compress,
+        metadata = metadataTree)
     else graft.io.SedWriter.binned(hist, axes, path)
   }
 }

@@ -104,6 +104,42 @@ class CalibrationStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed config fails at load with section.field-named errors") {
+    def errOf(json: String): String =
+      intercept[IllegalArgumentException] { CalibrationStore.parse(json) }.getMessage
+    // missing field
+    assert(errOf("""{"energy_calibration":{"coeffs":[1.0,2.0],"E0":-1.0}}""")
+      .contains("energy_calibration.offset is missing"))
+    // wrong type
+    assert(errOf("""{"energy_calibration":{"coeffs":"nope","E0":-1.0,"offset":0.0}}""")
+      .contains("energy_calibration.coeffs must be an array of numbers"))
+    // wrong element type, with index
+    assert(errOf("""{"sector_delays":[1.0,"x"]}""")
+      .contains("sector_delays[1] must be a number"))
+    // unknown enum value names the allowed set
+    val e = errOf("""{"energy_correction":{"correction_type":"cubic",
+      "center_x":0,"center_y":0,"amplitude":1,"params":{}}}""")
+    assert(e.contains("energy_correction.correction_type") && e.contains("spherical"))
+    // kind-specific parameter demanded by name
+    assert(errOf("""{"energy_correction":{"correction_type":"gaussian",
+      "center_x":0,"center_y":0,"amplitude":1,"params":{}}}""")
+      .contains("energy_correction.params.sigma is missing"))
+    // shape constraint: dfield grid length must be rows*cols
+    assert(errOf("""{"momentum_correction":{"rows":4,"cols":4,
+      "rdeform":[1.0,2.0],"cdeform":[1.0,2.0]}}""")
+      .contains("momentum_correction.rdeform must have exactly 16 elements"))
+    // fixed-length ranges
+    assert(errOf("""{"delay_calibration":{"adc_range":[0.0],
+      "delay_range":[0.0,1.0],"time0_mm":0.0}}""")
+      .contains("delay_calibration.adc_range must have exactly 2 elements"))
+    // not JSON at all
+    assert(errOf("""{nope""").contains("not valid JSON"))
+    // a valid store still loads after all this strictness (arrays compare
+    // by reference, so compare the canonical rendering)
+    val c = CalibrationStore.render(fullStore)
+    assert(CalibrationStore.render(CalibrationStore.parse(c)) === c)
+  }
+
   test("every correction type rebuilds a valid column") {
     import spark.implicits._
     val df = Seq((250.0, 75.0), (300.0, 80.0)).toDF("x", "y")

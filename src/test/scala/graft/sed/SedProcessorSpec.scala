@@ -67,6 +67,40 @@ class SedProcessorSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/binned/data").count() > 0)
   }
 
+  test("NeXus export round-trips the instrument/process metadata tree") {
+    val axes = Seq(BinAxis("x", 4, 0.0, 512.0), BinAxis("y", 4, 0.0, 512.0))
+    val dir = java.nio.file.Files.createTempDirectory("proc_meta").toString
+    val cal = graft.calibrate.EnergyCalibration.PolyCalibration(
+      Array(1.5, -2.25, 0.125), e0 = -10.5, offset = 42000.0)
+    val p = proc
+      .appendEnergyAxisPoly(cal)
+      .calibrateDelayAxis("value", (0.0, 500.0), (-76.0, 56.0))
+      .addAttribute("run", "Scan0030")
+      .addMetadata(Map(
+        "beamline" -> "pg2",
+        "detector" -> Map("model" -> "DLD8s", "voltage" -> 299.5)), "instrument")
+    p.save(s"$dir/cube.h5", axes)
+    val f = graft.io.Hdf5File.fromPath(java.nio.file.Paths.get(s"$dir/cube.h5"))
+    // instrument branch: nested groups with scalar attrs
+    assert(f.attributes("/entry/instrument")("beamline") === "pg2")
+    val det = f.attributes("/entry/instrument/detector")
+    assert(det("model") === "DLD8s" && det("voltage") === 299.5)
+    // process branch: the applied calibrations with store field names
+    val ec = f.attributes("/entry/process/energy_calibration")
+    assert(ec("E0") === -10.5 && ec("offset") === 42000.0)
+    assert(f.readDoubles("/entry/process/energy_calibration/coeffs").toSeq ===
+      Seq(1.5, -2.25, 0.125))
+    val dc = f.attributes("/entry/process/delay_calibration")
+    assert(dc("time0_mm") === 0.0 && dc("flip_time_axis") === 0L)
+    assert(f.readDoubles("/entry/process/delay_calibration/adc_range").toSeq ===
+      Seq(0.0, 500.0))
+    // flat run attributes branch
+    assert(f.attributes("/entry/attributes")("run") === "Scan0030")
+    // NXdata payload still intact alongside the metadata
+    assert(f.attributes("/entry/data")("signal") === "counts")
+    assert(f.readDoubles("/entry/data/counts").sum > 0)
+  }
+
   test("generateSplinewarp: identity landmarks yield the identity field") {
     val marks = Seq((10.0, 10.0), (10.0, 50.0), (50.0, 10.0), (50.0, 50.0), (30.0, 30.0))
     val df = proc.generateSplinewarp(marks, marks, rows = 8, cols = 8)
