@@ -35,6 +35,10 @@ object Ann {
   }
 
   /** better(x, y): higher cosine wins, ties broken by lower id. */
+  /** Ceiling on the driver-collected default centroid sample of
+    * [[ivfTopK]] — above it, fitted centroids are mandatory. */
+  val MaxDefaultCentroids = 4096
+
   private val betterOrd: Ordering[(Double, Long)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
 
@@ -90,13 +94,27 @@ object Ann {
               centroidsOpt: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
     val spark = corpus.sparkSession
     // default centroids: deterministic stride sample; pass kmeans(...) for
-    // properly fitted ones
-    val centroids: Array[(Int, Array[Float])] = centroidsOpt.getOrElse(corpus
-      .filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => ((r.getLong(0) / centroidStride).toInt, r.getSeq[Float](1).toArray))
-      .sortBy(_._1))
+    // properly fitted ones. The sample is |corpus|/stride vectors pulled
+    // to the driver, so it is guarded: beyond MaxDefaultCentroids the
+    // call refuses (limit+1 probe — the scan stops early instead of
+    // counting the corpus) and demands fitted centroids. Under the cap
+    // the limit returns every sampled row, so selection stays
+    // deterministic.
+    val centroids: Array[(Int, Array[Float])] = centroidsOpt.getOrElse {
+      val sampled = corpus
+        .filter(col(idCol) % centroidStride === 0)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .limit(MaxDefaultCentroids + 1)
+        .collect()
+      require(sampled.length <= MaxDefaultCentroids,
+        s"ivfTopK's default stride-centroid sample exceeds $MaxDefaultCentroids " +
+          s"vectors (centroidStride=$centroidStride) — for corpora this large " +
+          "pass centroidsOpt (e.g. Ann.kmeans output) or raise centroidStride; " +
+          "collecting an unbounded sample to the driver is refused")
+      sampled
+        .map(r => ((r.getLong(0) / centroidStride).toInt, r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    }
     val cB = spark.sparkContext.broadcast(
       centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
 

@@ -237,6 +237,28 @@ object RelationalQueries {
           COUNT(*) AS n
         FROM events GROUP BY event_type""".replaceAll("\\s+", " "))),
 
+    // Sketch-based percentile twin of q_percentiles — the 100 TB path.
+    // Exact `percentile` buffers every group value in the aggregation
+    // state (fine for bounded groups, impossible for billions of rows
+    // per group); `approx_percentile` maintains a bounded mergeable
+    // quantile sketch with map-side partial merge, so state is O(accuracy)
+    // per group regardless of row count. Rows-only by design: sketch
+    // output is engine-specific (DuckDB's approx_quantile uses a
+    // different sketch), so the cross-engine contract is the error bound
+    // vs the exact result, pinned by PipelineInvariantsSpec.
+    "q_percentiles_approx" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        Tables.events(s, d).groupBy("event_type")
+          .agg(expr("approx_percentile(value, array(0.5D, 0.95D), 10000)").as("__ps"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"),
+            round(element_at(col("__ps"), 1), 6).as("p50_approx"),
+            round(element_at(col("__ps"), 2), 6).as("p95_approx"),
+            col("n"))
+      },
+      None),
+
     // Rollup aggregate over the region -> nation hierarchy.
     "q_rollup" -> QueryDef(
       (s, d) => {

@@ -101,6 +101,23 @@ class DedupAnnSpec extends SparkSpecBase {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("ivfTopK refuses an oversized default centroid collect; fitted centroids pass") {
+    // 2 * cap rows at stride 1 would collect them all to the driver
+    val big = spark.range(0, Ann.MaxDefaultCentroids * 2L)
+      .select($"id", array(lit(1.0f), ($"id" % 7).cast("float")).as("embedding"))
+    val queries = Array((0L, Array(1.0f, 1.0f)))
+    val err = intercept[IllegalArgumentException] {
+      Ann.ivfTopK(big, "id", "embedding", queries, 3, centroidStride = 1)
+    }
+    assert(err.getMessage.contains("centroidsOpt") &&
+      err.getMessage.contains("centroidStride"))
+    // same corpus with caller-provided centroids is fine
+    val cents = Array(0 -> Array(1.0f, 0.0f), 1 -> Array(1.0f, 6.0f))
+    val ok = Ann.ivfTopK(big, "id", "embedding", queries, 3,
+      centroidsOpt = Some(cents))
+    assert(ok.count() === 3L)
+  }
+
   test("persisted IVF index returns IDENTICAL results to inline ivfTopK") {
     val queries = embeddings.filter($"vec_id" < 3)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()

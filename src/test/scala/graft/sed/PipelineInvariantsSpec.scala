@@ -63,4 +63,27 @@ class PipelineInvariantsSpec extends SparkSpecBase {
       assert(missed.count() == 0, "verbatim eval copies must have n_contam > 0")
     out.unpersist()
   }
+
+  test("q_percentiles_approx: sketch quantiles stay within rank-error of exact") {
+    val approx = SparkEntry.queries("q_percentiles_approx")(spark, Sf)
+      .collect().map(r => r.getAs[Any]("event_type") ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p95_approx"))).toMap
+    val exact = SparkEntry.queries("q_percentiles")(spark, Sf)
+      .collect().map(r => r.getAs[Any]("event_type") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    // per-group value spread normalizes the error bound: at accuracy
+    // 10000 the rank error is ~1/10000, far under 1% of the spread on
+    // this data; 5% is a loose, stable ceiling
+    import org.apache.spark.sql.functions._
+    val spreads = graft.sed.Tables.events(spark, Sf)
+      .groupBy("event_type").agg((max("value") - min("value")).as("spread"))
+      .collect().map(r => r.getAs[Any]("event_type") -> r.getAs[Double]("spread")).toMap
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      val tol = spreads(k) * 0.05
+      assert(math.abs(a50 - e50) <= tol, s"$k p50: $a50 vs $e50 (tol $tol)")
+      assert(math.abs(a95 - e95) <= tol, s"$k p95: $a95 vs $e95 (tol $tol)")
+    }
+  }
 }
