@@ -212,6 +212,35 @@ object Ann {
     spark.createDataFrame(rows, schema)
   }
 
+  /** [[assignBuckets]] plus the winning cosine — the cluster-profiling
+    * form (per-cluster member counts / cohesion need the similarity, the
+    * index write does not). Same broadcast-map shape and the same
+    * lower-cid tie-break, so assignments are identical to the IVF
+    * bucketing. */
+  def clusterAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Int, Array[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    val cB = spark.sparkContext.broadcast(
+      centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("cos", DoubleType)))
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      it.map { row =>
+        val v = row.getSeq[Float](1).toArray
+        val nv = math.sqrt(dot(v, v))
+        var best = -2.0; var bestC = -1
+        cB.value.foreach { case (cid, cv, cn) =>
+          val c = dot(cv, v) / (cn * nv)
+          if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+        }
+        Row(row.getLong(0), bestC, best)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Build the persisted index: bucket-assign and write parquet
     * `partitionBy(bucket)`, centroids in a JSON sidecar. One corpus pass;
     * at scale this is the offline indexing job, amortized over every

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout keys (Z-order / Morton interleaving).
+  *
+  * At 100 TB the dominant cost of a selective multi-dimensional query is
+  * the scan, and parquet min/max zone pruning only skips a file when the
+  * rows inside it are clustered on the filtered column. A lexicographic
+  * sort clusters the FIRST sort column only; interleaving the bits of all
+  * bin indices gives every dimension locality at once, so
+  *
+  * {{{
+  * df.withColumn("z", Layout.zorderKey(Seq(binX, binY), bits = 10))
+  *   .repartitionByRange(col("z")).sortWithinPartitions("z")
+  *   .write.parquet(...)
+  * }}}
+  *
+  * produces files whose min/max statistics are selective on EVERY
+  * interleaved column — the layout step of a write-once/scan-forever
+  * event store (the same role the reference's per-run parquet buffers
+  * play for repeated binning passes over one acquisition,
+  * reference: src/sed/loader/flash/buffer_handler.py:1).
+  *
+  * The key is pure column algebra (shift/mask/add) — whole-stage
+  * codegen'd, no UDF, and no shuffle of its own.
+  */
+object Layout {
+
+  /** Morton/Z-order key interleaving the low `bits` bits of the given
+    * non-negative integral columns: bit `i` of `cols(c)` lands at output
+    * position `i * cols.size + c`, so the total key width is
+    * `cols.size * bits` bits (must fit a signed long).
+    *
+    * Callers bin continuous coordinates first (e.g. `floor(x / width)`),
+    * clamp to `[0, 2^bits)`, and interleave the bin indices. Values with
+    * bits above `bits` would alias across tiles, so they are masked off
+    * explicitly — garbage-in stays local instead of scattering. */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"interleaved width ${cols.size}*$bits must be in [1, 63]")
+    val n = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      bit <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), bit).bitwiseAND(lit(1L)), bit * n + ci)
+    terms.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[zorderKey]] — emitted from the same loop so the
+    * oracle replays the identical bit placement. */
+  def zorderKeySql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      bit <- 0 until bits
+    } yield s"(((CAST($c AS BIGINT) >> $bit) & 1) << ${bit * n + ci})"
+    terms.mkString("(", " + ", ")")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Principal-component analysis over an `array<float>` embedding column —
+  * the dimensionality-reduction step in front of ANN / clustering /
+  * visualization in an embedding pipeline.
+  *
+  * Scale split: the only distributed work is accumulating the moment
+  * statistics (per-dimension sums and the upper triangle of the second-
+  * moment matrix) — a posexplode → groupBy with map-side partial
+  * aggregation, so the shuffle carries O(d²) keys regardless of corpus
+  * size. The d×d covariance matrix is driver-sized (d = embedding width,
+  * 64 here), so the eigensolve is plain JVM math: power iteration with
+  * deflation, deterministic start vector, fixed iteration budget.
+  * Projection back over the corpus is map-only column algebra
+  * (FloatVecDot — codegen'd, no UDF).
+  */
+object Pca {
+
+  /** Fitted model: per-dimension means, top-k principal axes (unit
+    * vectors, rows of `components`), and their eigenvalues (variance
+    * captured along each axis), in decreasing order. */
+  case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+                      eigenvalues: Array[Double]) {
+    require(components.length == eigenvalues.length)
+  }
+
+  /** One pass over the corpus for sums + second moments (upper triangle,
+    * exploiting symmetry), then covariance and the top-k eigenpairs on
+    * the driver. `dim` must match the embedding width. */
+  def fit(df: DataFrame, vecCol: String, dim: Int, k: Int,
+          iters: Int = 1000): PcaModel = {
+    require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
+    val base = df.select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
+    // (i, vi) rows for the mean; (i, j>=i, vi*vj) rows for second moments.
+    // Both shuffles carry at most dim resp. dim*(dim+1)/2 keys after the
+    // map-side partial agg — bounded at any corpus size.
+    val firstRows = base
+      .select(posexplode(col("__v")).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum(col("vi").cast("double")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val n = firstRows.map(_.getLong(2)).headOption
+      .getOrElse(throw new IllegalArgumentException("PCA fit over an empty corpus"))
+    require(n >= 2, s"PCA needs >= 2 vectors, got $n")
+    val mean = new Array[Double](dim)
+    firstRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
+
+    val secondRows = base
+      .select(posexplode(col("__v")).as(Seq("i", "vi")), col("__v"))
+      .select(col("i"), col("vi"), posexplode(col("__v")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("vi").cast("double") * col("vj").cast("double")).as("s"))
+      .collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    secondRows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getDouble(2) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+
+    // Power iteration with deflation: deterministic uniform start, fixed
+    // budget — no RNG, so the fit is reproducible run-to-run.
+    val comps = Array.ofDim[Double](k, dim)
+    val eigs = new Array[Double](k)
+    val work = cov.map(_.clone())
+    for (c <- 0 until k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      var lambda = 0.0
+      for (_ <- 0 until iters) {
+        val w = matVec(work, v)
+        val nw = math.sqrt(w.map(x => x * x).sum)
+        if (nw > 0) { v = w.map(_ / nw); lambda = nw }
+      }
+      // Rayleigh quotient is the better eigenvalue estimate than ||Cv||
+      lambda = dotD(v, matVec(work, v))
+      comps(c) = v; eigs(c) = lambda
+      for (i <- 0 until dim; j <- 0 until dim) work(i)(j) -= lambda * v(i) * v(j)
+    }
+    PcaModel(mean, comps, eigs)
+  }
+
+  /** Project the corpus onto the model's axes: map-only, one codegen'd
+    * dot per component, centering folded into a constant offset
+    * (dot(v - mean, c) = dot(v, c) - dot(mean, c)). Output columns
+    * `p1..pk` alongside `keep`. */
+  def project(df: DataFrame, keep: Seq[Column], vecCol: String,
+              model: PcaModel): DataFrame = {
+    val projCols = model.components.zipWithIndex.map { case (comp, i) =>
+      // components quantized to float once, identically for the data dot
+      // and the mean offset, so centering stays consistent
+      val compF = comp.map(_.toFloat.toDouble)
+      (graft.functions.VectorFunctions.dotLit(col(vecCol), compF) -
+        lit(dotD(model.mean, compF))).as(s"p${i + 1}")
+    }
+    df.select(keep ++ projCols: _*)
+  }
+
+  private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    m.map(row => dotD(row, v))
+
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+}

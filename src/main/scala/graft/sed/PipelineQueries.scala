@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, Multimodal, Pca}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 "LLM-data-pipeline"):
   * dedup, similarity search, text analysis, multimodal plumbing — over the
@@ -43,16 +43,28 @@ object PipelineQueries {
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
   private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
+
+  /** Deterministic stride-sample centroids (cid = vec_id / stride) —
+    * bounded driver collect (|corpus| / stride rows), shared by the IVF
+    * index build and the cluster-profiling query so both bucket
+    * identically. */
+  private def strideCentroids(s: SparkSession, d: String): Array[(Int, Array[Float])] =
+    emb(s, d).filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => ((r.getLong(0) / IvfStride).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   private def ivfIndexFor(s: SparkSession, d: String): Ann.IvfIndex =
     ivfIndexes.getOrElseUpdate(d, {
-      val e = emb(s, d)
-      val centroids = e.filter(col("vec_id") % IvfStride === 0)
-        .select(col("vec_id").cast("long"), col("embedding")).collect()
-        .map(r => ((r.getLong(0) / IvfStride).toInt, r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
       val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-      Ann.buildIvfIndex(e, "vec_id", "embedding", path, centroids)
+      Ann.buildIvfIndex(emb(s, d), "vec_id", "embedding", path, strideCentroids(s, d))
     })
+
+  /** PCA model per sf dir, fitted once per JVM (the offline fit of the
+    * fit-once/project-forever loop). */
+  private val pcaModels = scala.collection.concurrent.TrieMap.empty[String, Pca.PcaModel]
+  private def pcaModelFor(s: SparkSession, d: String): Pca.PcaModel =
+    pcaModels.getOrElseUpdate(d, Pca.fit(emb(s, d), "embedding", EmbDim, k = 2))
 
   // ---- DuckDB SQL fragments. Tokenizer and hash come from the single
   // definitions in TextFunctions so Spark and oracle can't drift apart.
@@ -763,6 +775,47 @@ object PipelineQueries {
                    CAST(len($toksSqlFrag) AS DOUBLE)) +
             0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS quality
           FROM documents) WHERE quality >= 0.3""".replaceAll("\\s+", " "))),
+
+    // Cluster profiling: assign every embedding to its nearest stride-
+    // sample centroid (same centroids + tie-break as the IVF index, so
+    // buckets match q_ann_ivf's), then per-cluster size, exemplar, and
+    // cohesion. The assignment is the broadcast-map shape (centroids
+    // ride a broadcast, corpus streams once — no join, no candidate
+    // expansion); cohesion sums are exact micro-units so the reduction
+    // order can't drift the hash.
+    "q_cluster_assign" -> QueryDef(
+      (s, d) => Ann.clusterAssign(emb(s, d), "vec_id", "embedding",
+          strideCentroids(s, d))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          min("vec_id").as("exemplar"),
+          sum(floor(col("cos") * 1000000 + 0.5).cast("long")).as("cohesion_u")),
+      Some {
+        val aCos = VectorFunctions.cosineSql("c.embedding", "e.embedding")
+        s"""WITH cent AS (SELECT CAST(vec_id // $IvfStride AS INT) AS cid, embedding
+             FROM embeddings WHERE vec_id % $IvfStride = 0),
+           assign AS (SELECT vec_id, cid, cos FROM (
+             SELECT e.vec_id, c.cid, $aCos AS cos,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $aCos DESC, c.cid) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1)
+           SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS exemplar,
+             CAST(SUM(CAST(FLOOR(cos * 1000000 + 0.5E0) AS BIGINT)) AS BIGINT) AS cohesion_u
+           FROM assign GROUP BY cid""".replaceAll("\\s+", " ")
+      }),
+
+    // PCA projection of the embedding corpus onto its top-2 principal
+    // axes — the dimensionality-reduction step before ANN/visualization.
+    // The distributed half is one moments pass (posexplode → groupBy,
+    // shuffle carries O(d²) keys after map-side partial agg); the d×d
+    // eigensolve is driver math; the projection is map-only codegen'd
+    // dots. Rows-only by design: eigenvectors are sign/iteration-order
+    // ambiguous across implementations, so no SQL oracle can replay the
+    // fit — PipelineInvariantsSpec pins orthonormality, eigen residuals,
+    // and captured variance instead.
+    "q_pca_project" -> QueryDef(
+      (s, d) => Pca.project(emb(s, d),
+        Seq(col("vec_id"), col("label")), "embedding", pcaModelFor(s, d)),
+      None),
 
     // ---------------- multimodal ----------------
     "q_multimodal_meta" -> QueryDef(

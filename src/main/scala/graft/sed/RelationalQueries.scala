@@ -259,6 +259,60 @@ object RelationalQueries {
       },
       None),
 
+    // Z-order (Morton) layout keys over the event stream: bin the two
+    // query dimensions (value, user), interleave the bin bits. Writing
+    // sorted by this key (repartitionByRange + sortWithinPartitions)
+    // makes parquet min/max pruning selective on BOTH dimensions — the
+    // layout step of a write-once/scan-forever 100 TB event store. The
+    // key itself is shift/mask column algebra (codegen'd, no shuffle);
+    // the oracle replays the identical bit placement.
+    "q_zorder" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        val bx = least(floor(col("value")).cast("long"), lit(1023L))
+        val by = col("user_id").cast("long").bitwiseAND(lit(1023L))
+        Tables.events(s, d).select(col("event_id"), bx.as("bx"), by.as("by"),
+          graft.operators.Layout.zorderKey(Seq(bx, by), bits = 10).as("zkey"))
+      },
+      Some(s"""SELECT event_id, bx, by,
+          ${graft.operators.Layout.zorderKeySql(Seq("bx", "by"), 10)} AS zkey
+        FROM (SELECT event_id,
+            LEAST(CAST(FLOOR(value) AS BIGINT), 1023) AS bx,
+            CAST(user_id AS BIGINT) & 1023 AS by
+          FROM events)""".replaceAll("\\s+", " "))),
+
+    // Exact distinct cardinality per group. Spark plans COUNT(DISTINCT)
+    // as two cascaded aggregations (partial dedup on (group, user) below
+    // the shuffle, then the final count), so a hot group's duplicates
+    // collapse map-side instead of funneling one reducer.
+    "q_distinct_users" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        Tables.events(s, d).groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+          COUNT(*) AS n_events
+        FROM events GROUP BY event_type""".replaceAll("\\s+", " "))),
+
+    // Sketch twin of q_distinct_users — the unbounded-cardinality 100 TB
+    // path. Exact distinct counting keys the shuffle by (group, user):
+    // state grows with the number of distinct users. approx_count_distinct
+    // keeps one bounded HyperLogLog++ register set per group, merged
+    // map-side, so state is O(1/rsd^2) per group regardless of
+    // cardinality. Rows-only by design (HLL estimates are engine-
+    // specific); PipelineInvariantsSpec bounds the relative error vs the
+    // exact counts.
+    "q_distinct_users_approx" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        Tables.events(s, d).groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+            count(lit(1)).as("n_events"))
+      },
+      None),
+
     // Rollup aggregate over the region -> nation hierarchy.
     "q_rollup" -> QueryDef(
       (s, d) => {

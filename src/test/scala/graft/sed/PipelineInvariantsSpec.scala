@@ -64,6 +64,39 @@ class PipelineInvariantsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("q_cluster_assign: clusters partition the corpus, cohesion bounded by membership") {
+    val out = SparkEntry.queries("q_cluster_assign")(spark, Sf).cache()
+    val total = out.agg(sum("n_members")).head().getLong(0)
+    assert(total == embeddings.count(), "every vector must land in exactly one cluster")
+    // cohesion is a sum of per-member cosines in micro-units: |cos| <= 1
+    assert(out.filter(abs(col("cohesion_u")) > col("n_members") * 1000000L).count() == 0)
+    // the exemplar is a member id, so it can't precede the smallest vec_id
+    val minId = embeddings.agg(min("vec_id")).head().getLong(0)
+    assert(out.filter(col("exemplar") < minId).count() == 0)
+    out.unpersist()
+  }
+
+  test("q_distinct_users_approx: HLL estimate within 5x rsd of the exact count") {
+    val approx = SparkEntry.queries("q_distinct_users_approx")(spark, Sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_approx")).toMap
+    val exact = SparkEntry.queries("q_distinct_users")(spark, Sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users")).toMap
+    assert(approx.keySet === exact.keySet && approx.nonEmpty)
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) <= math.max(e * 0.10, 2.0),
+        s"$k: approx $a vs exact $e drifts past 5x the 2% rsd")
+    }
+  }
+
+  test("q_pca_project: deterministic across runs and variance-ordered") {
+    val p1 = SparkEntry.queries("q_pca_project")(spark, Sf)
+    val p2 = SparkEntry.queries("q_pca_project")(spark, Sf)
+    assert(p1.collect().toSet == p2.collect().toSet, "projection must be reproducible")
+    val stats = p1.agg(var_samp("p1"), var_samp("p2")).head()
+    assert(stats.getDouble(0) >= stats.getDouble(1))
+  }
+
   test("q_percentiles_approx: sketch quantiles stay within rank-error of exact") {
     val approx = SparkEntry.queries("q_percentiles_approx")(spark, Sf)
       .collect().map(r => r.getAs[Any]("event_type") ->
