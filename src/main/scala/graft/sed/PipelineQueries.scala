@@ -776,6 +776,49 @@ object PipelineQueries {
             0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS quality
           FROM documents) WHERE quality >= 0.3""".replaceAll("\\s+", " "))),
 
+    // N-gram language-model quality score — the self-trained analog of a
+    // KenLM perplexity filter (the workhorse quality signal of CCNet-
+    // style pipelines): fit a token-bigram MLE model on the corpus in
+    // one aggregation, score every document by its mean bigram log-
+    // probability. Scale shape: ONE explode → groupBy(bigram) builds the
+    // model (map-side partials), the probe side shuffle-joins on the
+    // bigram key, the corpus total is a broadcast 1-row aggregate (the
+    // q_tfidf pattern, PlanAuditSpec-allowed). Log-probs go through
+    // ROUND(6) (absorbs the engines' 1-ULP ln drift) then exact
+    // micro-unit longs, so the per-doc sum is reduction-order-proof.
+    "q_lm_score" -> QueryDef(
+      (s, d) => {
+        val bg = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
+          .filter(size(col("__toks")) >= 2)
+          .select(col("doc_id"),
+            explode(TextFunctions.shingles(col("__toks"), 2)).as("b"))
+        val model = bg.groupBy("b").agg(count(lit(1)).as("c"))
+        val tot = bg.agg(count(lit(1)).as("t"))
+        bg.join(model, "b").crossJoin(broadcast(tot))
+          .withColumn("lp", floor(round(log(col("c").cast("double") / col("t")), 6)
+            * 1000000 + 0.5).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lp_u"))
+          .select(col("doc_id"), col("n_bigrams"), col("lp_u"),
+            (col("lp_u").cast("double") / col("n_bigrams") / 1e6).as("avg_lp"))
+      },
+      Some {
+        val sh2 = shinglesSqlFrag("l", 2)
+        s"""WITH toks AS (SELECT doc_id, $toksSqlFrag AS l FROM documents),
+           bg AS (SELECT doc_id, unnest($sh2) AS b FROM toks WHERE len(l) >= 2),
+           model AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+           tot AS (SELECT COUNT(*) AS t FROM bg),
+           per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(FLOOR(ROUND(LN(CAST(c AS DOUBLE) / t), 6) * 1000000 + 0.5E0)
+               AS BIGINT)) AS BIGINT) AS lp_u
+             FROM bg JOIN model USING (b) CROSS JOIN tot
+             GROUP BY doc_id)
+           SELECT doc_id, n_bigrams, lp_u,
+             CAST(lp_u AS DOUBLE) / n_bigrams / 1000000.0E0 AS avg_lp
+           FROM per""".replaceAll("\\s+", " ")
+      }),
+
     // Cluster profiling: assign every embedding to its nearest stride-
     // sample centroid (same centroids + tie-break as the IVF index, so
     // buckets match q_ann_ivf's), then per-cluster size, exemplar, and

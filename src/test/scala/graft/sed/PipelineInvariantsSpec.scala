@@ -89,6 +89,22 @@ class PipelineInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_lm_score: log-probs negative, duplicate texts score identically") {
+    val out = SparkEntry.queries("q_lm_score")(spark, Sf).cache()
+    assert(out.count() > 0)
+    // MLE log-probabilities are strictly negative unless a bigram owns
+    // the whole corpus
+    assert(out.filter(col("avg_lp") > 0).count() == 0)
+    // identical text => identical bigram stream => identical score
+    val dups = documents.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(out, "doc_id")
+      .groupBy("h").agg(countDistinct("lp_u", "n_bigrams").as("nd"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(dups.filter(col("nd") =!= 1).count() == 0,
+      "duplicate texts must score identically")
+    out.unpersist()
+  }
+
   test("q_pca_project: deterministic across runs and variance-ordered") {
     val p1 = SparkEntry.queries("q_pca_project")(spark, Sf)
     val p2 = SparkEntry.queries("q_pca_project")(spark, Sf)

@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpecBase {
   private val skip = Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist")
 
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
-  private val oneRowBroadcastOk = Set("q_energy_offsets", "q_offset_mean", "q_tfidf")
+  private val oneRowBroadcastOk =
+    Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score")
 
   private def crossJoinsAreOneRowAggregates(df: DataFrame): Boolean = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
