@@ -266,4 +266,49 @@ object SedReader {
       .join(attrDf, col("__base") === col("__attr_file"), "left")
       .drop("__base", "__attr_file")
   }
+
+  /** Read a binned cube written by `SedWriter.nexus` back into a
+    * long-form DataFrame — the twin of the reference's h5 cube loader
+    * (reference: src/sed/io/hdf5.py:133 load_h5, which rebuilds the
+    * xarray from the stored axis arrays + data block). Follows the NeXus
+    * `default`/`signal`/`axes` attributes rather than hard-coded names.
+    * The cube is plot-sized by construction (the export is driver-local
+    * too), so materializing rows on the driver is bounded; everything
+    * downstream is a normal distributed DataFrame.
+    *
+    * Returns the data in long form (one row per cell: axis CENTER
+    * coordinates + count — the exact inverse of denseCube's row-major
+    * flattening) plus the per-axis center arrays. */
+  def loadBinned(spark: SparkSession,
+                 path: String): (DataFrame, Seq[(String, Array[Double])]) = {
+    val f = Hdf5File.fromHadoop(path, spark.sparkContext.hadoopConfiguration)
+    val entryName = f.attributes("/").get("default").map(_.toString).getOrElse("entry")
+    val dataName = f.attributes(s"/$entryName").get("default").map(_.toString).getOrElse("data")
+    val dataPath = s"/$entryName/$dataName"
+    val dAttrs = f.attributes(dataPath)
+    val signal = dAttrs.get("signal").map(_.toString).getOrElse("counts")
+    val axisNames = dAttrs.get("axes").map(_.toString) match {
+      case Some(s) if s.nonEmpty => s.split(":").toSeq
+      case _ => throw new IllegalArgumentException(s"$path: no axes attribute at $dataPath")
+    }
+    val axes = axisNames.map(a => a -> f.readDoubles(s"$dataPath/$a"))
+    val dims = f.shape(s"$dataPath/$signal").map(_.toInt)
+    require(dims == axes.map(_._2.length),
+      s"$path: counts shape $dims vs axis lengths ${axes.map(_._2.length)}")
+    val cube = f.readDoubles(s"$dataPath/$signal")
+
+    // invert the row-major flattening: cell i -> per-axis indices
+    val strides = dims.scanRight(1)(_ * _).tail
+    val rows = new Array[org.apache.spark.sql.Row](cube.length)
+    var i = 0
+    while (i < cube.length) {
+      val coords = axes.indices.map(d => axes(d)._2((i / strides(d)) % dims(d)))
+      rows(i) = org.apache.spark.sql.Row.fromSeq(coords :+ cube(i))
+      i += 1
+    }
+    val schema = StructType((axisNames :+ "cnt").map(c =>
+      org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.DoubleType)))
+    (spark.createDataFrame(spark.sparkContext.parallelize(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows)), schema), axes)
+  }
 }

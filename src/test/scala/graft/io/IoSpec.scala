@@ -165,6 +165,34 @@ class IoSpec extends SparkSpecBase {
     assert(tags(279) == 24)
   }
 
+  test("loadBinned reads a nexus cube back (io/hdf5.py load_h5 twin)") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val axes = Seq(BinAxis("a", 2, 0.0, 2.0), BinAxis("b", 3, 0.0, 3.0))
+    val df = Seq((0.5, 0.5), (0.5, 0.5), (1.5, 2.5)).toDF("a", "b")
+    val hist = Binning.histogram(df, axes)
+    val path = s"${Files.createTempDirectory("nexusrt")}/cube.nxs"
+    SedWriter.nexus(hist, axes, path, compress = true)
+
+    val (loaded, loadedAxes) = SedReader.loadBinned(spark, path)
+    // axis centers round-trip exactly
+    assert(loadedAxes.map(_._1) == Seq("a", "b"))
+    assert(loadedAxes(0)._2.toSeq == Seq(0.5, 1.5))
+    assert(loadedAxes(1)._2.toSeq == Seq(0.5, 1.5, 2.5))
+    // full cube: product of dims rows, zeros included
+    assert(loaded.count() == 6)
+    val cells = loaded.as[(Double, Double, Double)].collect().toSet
+    assert(cells == Set((0.5, 0.5, 2.0), (0.5, 1.5, 0.0), (0.5, 2.5, 0.0),
+      (1.5, 0.5, 0.0), (1.5, 1.5, 0.0), (1.5, 2.5, 1.0)))
+    // and the non-zero cells agree with the original sparse histogram
+    val nz = loaded.filter(col("cnt") > 0)
+      .withColumn("a", floor(col("a")).cast("long"))
+      .withColumn("b", floor(col("b")).cast("long"))
+    val orig = hist.select(col("a_bin").cast("long"), col("b_bin").cast("long"),
+      col("cnt").cast("double"))
+    assert(nz.select("a", "b", "cnt").as[(Long, Long, Double)].collect().toSet ==
+      orig.as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("filesForRuns resolves run ids from entry names and readRuns loads them") {
     val dir = Files.createTempDirectory("graft_runs").toString
     Seq(1L, 2L).toDF("id").write.parquet(s"$dir/Scan0001_part0")
