@@ -175,9 +175,34 @@ object StreamingQueries {
         col("value_bin"), col("cnt"))
   }
 
+  /** Streaming dedup-at-ingest over the near-duplicate-heavy documents
+    * feed: content-hash dropDuplicatesWithinWatermark, state = one entry
+    * per distinct hash inside the horizon, watermark-evicted. Event time
+    * is synthesized from doc_id (1 s spacing) so the horizon genuinely
+    * evicts on the longer feeds; a duplicate is re-emitted only once its
+    * keeper's state has aged out (> watermark apart — spec-pinned). */
+  def streamDedup(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    import s.implicits._
+    val rows = Tables.documents(s0, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val ms = emptyStream[(Long, String)](s)
+    // +1 day: doc 0 must not land exactly ON the initial watermark
+    // (epoch 0), where it would be discarded as late before dedup
+    val src = ms.toDF().toDF("doc_id", "text")
+      .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+    val dd = SedStreaming.streamingDedup(src, "ts", "text", Watermark)
+    val cks = chunk3(rows)
+    runChunked(s, dd, "append")(i => ms.addData(cks(i)), cks.size)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
   val defs: Map[String, QueryDef] = Map(
     "q_stream_sessionize" -> QueryDef((s, d) => streamSessionize(s, d), None),
     "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None),
-    "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None))
+    "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None),
+    "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None))
 }

@@ -21,7 +21,8 @@ import graft.SparkSpecBase
   * one side, so the allowance cannot mask a real lost-key regression. */
 class PlanAuditSpec extends SparkSpecBase {
 
-  private val skip = Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist")
+  private val skip =
+    Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist", "q_stream_dedup")
 
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
   private val oneRowBroadcastOk =

@@ -143,6 +143,31 @@ class SedStreamingSpec extends SparkSpecBase {
     assert(got == batch)
   }
 
+  test("driver q_stream_dedup: first occurrences kept, re-emits only past the horizon") {
+    val d = "/root/testdata/sf0.001"
+    val got = StreamingQueries.streamDedup(spark, d)
+      .as[(Long, String)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sed.Tables.documents(spark, d)
+      .select(col("doc_id").cast("long"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect()
+    // every distinct text is represented (the keeper WITHIN a batch is
+    // whichever copy its state partition sees first — identity is not
+    // contractual, coverage is)
+    assert(got.map(_._2).toSet == docs.map(_._2).toSet,
+      "every distinct hash must be emitted at least once")
+    // a duplicate re-emits only after its keeper's state aged out: with
+    // 1 s event-time spacing that means > 30 min apart in doc_id
+    got.groupBy(_._2).foreach { case (h, g) =>
+      val ids = g.map(_._1).sorted
+      ids.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1) - w(0) > 1800, s"hash $h re-emitted at ${w(1)} after ${w(0)}")
+      }
+    }
+    // everything emitted is a real (doc_id, hash) pair
+    assert(got.toSet.subsetOf(docs.toSet))
+  }
+
   test("streamingDedup drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
