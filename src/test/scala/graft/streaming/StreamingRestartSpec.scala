@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpecBase
+import graft.operators.BinAxis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Operational posture: a streaming job on a 100 TB feed WILL be
+  * restarted (deploys, preemptions, failures), and correctness then
+  * rests entirely on checkpoint recovery — the file-source log must not
+  * re-ingest processed input, and the aggregation state store must
+  * resume, not reset. MemoryStream cannot prove this (it is not
+  * replayable across restarts), so this spec drives a real file source
+  * through stop → new data → restart on one checkpoint. */
+class StreamingRestartSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("windowed histogram state survives a stop/restart on one checkpoint") {
+    val s = spark.newSession()
+    graft.sed.SedQueries.ensureConfs(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val dir = Files.createTempDirectory("graft_restart").toString
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+    def feed(rows: Seq[(Timestamp, Double)]): Unit = {
+      import s.implicits._
+      rows.toDF("ts", "value").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def start() = {
+      val src = s.readStream.schema(StructType.fromDDL("ts TIMESTAMP, value DOUBLE"))
+        .parquet(srcDir)
+      SedStreaming.streamingHistogram(src, "ts", "30 minutes", "1 hour",
+          Seq(BinAxis("value", 10, 0.0, 100.0)))
+        .writeStream.format("memory").queryName("graft_restart_hist")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    def counts(): Map[Long, Long] = s.table("graft_restart_hist")
+      .select(col("value_bin").cast("long"), col("cnt").cast("long"))
+      .as[(Long, Long)].collect().toMap
+
+    // epoch 1: three events in bin 1
+    feed(Seq((t(1), 15.0), (t(2), 15.0), (t(3), 17.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(counts() == Map(1L -> 3L))
+
+    // stopped: two more bin-1 events and one bin-2 event arrive
+    feed(Seq((t(10), 12.0), (t(11), 19.0), (t(12), 25.0)))
+
+    // epoch 2, same checkpoint: the first batch must resume the state
+    // store (bin 1 = 5, not 2) and must NOT re-ingest the first file
+    // (bin 1 = 5, not 8)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(counts() == Map(1L -> 5L, 2L -> 1L),
+      "restart must resume aggregation state and skip processed files")
+  }
+}
