@@ -776,6 +776,36 @@ object PipelineQueries {
             0.4 * LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS quality
           FROM documents) WHERE quality >= 0.3""".replaceAll("\\s+", " "))),
 
+    // Count-Min-sketch frequency estimation for the corpus's top terms —
+    // the sketch twin of q_vocab's exact counts, and the 100 TB answer
+    // when the vocabulary itself is too large to shuffle: CMS keeps a
+    // fixed depth×width counter grid, merged by summation (map-side
+    // partial agg via treeAggregate inside df.stat), so memory is O(1)
+    // in both corpus and vocabulary size. Rows-only by design (the
+    // estimate depends on the sketch geometry/seed); the invariants spec
+    // pins the CMS contract: never under-estimates, over-estimate
+    // bounded by eps × total token mass.
+    "q_heavy_hitters_approx" -> QueryDef(
+      (s, d) => {
+        val toks = docs(s, d).select(explode(tokens(col("text"))).as("tok"))
+        val cms = toks.stat.countMinSketch("tok",
+          eps = 0.0001, confidence = 0.999, seed = 42)
+        // the probe set: the exact top-100 terms (same ranking as q_vocab)
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(100)
+          .select("tok").as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          top.map(t => org.apache.spark.sql.Row(t, cms.estimateCount(t))).toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tok",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("est",
+              org.apache.spark.sql.types.LongType))))
+      },
+      None),
+
     // N-gram language-model quality score — the self-trained analog of a
     // KenLM perplexity filter (the workhorse quality signal of CCNet-
     // style pipelines): fit a token-bigram MLE model on the corpus in

@@ -89,6 +89,23 @@ class PipelineInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_heavy_hitters_approx: CMS never under-estimates, over-estimate eps-bounded") {
+    import graft.functions.TextFunctions.tokens
+    val est = SparkEntry.queries("q_heavy_hitters_approx")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    est.foreach { case (t, e) =>
+      val c = exact(t)
+      assert(e >= c, s"CMS under-estimated '$t': $e < $c")
+      val bound = math.max((0.0001 * total).ceil.toLong, 1L)
+      assert(e - c <= bound, s"'$t' over-estimate ${e - c} exceeds eps*N")
+    }
+  }
+
   test("q_lm_score: log-probs negative, duplicate texts score identically") {
     val out = SparkEntry.queries("q_lm_score")(spark, Sf).cache()
     assert(out.count() > 0)
