@@ -84,6 +84,28 @@ class Hdf5Spec extends SparkSpecBase {
       Seq(graft.operators.BinAxis("t", 100, 120000.0, 280000.0)))
     assert(hist.agg(sum("cnt")).head().getLong(0) > 0)
   }
+  test("the fluent processor chain runs end to end on the real mpes scan") {
+    assume(have(mpes))
+    import org.apache.spark.sql.functions._
+    val df = SedReader.readMpesH5(spark, Seq(mpes))
+    // filter to the physical TOF window, energy-calibrate (flight-tube
+    // formula with plausible mpes constants), bin the (X, Y, E) cube —
+    // the reference's standard workflow, on the reference's own scan
+    val cube = graft.sed.SedProcessor(df, xCol = "X", yCol = "Y", tofCol = "t")
+      .filterColumn("t", 120000.0, 280000.0)
+      .appendEnergyAxis(tofDistance = 0.9, timeOffset = 1e-8,
+        binwidth = 4.125e-12, binning = 1, energyOffset = -30.0)
+      .compute(Seq(
+        graft.operators.BinAxis("X", 64, 0.0, 1800.0),
+        graft.operators.BinAxis("Y", 64, 0.0, 1800.0),
+        graft.operators.BinAxis("energy", 64, -60.0, 20.0)))
+    val (n, nBins) = (cube.agg(sum("cnt")).head().getLong(0), cube.count())
+    // a real photoemission scan concentrates counts in a structured
+    // region: events land, and the cube is neither empty nor one bin
+    assert(n > 100000, s"expected most of the 297k events in range, got $n")
+    assert(nBins > 100 && nBins < 64L * 64 * 64, s"non-degenerate cube: $nBins bins")
+  }
+
   test("Hdf5Writer round-trips through the reader proven on real files") {
     import Hdf5Writer._
     val dir = Files.createTempDirectory("h5w").toString
