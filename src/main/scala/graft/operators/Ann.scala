@@ -259,6 +259,19 @@ object Ann {
     IvfIndex(path, centroids)
   }
 
+  /** Append new vectors to a persisted index WITHOUT rebuilding — the
+    * incremental half of the fit-once/append-forever loop: assign against
+    * the index's frozen centroids (so old and new rows bucket
+    * identically) and append parquet files only under the touched bucket
+    * partitions. Search results are indistinguishable from an index
+    * built on the full corpus with the same centroids (spec-asserted);
+    * re-fit centroids only when drift degrades recall, which is a new
+    * index build by construction. */
+  def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame,
+                       idCol: String, vecCol: String): Unit =
+    assignBuckets(newVecs, idCol, vecCol, index.centroids)
+      .write.mode("append").partitionBy("bucket").parquet(index.path)
+
   /** Re-open a built index (the fit-once / query-forever loop). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")

@@ -140,6 +140,35 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental IVF append equals a full rebuild with the same centroids") {
+    val centroids = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    val queries = embeddings.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+
+    // build on the first half, append the second half incrementally
+    val path = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val half = embeddings.count() / 2
+    val idx = Ann.buildIvfIndex(embeddings.filter($"vec_id" < half),
+      "vec_id", "embedding", path, centroids)
+    Ann.appendToIvfIndex(idx, embeddings.filter($"vec_id" >= half),
+      "vec_id", "embedding")
+
+    // one index build over the full corpus, same frozen centroids
+    val fullPath = java.nio.file.Files.createTempDirectory("ivffull").toString
+    val fullIdx = Ann.buildIvfIndex(embeddings, "vec_id", "embedding",
+      fullPath, centroids)
+
+    val viaAppend = Ann.searchIvfIndex(spark, idx, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaFull = Ann.searchIvfIndex(spark, fullIdx, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaAppend == viaFull && viaAppend.nonEmpty)
+    // appended rows really landed (searchable vectors from the second half)
+    assert(viaAppend.exists(_._2 >= half), "results must include appended vectors")
+  }
+
   test("IVF probe scan is partition-pruned to the probed buckets only") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val centroids = embeddings.filter($"vec_id" % 50 === 0)
