@@ -38,7 +38,13 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue())),
     ("sorted_intersect_count",
       info("sorted_intersect_count", "_FUNC_(a, b) - |A∩B| of two sorted long arrays"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    ("float_vec_abs_max",
+      info("float_vec_abs_max", "_FUNC_(a) - max(|a_i|) of a float array in double"),
+      (es: Seq[Expression]) => FloatVecAbsMax(es.head)),
+    ("quantize_i8_str",
+      info("quantize_i8_str", "_FUNC_(a, scale) - symmetric int8 quantization rendered as CSV string"),
+      (es: Seq[Expression]) => QuantizeI8Str(es(0), es(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

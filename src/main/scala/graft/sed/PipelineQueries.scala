@@ -248,21 +248,21 @@ object PipelineQueries {
     // Symmetric int8 scalar quantization of the embedding column — the
     // storage-compression step of an embedding pipeline: per-vector scale
     // = 127/max|v|, q_i = round-half-up(v_i * scale) clamped to [-127,127].
-    // Map-only; the scale is materialized as its own column first (no CSE
-    // inside higher-order-function lambdas — see verify-skill gotchas).
+    // Map-only, and fully codegen'd: the abs-max fold and the per-element
+    // quantize+render are native expressions (plans/QuantizeI8.scala) —
+    // higher-order-function lambdas would interpret per element on what
+    // is a full-corpus scan of the embedding store. IEEE math identical
+    // to the HOF formulation, so the oracle is unchanged.
     "q_quantize" -> QueryDef(
       (s, d) => emb(s, d)
-        .withColumn("__mx", aggregate(col("embedding"), lit(0.0d),
-          (acc, v) => greatest(acc, abs(v.cast("double")))))
+        .withColumn("__mx", org.apache.spark.sql.graft.FloatVecAbsMax(col("embedding")))
         .filter(col("__mx") > 0.0)
         .withColumn("scale", lit(127.0) / col("__mx"))
         // q8 rendered as a joined string: the oracle compare is scalar-
         // column based (arrays don't sort/hash across engines)
         .select(col("vec_id"), col("scale"),
-          concat_ws(",", transform(col("embedding"), v =>
-            greatest(lit(-127L), least(lit(127L),
-              floor(v.cast("double") * col("scale") + lit(0.5)).cast("long")))
-              .cast("string"))).as("q8")),
+          org.apache.spark.sql.graft.QuantizeI8Str(col("embedding"), col("scale"))
+            .as("q8")),
       Some {
         s"""SELECT vec_id, scale,
              array_to_string(list_transform(embedding, v -> CAST(GREATEST(-127, LEAST(127,

@@ -21,5 +21,36 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(sigs == 3)
     val sh = spark.sql("SELECT simhash32(array(5L)) AS h").as[Long].head()
     assert(sh == 5L) // single hash votes its own bits
+    val mx = spark.sql(
+      "SELECT float_vec_abs_max(array(CAST(1.5 AS FLOAT), CAST(-4.0 AS FLOAT))) AS m")
+      .as[Double].head()
+    assert(mx == 4.0)
+    val q8 = spark.sql(
+      "SELECT quantize_i8_str(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT), " +
+        "CAST(2.0 AS FLOAT)), CAST(63.5 AS DOUBLE)) AS q").as[String].head()
+    assert(q8 == "64,-32,127") // floor(-0.5*63.5+0.5) = -32; 2*63.5 clamps to 127
+  }
+
+  test("native quantize matches the interpreted HOF formulation bit for bit") {
+    import org.apache.spark.sql.functions._
+    val hof = embeddings
+      .withColumn("__mx", aggregate(col("embedding"), lit(0.0d),
+        (acc, v) => greatest(acc, abs(v.cast("double")))))
+      .filter(col("__mx") > 0.0)
+      .withColumn("scale", lit(127.0) / col("__mx"))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",", transform(col("embedding"), v =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(v.cast("double") * col("scale") + lit(0.5)).cast("long")))
+            .cast("string"))).as("q8"))
+      .as[(Long, Double, String)].collect().toSet
+    val native = embeddings
+      .withColumn("__mx", org.apache.spark.sql.graft.FloatVecAbsMax(col("embedding")))
+      .filter(col("__mx") > 0.0)
+      .withColumn("scale", lit(127.0) / col("__mx"))
+      .select(col("vec_id"), col("scale"),
+        org.apache.spark.sql.graft.QuantizeI8Str(col("embedding"), col("scale")).as("q8"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(native == hof && native.nonEmpty)
   }
 }
