@@ -45,8 +45,8 @@ object Dedup {
     // 3 regex splits per shingle instead of 1 per row.
     docs.filter(size(toks) >= shingleN)
       .withColumn("__toks", toks)
-      .withColumn("__sh_hashes", transform(
-        TextFunctions.shingles(col("__toks"), shingleN), TextFunctions.expr_hash32 _))
+      .withColumn("__sh_hashes",
+        org.apache.spark.sql.graft.ShingleHashes(col("__toks"), shingleN))
       .withColumn("__sigs",
         org.apache.spark.sql.graft.MinHashSigs(col("__sh_hashes"), numHashes))
       .select(col(idCol) +: sigs: _*)
@@ -108,7 +108,7 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("__th", transform(col("__toks"), TextFunctions.expr_hash32 _))
+      .withColumn("__th", org.apache.spark.sql.graft.ShingleHashes(col("__toks"), 1))
       .select(col(idCol),
         org.apache.spark.sql.graft.SimHash32(col("__th")).as("simhash"))
 
@@ -180,8 +180,8 @@ object Dedup {
       .withColumn("__toks", TextFunctions.tokens(col(textCol))) // see minhashSignatures
       .filter(size(col("__toks")) >= n)
       .select(col(idCol),
-        array_sort(array_distinct(transform(TextFunctions.shingles(col("__toks"), n),
-          TextFunctions.expr_hash32 _))).as("sh"))
+        array_sort(array_distinct(
+          org.apache.spark.sql.graft.ShingleHashes(col("__toks"), n))).as("sh"))
 
   private def jaccardOf(joined: DataFrame): DataFrame =
     joined

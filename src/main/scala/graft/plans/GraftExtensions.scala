@@ -44,7 +44,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => FloatVecAbsMax(es.head)),
     ("quantize_i8_str",
       info("quantize_i8_str", "_FUNC_(a, scale) - symmetric int8 quantization rendered as CSV string"),
-      (es: Seq[Expression]) => QuantizeI8Str(es(0), es(1))))
+      (es: Seq[Expression]) => QuantizeI8Str(es(0), es(1))),
+    ("shingle_hashes",
+      info("shingle_hashes", "_FUNC_(tokens, n) - 32-bit hashes of word n-gram shingles"),
+      (es: Seq[Expression]) => ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

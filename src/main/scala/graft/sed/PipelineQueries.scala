@@ -445,8 +445,8 @@ object PipelineQueries {
           .withColumn("__toks", tokens(col("text")))
           .filter(size(col("__toks")) >= ShingleN)
           .select(col("doc_id"),
-            explode(transform(TextFunctions.shingles(col("__toks"), ShingleN),
-              expr_hash32 _)).as("h"))
+            explode(org.apache.spark.sql.graft.ShingleHashes(
+              col("__toks"), ShingleN)).as("h"))
         val ev = sh.filter(col("doc_id") % DecontamMod === 0)
           .select(col("h")).distinct().withColumn("__m", lit(1))
         sh.filter(col("doc_id") % DecontamMod =!= 0)
@@ -481,8 +481,8 @@ object PipelineQueries {
           .withColumn("__toks", tokens(col("text")))
           .filter(size(col("__toks")) >= ShingleN)
           .select(col("doc_id"),
-            explode(transform(TextFunctions.shingles(col("__toks"), ShingleN),
-              expr_hash32 _)).as("h"))
+            explode(org.apache.spark.sql.graft.ShingleHashes(
+              col("__toks"), ShingleN)).as("h"))
         val ev = sh.filter(col("doc_id") % DecontamMod === 0).select(col("h"))
         graft.operators.Dedup.bloomDecontaminate(
           sh.filter(col("doc_id") % DecontamMod =!= 0), ev,
@@ -604,8 +604,8 @@ object PipelineQueries {
           .withColumn("__toks", tokens(col("text")))
           .filter(size(col("__toks")) >= ShingleN)
           .select(col("doc_id"),
-            posexplode(transform(TextFunctions.shingles(col("__toks"), ShingleN),
-              expr_hash32 _)).as(Seq("pos", "h")))
+            posexplode(org.apache.spark.sql.graft.ShingleHashes(
+              col("__toks"), ShingleN)).as(Seq("pos", "h")))
         val dup = sh.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")

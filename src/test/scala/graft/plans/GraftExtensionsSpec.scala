@@ -31,6 +31,30 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(q8 == "64,-32,127") // floor(-0.5*63.5+0.5) = -32; 2*63.5 clamps to 127
   }
 
+  test("native shingle hashes match the interpreted HOF formulation bit for bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    for (n <- Seq(1, 3)) {
+      val base = documents
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .filter(size(col("__toks")) >= n)
+      val hof = base.select(col("doc_id"),
+          transform(TextFunctions.shingles(col("__toks"), n),
+            TextFunctions.expr_hash32 _).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val native = base.select(col("doc_id"),
+          org.apache.spark.sql.graft.ShingleHashes(col("__toks"), n).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == hof && native.nonEmpty, s"n=$n")
+    }
+    // below-width token arrays degrade to an empty hash array, not a crash
+    val short = Seq((1L, "only two")).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.graft.ShingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3).as("h"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("native quantize matches the interpreted HOF formulation bit for bit") {
     import org.apache.spark.sql.functions._
     val hof = embeddings
