@@ -201,6 +201,11 @@ object Ann {
       it.map { row =>
         val v = row.getSeq[Float](1).toArray
         val nv = math.sqrt(dot(v, v))
+        // zero-norm → all cosines NaN → bucket -1 → the vector silently
+        // disappears from every probe-pruned search. Fail loudly instead.
+        require(nv > 0.0,
+          s"assignBuckets: zero-norm embedding at $idCol=${row.getLong(0)} — " +
+            "cosine assignment is undefined; filter zero vectors upstream")
         var best = -2.0; var bestC = -1
         cB.value.foreach { case (cid, cv, cn) =>
           val c = dot(cv, v) / (cn * nv)
@@ -230,6 +235,13 @@ object Ann {
       it.map { row =>
         val v = row.getSeq[Float](1).toArray
         val nv = math.sqrt(dot(v, v))
+        // A zero-norm vector makes every cosine NaN, so no centroid ever
+        // wins and the row would silently emit cid=-1/cos=-2.0 — a value
+        // an oracle's NaN ordering can diverge on. Fail loudly instead
+        // (same posture as q_quantize's __mx > 0 guard).
+        require(nv > 0.0,
+          s"clusterAssign: zero-norm embedding at $idCol=${row.getLong(0)} — " +
+            "cosine assignment is undefined; filter zero vectors upstream")
         var best = -2.0; var bestC = -1
         cB.value.foreach { case (cid, cv, cn) =>
           val c = dot(cv, v) / (cn * nv)
@@ -266,11 +278,26 @@ object Ann {
     * partitions. Search results are indistinguishable from an index
     * built on the full corpus with the same centroids (spec-asserted);
     * re-fit centroids only when drift degrades recall, which is a new
-    * index build by construction. */
+    * index build by construction.
+    *
+    * NOT idempotent by default: a retried append would re-insert the same
+    * ids and they would surface as duplicate candidates in search results.
+    * Callers with at-least-once job semantics should pass
+    * `antiJoinExisting = true`, which anti-joins the batch against the ids
+    * already in the index (one partition-pruned-by-nothing read of the id
+    * column only — column pruning keeps it cheap) before writing. */
   def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame,
-                       idCol: String, vecCol: String): Unit =
-    assignBuckets(newVecs, idCol, vecCol, index.centroids)
+                       idCol: String, vecCol: String,
+                       antiJoinExisting: Boolean = false): Unit = {
+    val spark = newVecs.sparkSession
+    val batch =
+      if (!antiJoinExisting) newVecs.select(col(idCol), col(vecCol))
+      else newVecs.select(col(idCol), col(vecCol)).join(
+        spark.read.parquet(index.path).select(col("vec_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    assignBuckets(batch, idCol, vecCol, index.centroids)
       .write.mode("append").partitionBy("bucket").parquet(index.path)
+  }
 
   /** Re-open a built index (the fit-once / query-forever loop). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * visualization in an embedding pipeline.
   *
   * Scale split: the only distributed work is accumulating the moment
-  * statistics (per-dimension sums and the upper triangle of the second-
-  * moment matrix) — a posexplode → groupBy with map-side partial
-  * aggregation, so the shuffle carries O(d²) keys regardless of corpus
-  * size. The d×d covariance matrix is driver-sized (d = embedding width,
-  * 64 here), so the eigensolve is plain JVM math: power iteration with
-  * deflation, deterministic start vector, fixed iteration budget.
+  * statistics (count, per-dimension sums, and the upper triangle of the
+  * second-moment matrix) — ONE treeAggregate pass over the raw float
+  * arrays into a 1 + d + d(d+1)/2 double buffer per task, tree-combined
+  * to the driver. No explode: a d=64 vector updates 2,081 buffer slots
+  * in a tight loop instead of materializing 2,080 shuffle rows, and the
+  * mean rides in the same pass as the moments. The d×d covariance matrix
+  * is driver-sized (d = embedding width, 64 here), so the eigensolve is
+  * plain JVM math: power iteration with deflation, deterministic start
+  * vector, fixed iteration budget.
   * Projection back over the corpus is map-only column algebra
   * (FloatVecDot — codegen'd, no UDF).
   */
@@ -27,16 +30,65 @@ object Pca {
     require(components.length == eigenvalues.length)
   }
 
-  /** One pass over the corpus for sums + second moments (upper triangle,
-    * exploiting symmetry), then covariance and the top-k eigenpairs on
-    * the driver. `dim` must match the embedding width. */
+  /** One treeAggregate pass over the corpus for count + sums + second
+    * moments (upper triangle, exploiting symmetry), then covariance and
+    * the top-k eigenpairs on the driver. `dim` must match the embedding
+    * width.
+    *
+    * Determinism: the eigensolve has no RNG, so a given moment buffer
+    * always yields the same model. The moment sums themselves are double
+    * additions whose reduction order follows the partition layout, so
+    * across different partitionings/cluster layouts the fit can drift in
+    * the last ULPs — same-model determinism, not cross-run bit-stability.
+    */
   def fit(df: DataFrame, vecCol: String, dim: Int, k: Int,
           iters: Int = 1000): PcaModel = {
     require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
     val base = df.select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
-    // (i, vi) rows for the mean; (i, j>=i, vi*vj) rows for second moments.
-    // Both shuffles carry at most dim resp. dim*(dim+1)/2 keys after the
-    // map-side partial agg — bounded at any corpus size.
+    val tri = dim * (dim + 1) / 2
+    // buffer layout: [0] = n, [1, dim] = sums, then the upper triangle
+    // row-major ((i,j>=i) in the same fixed loop order everywhere)
+    val acc = base.rdd.treeAggregate(new Array[Double](1 + dim + tri))(
+      seqOp = { (b, row) =>
+        val v = row.getSeq[Float](0)
+        b(0) += 1.0
+        var i = 0
+        var t = 1 + dim
+        while (i < dim) {
+          val vi = v(i).toDouble
+          b(1 + i) += vi
+          var j = i
+          while (j < dim) { b(t) += vi * v(j).toDouble; j += 1; t += 1 }
+          i += 1
+        }
+        b
+      },
+      combOp = { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    val n = acc(0).toLong
+    require(n >= 2, s"PCA needs >= 2 vectors, got $n")
+    val mean = Array.tabulate(dim)(i => acc(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = acc(t) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    solve(mean, cov, dim, k, iters)
+  }
+
+  /** The pre-round-7 explode-based moment pass, kept (package-private)
+    * solely so PcaSpec can pin the treeAggregate accumulator against an
+    * independently-computed moment set. Same math, ~2,000× the row
+    * traffic. */
+  private[graft] def fitViaExplode(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                                   iters: Int = 1000): PcaModel = {
+    require(k >= 1 && k <= dim, s"k=$k must be in [1, $dim]")
+    val base = df.select(col(vecCol).as("__v")).filter(size(col("__v")) === dim)
     val firstRows = base
       .select(posexplode(col("__v")).as(Seq("i", "vi")))
       .groupBy("i").agg(sum(col("vi").cast("double")).as("s"), count(lit(1)).as("n"))
@@ -46,7 +98,6 @@ object Pca {
     require(n >= 2, s"PCA needs >= 2 vectors, got $n")
     val mean = new Array[Double](dim)
     firstRows.foreach(r => mean(r.getInt(0)) = r.getDouble(1) / n)
-
     val secondRows = base
       .select(posexplode(col("__v")).as(Seq("i", "vi")), col("__v"))
       .select(col("i"), col("vi"), posexplode(col("__v")).as(Seq("j", "vj")))
@@ -60,9 +111,14 @@ object Pca {
       val c = r.getDouble(2) / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c
     }
+    solve(mean, cov, dim, k, iters)
+  }
 
-    // Power iteration with deflation: deterministic uniform start, fixed
-    // budget — no RNG, so the fit is reproducible run-to-run.
+  /** Power iteration with deflation: deterministic uniform start, fixed
+    * budget — no RNG, so a given covariance always yields the same
+    * eigenpairs. */
+  private def solve(mean: Array[Double], cov: Array[Array[Double]],
+                    dim: Int, k: Int, iters: Int): PcaModel = {
     val comps = Array.ofDim[Double](k, dim)
     val eigs = new Array[Double](k)
     val work = cov.map(_.clone())

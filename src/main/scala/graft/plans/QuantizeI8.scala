@@ -11,10 +11,15 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** max(|v_i|) over an `array<float>` column in double, left-to-right —
   * the per-vector scale denominator of symmetric int8 quantization.
-  * Identical IEEE result to the interpreted `aggregate(transform(...))`
-  * fold and DuckDB's `list_aggregate(list_transform(...), 'max')`, but a
-  * tight codegen loop (the quantization pass is a full-corpus scan of
-  * the embedding store — the exact place interpreted lambdas hurt).
+  * For finite non-null elements (the embedding-column contract, enforced
+  * upstream by the __mx > 0 guard) the result is IEEE-identical to the
+  * interpreted `aggregate(transform(...))` fold and DuckDB's
+  * `list_aggregate(list_transform(...), 'max')`, but a tight codegen loop
+  * (the quantization pass is a full-corpus scan of the embedding store —
+  * the exact place interpreted lambdas hurt). Out of contract and
+  * deliberately NOT mirrored: a NaN element is skipped here (`v > acc` is
+  * false for NaN) where Spark's `greatest` would rank NaN largest, and a
+  * null element reads as 0.0f instead of propagating null.
   */
 case class FloatVecAbsMax(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
@@ -63,8 +68,11 @@ object FloatVecAbsMax {
   * per-row double scale, rendered as the comma-joined component string
   * (the oracle-comparable form): q_i = clamp(floor(v_i * scale + 0.5),
   * -127, 127). Element math identical to the interpreted
-  * `transform(...)` + `concat_ws` chain it replaces — one codegen loop,
-  * one string build, no per-element lambda dispatch.
+  * `transform(...)` + `concat_ws` chain it replaces for finite non-null
+  * elements (same contract caveat as FloatVecAbsMax: NaN/null elements
+  * are out of contract — null reads as 0.0f rather than being dropped
+  * the way concat_ws drops nulls) — one codegen loop, one string build,
+  * no per-element lambda dispatch.
   */
 case class QuantizeI8Str(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with UserDefinedExpression {

@@ -44,15 +44,23 @@ object PipelineQueries {
     * indexing job of the fit-once/query-forever loop). */
   private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
 
-  /** Deterministic stride-sample centroids (cid = vec_id / stride) —
-    * bounded driver collect (|corpus| / stride rows), shared by the IVF
-    * index build and the cluster-profiling query so both bucket
-    * identically. */
-  private def strideCentroids(s: SparkSession, d: String): Array[(Int, Array[Float])] =
-    emb(s, d).filter(col("vec_id") % IvfStride === 0)
-      .select(col("vec_id").cast("long"), col("embedding")).collect()
+  /** Deterministic stride-sample centroids (cid = vec_id / stride), shared
+    * by the IVF index build and the cluster-profiling query so both bucket
+    * identically. Guarded the same way as ivfTopK's default path: the
+    * limit+1 probe stops the scan early and the require refuses corpora
+    * whose stride sample would be an unbounded driver collect — there the
+    * caller must fit centroids (Ann.kmeans) instead. */
+  private def strideCentroids(s: SparkSession, d: String): Array[(Int, Array[Float])] = {
+    val sampled = emb(s, d).filter(col("vec_id") % IvfStride === 0)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .limit(Ann.MaxDefaultCentroids + 1).collect()
+    require(sampled.length <= Ann.MaxDefaultCentroids,
+      s"strideCentroids sample exceeds ${Ann.MaxDefaultCentroids} vectors " +
+        s"(stride=$IvfStride) — fit centroids with Ann.kmeans for corpora this large")
+    sampled
       .map(r => ((r.getLong(0) / IvfStride).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+  }
 
   private def ivfIndexFor(s: SparkSession, d: String): Ann.IvfIndex =
     ivfIndexes.getOrElseUpdate(d, {

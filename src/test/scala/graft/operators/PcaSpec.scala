@@ -38,6 +38,24 @@ class PcaSpec extends SparkSpecBase {
     assert(m.eigenvalues(0) >= maxDiag - 1e-9)
   }
 
+  test("single-pass treeAggregate fit matches the explode-based moment pass") {
+    // The round-7 accumulator (one pass, no explode) against the original
+    // posexplode/groupBy computation: same moments up to double reduction
+    // order, so means/eigenvalues/axes agree far below any physical
+    // tolerance. Axes are compared up to sign (eigenvectors are
+    // sign-ambiguous; both solvers start deterministically, but keep the
+    // check robust).
+    val a = Pca.fit(embeddings, "embedding", dim = 64, k = 2)
+    val b = Pca.fitViaExplode(embeddings, "embedding", dim = 64, k = 2)
+    a.mean.zip(b.mean).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    a.eigenvalues.zip(b.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6 * math.max(math.abs(y), 1e-12)) }
+    a.components.zip(b.components).foreach { case (va, vb) =>
+      val sign = if (dotD(va, vb) < 0) -1.0 else 1.0
+      va.zip(vb).foreach { case (x, y) => assert(math.abs(x - sign * y) < 1e-6) }
+    }
+  }
+
   test("fit recovers a planted dominant direction") {
     // synthetic corpus: strong variance along a fixed direction + small
     // per-coordinate noise, all deterministic
