@@ -11,11 +11,20 @@ import org.apache.spark.sql.SparkSession
   * first measured query doesn't pay JVM/codegen initialization. A query
   * that throws reports -1 (never a plausible elapsed time).
   *
-  * Per query the reported number is the MEDIAN of `SPARK_GRAFT_BENCH_RUNS`
-  * (default 3) executions: single cold runs are dominated by codegen/JIT
-  * noise for sub-5 s queries (a byte-identical build once read 2.6 s vs
-  * 12.9 s round-over-round), so medians are what make cross-round
-  * comparisons meaningful.
+  * Measurement protocol (round 7): samples are INTERLEAVED round-robin
+  * across the suite — round r runs every query once (sorted order), then
+  * round r+1 repeats — instead of back-to-back per-query repeats. Five
+  * documented instances across r3/r5/r6 showed transient machine load
+  * faking 2-10× regressions on sub-2 s queries: back-to-back samples all
+  * land inside the same load spike, so even a median-of-3 is poisoned.
+  * Interleaving decorrelates the spike (it hits ONE of a query's
+  * samples, which the median discards). Round 0 is an unmeasured warmup
+  * pass (plan compilation, codegen, per-JVM index/model builds — the
+  * fit-once costs that would otherwise masquerade as spread in every
+  * first sample). Per query the reported number is the MEDIAN of
+  * `SPARK_GRAFT_BENCH_RUNS` (default 5) measured rounds, and the JSON
+  * carries a `spread` map (max/median per query) so instability is
+  * visible in the artifact itself rather than discovered a round later.
   */
 object Bench {
   /** JSON string escape (same contract as Verify's). */
@@ -45,24 +54,40 @@ object Bench {
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id % 7)").collect()
     graft.sed.SedQueries.ensureConfs(spark)
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = names.map(_ -> Array.fill(runs)(-1.0)).toMap
+    // round -1 = unmeasured warmup pass; rounds 0..runs-1 are measured
+    for (r <- -1 until runs) {
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
+        val elapsed =
+          try { fn(spark, sfDir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        if (r >= 0) samples(name)(r) = elapsed
       }
-      val median =
-        if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(runs / 2)
-      name -> median
+      // settle between rounds so one round's allocation debt (GC, shuffle
+      // file cleanup) isn't billed to the next round's first queries
+      System.gc()
     }
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val results = names.map { name =>
+      val times = samples(name)
+      if (times.exists(_ < 0)) (name, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        val median = sorted(runs / 2)
+        (name, median, if (median > 0) sorted.last / median else 1.0)
+      }
+    }
+    val qs = results.map { case (k, m, _) => s"${q(k)}:$m" }.mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => s"${q(k)}:${math.rint(s * 100) / 100}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -276,7 +276,8 @@ final class Hdf5File(bytes: Array[Byte]) {
     val dspace = msgs.find(_.typ == 0x0001).getOrElse(throw new IllegalStateException("no dataspace"))
     val dims = parseDims(dspace.bodyPos)
     val dt = parseDtype(msgs.find(_.typ == 0x0003).get.bodyPos)
-    require(dt.clazz == 0 || dt.clazz == 1, s"unsupported datatype class ${dt.clazz}")
+    require(dt.clazz == 0 || dt.clazz == 1 || dt.clazz == 3,
+      s"unsupported datatype class ${dt.clazz}")
     val filters = filtersOf(msgs)
     val layout = msgs.find(_.typ == 0x0008).getOrElse(throw new IllegalStateException("no layout"))
     val lp = layout.bodyPos
@@ -413,9 +414,19 @@ final class Hdf5File(bytes: Array[Byte]) {
 
   def shape(path: String): Seq[Long] = readDatasetAt(resolve(path)).dims.toSeq
 
+  /** Read a fixed-size string dataset (class 3) as a String; the NUL
+    * terminator and anything after it are dropped. */
+  def readString(path: String): String = {
+    val ds = readDatasetAt(resolve(path))
+    require(ds.dtype.clazz == 3, s"not a string dataset: $path (class ${ds.dtype.clazz})")
+    new String(ds.raw, java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != 0)
+  }
+
   /** Read a numeric dataset as doubles (row-major flat). */
   def readDoubles(path: String): Array[Double] = {
     val ds = readDatasetAt(resolve(path))
+    require(ds.dtype.clazz == 0 || ds.dtype.clazz == 1,
+      s"not a numeric dataset: $path (class ${ds.dtype.clazz})")
     require(ds.dtype.littleEndian, "big-endian data not supported")
     val n = ds.dims.product.toInt
     val bb = ByteBuffer.wrap(ds.raw).order(ByteOrder.LITTLE_ENDIAN)

@@ -40,6 +40,11 @@ object Hdf5Writer {
                            attrs: Seq[(String, Any)] = Nil) extends Node
   case class LongDataset(name: String, dims: Seq[Long], data: Array[Long],
                          attrs: Seq[(String, Any)] = Nil) extends Node
+  /** Scalar fixed-size null-terminated string dataset (the form NeXus
+    * string fields take — h5py writes variable-length, but fixed-size
+    * class-3 strings are equally conformant and self-contained). */
+  case class StringDataset(name: String, value: String,
+                           attrs: Seq[(String, Any)] = Nil) extends Node
   /** Chunked float64 dataset with optional shuffle + deflate filters
     * (the compression every production sed/DAQ file uses). */
   case class ChunkedDoubleDataset(name: String, dims: Seq[Long], chunkDims: Seq[Int],
@@ -161,7 +166,9 @@ object Hdf5Writer {
     val nameB = (name + NulS).getBytes("US-ASCII")
     val (dt, data) = value match {
       case s: String =>
-        val d = (s + NulS).getBytes("US-ASCII")
+        // UTF-8 bytes under the class-3 string type: names stay ASCII,
+        // but unit strings carry µ and friends
+        val d = (s + NulS).getBytes("UTF-8")
         (dtString(d.length), d)
       case d: Double =>
         val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putDouble(d)
@@ -431,6 +438,13 @@ object Hdf5Writer {
       val dataAddr = out.pos
       l.data.foreach(out.u64)
       (l.name, datasetHeader(out, l.dims, DtInt64, dataAddr, l.data.length * 8L, l.attrs, fmt))
+    case s: StringDataset =>
+      out.pad8()
+      val dataAddr = out.pos
+      val d = (s.value + NulS).getBytes("UTF-8")
+      out.bytes(d)
+      // dims = Nil -> rank-0 (scalar) dataspace
+      (s.name, datasetHeader(out, Nil, dtString(d.length), dataAddr, d.length.toLong, s.attrs, fmt))
     case c: ChunkedDoubleDataset =>
       val rank = c.dims.size
       require(rank >= 1 && c.chunkDims.size == rank, "chunkDims rank mismatch")

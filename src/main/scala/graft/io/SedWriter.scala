@@ -135,9 +135,10 @@ object SedWriter {
     Group(name, children.toSeq, attrs = ("NX_class" -> "NXcollection") +: attrs.toSeq)
   }
 
-  def nexus(hist: DataFrame, axes: Seq[BinAxis], path: String,
-            cntCol: String = "cnt", compress: Boolean = false,
-            metadata: Map[String, Any] = Map.empty): Unit = {
+  /** The NXdata group (dense cube + axis-center datasets + signal/axes
+    * attrs) shared by the plain and NXmpes-mapped NeXus exports. */
+  private def dataGroup(hist: DataFrame, axes: Seq[BinAxis], cntCol: String,
+                        compress: Boolean): Hdf5Writer.Group = {
     import Hdf5Writer._
     val cube = denseCube(hist, axes, cntCol)
     val axisSets = axes.map { a =>
@@ -158,10 +159,17 @@ object SedWriter {
           attrs = Seq("long_name" -> "counts"))
       } else DoubleDataset("counts", dims, cube,
         attrs = Seq("long_name" -> "counts"))
-    val data = Group("data", counts +: axisSets, attrs = Seq(
+    Group("data", counts +: axisSets, attrs = Seq(
       "NX_class" -> "NXdata",
       "signal" -> "counts",
       "axes" -> axes.map(_.col).mkString(":"))) // legacy colon form: fixed-size string
+  }
+
+  def nexus(hist: DataFrame, axes: Seq[BinAxis], path: String,
+            cntCol: String = "cnt", compress: Boolean = false,
+            metadata: Map[String, Any] = Map.empty): Unit = {
+    import Hdf5Writer._
+    val data = dataGroup(hist, axes, cntCol, compress)
     // the metadata tree rides under /entry as one NXcollection group per
     // top-level key (instrument, process, ...), nested maps as
     // sub-groups, leaves as attributes — the structural twin of the
@@ -173,6 +181,45 @@ object SedWriter {
     val entry = Group("entry", data +: metaGroups, attrs = Seq(
       "NX_class" -> "NXentry", "default" -> "data"))
     Hdf5Writer.write(Seq(entry), Seq("default" -> "entry"), path)
+  }
+
+  /** NXmpes-definition-conformant NeXus export: the metadata tree is
+    * mapped onto NXmpes instrument/sample/calibration paths by a config
+    * file in the pynxtools template dialect ([[Nxmpes]] — the twin of
+    * reference io/nexus.py:14 to_nexus + config/NXmpes_config.json),
+    * alongside the natively-built NXdata cube. Process sections present
+    * in the tree are stamped `applied = true` (each reference calibrator
+    * records `applied` as it runs; graft's CalibrationStore sections
+    * exist exactly when applied). Written in the `latest` HDF5 layout —
+    * NXmpes instrument groups exceed the classic writer's fan-out.
+    * Returns the resolution report (which template paths resolved, which
+    * required ones are missing). */
+  def nexusNxmpes(hist: DataFrame, axes: Seq[BinAxis], path: String,
+                  configJson: String, metadata: Map[String, Any],
+                  cntCol: String = "cnt", compress: Boolean = false,
+                  strict: Boolean = false): Nxmpes.Report = {
+    import Hdf5Writer._
+    val meta = metadata.get("process") match {
+      case Some(p: Map[_, _]) =>
+        val stamped = p.asInstanceOf[Map[String, Any]].map {
+          case (k, v: Map[_, _]) =>
+            val m = v.asInstanceOf[Map[String, Any]]
+            k -> (if (m.contains("applied")) m else m + ("applied" -> true))
+          case kv => kv
+        }
+        metadata + ("process" -> stamped)
+      case _ => metadata
+    }
+    val (mapped, entryAttrs, rootAttrs, report) = Nxmpes.map(configJson, meta, strict)
+    val data = dataGroup(hist, axes, cntCol, compress)
+    val entry = Group("entry", data +: mapped,
+      attrs = (("NX_class" -> ("NXentry": Any)) +:
+        entryAttrs.filterNot(_._1 == "NX_class")) ++
+        (if (entryAttrs.exists(_._1 == "default")) Nil else Seq("default" -> "data")))
+    Hdf5Writer.write(Seq(entry),
+      if (rootAttrs.nonEmpty) rootAttrs else Seq("default" -> "entry"),
+      path, format = Latest)
+    report
   }
 
   /** Export a binned histogram with its axis spec: data as parquet under

@@ -291,6 +291,21 @@ case class SedProcessor(dataframe: DataFrame,
   /** Compute + export in one call, dispatched on the file extension
     * (processor.py:2481 save: tiff / NeXus-HDF5 / everything else as
     * parquet data + axis metadata). `compress` applies to NeXus cubes. */
+  /** NXmpes-conformant NeXus export: compute the cube and write it with
+    * the metadata tree mapped onto NXmpes instrument/sample/calibration
+    * template paths by `configJson` (defaults to the bundled config) —
+    * the io/nexus.py:14 to_nexus + NXmpes_config.json path of the
+    * reference, for publishing to NeXus-consuming archives. Returns the
+    * mapping report (resolved + missing-required template paths). */
+  def saveNxmpes(path: String, axes: Seq[BinAxis],
+                 configJson: String = graft.io.Nxmpes.defaultConfig,
+                 compress: Boolean = false,
+                 strict: Boolean = false): graft.io.Nxmpes.Report = {
+    val hist = compute(axes, withCenters = false)
+    graft.io.SedWriter.nexusNxmpes(hist, axes, path, configJson,
+      metadataTree, compress = compress, strict = strict)
+  }
+
   def save(path: String, axes: Seq[BinAxis], compress: Boolean = false): Unit = {
     val hist = compute(axes, withCenters = false)
     val lower = path.toLowerCase

@@ -186,6 +186,53 @@ class DedupAnnSpec extends SparkSpecBase {
       s"scan read ${scans.head.selectedPartitions.partitionCount} partitions, wanted ${probed.length}")
   }
 
+  test("IVF recall@k vs bruteTopK rises with nprobe and clears 0.9 by nprobe=4") {
+    // ANN QUALITY gate (not just equality-with-inline): the probe-pruned
+    // search must recover most of the exact top-k, widening the probe set
+    // must never lose recall, and FITTED centroids must beat the
+    // arbitrary stride sample (the reason kmeans exists in the stack).
+    // Full probing (nprobe = #centroids) scans every bucket, so recall is
+    // exactly 1.0 there by construction.
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val k = 10
+    val exact = Ann.bruteTopK(embeddings, "vec_id", "embedding", queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallSweep(centroids: Array[(Int, Array[Float])],
+                    nprobes: Seq[Int]): Seq[(Int, Double)] = {
+      val path = java.nio.file.Files.createTempDirectory("ivfrecall").toString
+      val idx = Ann.buildIvfIndex(embeddings, "vec_id", "embedding", path, centroids)
+      val sweep = nprobes.map { np =>
+        val got = Ann.searchIvfIndex(spark, idx, queries, k, np)
+          .select("query_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        np -> queries.map { case (qid, _) =>
+          got.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / k
+        }.sum / queries.length
+      }
+      sweep.sliding(2).foreach { case Seq((npA, rA), (npB, rB)) =>
+        assert(rB >= rA - 1e-9, s"recall fell from $rA (nprobe=$npA) to $rB (nprobe=$npB)")
+      }
+      sweep
+    }
+    // production path: kmeans-fitted centroids (deterministic init)
+    val fitted = Ann.kmeans(embeddings, "vec_id", "embedding", 10, iters = 8)
+    val fittedSweep = recallSweep(fitted, Seq(1, 2, 4))
+    val fittedR4 = fittedSweep.collectFirst { case (4, r) => r }.get
+    assert(fittedR4 >= 0.9, s"fitted-centroid recall@$k at nprobe=4 is $fittedR4, expected >= 0.9")
+    // arbitrary stride sample: monotone, exact under full probing, and
+    // strictly worse than fitted centroids at the same probe budget
+    val stride = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    val strideSweep = recallSweep(stride, Seq(1, 2, 4, stride.length))
+    assert(strideSweep.last._2 == 1.0, "full probing must recover the exact top-k")
+    val strideR4 = strideSweep.collectFirst { case (4, r) => r }.get
+    assert(fittedR4 > strideR4,
+      s"fitted centroids ($fittedR4) must beat the stride sample ($strideR4) at nprobe=4")
+  }
+
   test("ngramJaccard drops documents shorter than n tokens instead of crashing") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "too short"), (4L, ""))
       .toDF("doc_id", "text")
