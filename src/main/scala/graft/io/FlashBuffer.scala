@@ -107,7 +107,9 @@ object FlashBuffer {
                      forceRecreate: Boolean = false,
                      suffix: String = "",
                      filterTimedByElectron: Boolean = true,
-                     splitSectorFromTof: Boolean = false)
+                     splitSectorFromTof: Boolean = false,
+                     daq: String = FlashReader.DaqHextof,
+                     numPulses: Int = 0)
       : (DataFrame, DataFrame) = {
     val sets = bufferPaths(h5Paths, folder, suffix)
     if (!forceRecreate) {
@@ -115,10 +117,12 @@ object FlashBuffer {
       schemaCheck(spark, sets.map(_.timed), timedSchema(channels))
     }
     filesToProcess(spark, sets, forceRecreate).foreach { s =>
-      FlashReader.readFlashH5(spark, Seq(s.raw), channels, ubidOffset)
+      FlashReader.readFlashH5(spark, Seq(s.raw), channels, ubidOffset,
+        daq = daq, numPulses = numPulses)
         .write.mode("overwrite").parquet(s.electron)
       FlashReader.readFlashTimedH5(spark, Seq(s.raw), channels, ubidOffset,
-        filterTimedByElectron).write.mode("overwrite").parquet(s.timed)
+        filterTimedByElectron, daq = daq, numPulses = numPulses)
+        .write.mode("overwrite").parquet(s.timed)
     }
     // re-key file_id to the global sorted position so ids stay stable
     // across incremental loads (each buffer was written with file_id 0)

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
 case class FlashChannel(name: String, format: String,
                         indexKey: String, datasetKey: String,
                         slice: Option[Int] = None,
-                        subChannels: Seq[(String, Int)] = Nil)
+                        subChannels: Seq[(String, Int)] = Nil,
+                        maxHits: Option[Int] = None,
+                        scale: Option[Double] = None)
 
 /** Distributed flash/sxp DAQ ingestion: multi-granularity channel
   * assembly ([per electron | per pulse | per train] → one event row per
@@ -36,6 +38,11 @@ object FlashReader {
   val PerElectron = "per_electron"
   val PerPulse = "per_pulse"
   val PerTrain = "per_train"
+  /** DAQ dialects: FLASH HEXTOF (shared sliced DLD dataset, pulse plane
+    * NaN-padded) vs EuXFEL SXP (per-channel 2-D hit arrays, macrobunches
+    * concatenated per buffer row — see [[parseSxpFile]]). */
+  val DaqHextof = "hextof"
+  val DaqSxp = "sxp"
   /** The pulse-id channel is index, not data (flash/utils.py:6 PULSE_ALIAS). */
   val PulseAlias = "pulseId"
 
@@ -76,9 +83,39 @@ object FlashReader {
         Some(0)))
   }
 
-  /** Electron-resolved output channels (excludes the pulse-id index). */
+  /** The train-id channel is index machinery too in the sxp DAQ (the
+    * masterCounter macrobunch array; sxp/loader.py:206-209 removes both
+    * pulseId and trainId from the output channel set). */
+  val TrainAlias = "trainId"
+
+  /** The channel layout of the reference's EuXFEL SXP test run
+    * (tests/data/loader/sxp/config.yaml) — exercised against the real
+    * RAW-R0016 fixture in FlashSpec; real deployments pass their own
+    * set. pulseId = starterCounter (microbunch ids, also the train
+    * splitter), trainId = masterCounter (macrobunch ids); both are index
+    * machinery, not output columns. */
+  def sxpChannels: Seq[FlashChannel] = {
+    val det = "/INSTRUMENT/SXP_TR_XPES/DET/MCP_DETECTOR:output/data"
+    Seq(
+      FlashChannel(PulseAlias, PerElectron, s"$det/trainId", s"$det/starterCounter",
+        maxHits = Some(500)),
+      FlashChannel(TrainAlias, PerElectron, s"$det/trainId", s"$det/masterCounter",
+        maxHits = Some(500)),
+      FlashChannel("dldPosX", PerElectron, s"$det/trainId", s"$det/x", maxHits = Some(500)),
+      FlashChannel("dldPosY", PerElectron, s"$det/trainId", s"$det/y", maxHits = Some(500)),
+      FlashChannel("dldTimeSteps", PerElectron, s"$det/trainId", s"$det/t",
+        maxHits = Some(500)),
+      FlashChannel("timeStamp", PerTrain, "/INDEX/trainId", "/INDEX/timestamp",
+        scale = Some(1e9)),
+      FlashChannel("delayStage", PerTrain, "/INDEX/trainId",
+        "/CONTROL/SCS_ILH_LAS/MDL/OPTICALDELAY_PP800/actualPosition/value"))
+  }
+
+  /** Electron-resolved output channels (excludes the pulse/train index
+    * machinery). */
   def electronChannelNames(channels: Seq[FlashChannel]): Seq[String] =
-    channels.filter(c => c.format == PerElectron && c.name != PulseAlias).map(_.name)
+    channels.filter(c => c.format == PerElectron &&
+      c.name != PulseAlias && c.name != TrainAlias).map(_.name)
 
   /** Pulse/train channels that forward-fill onto electron rows, aux
     * expanded to its sub-channels (get_channels extend_aux=True). */
@@ -118,7 +155,9 @@ object FlashReader {
 
   /** Read a channel as (train ids, row-major [T × H] plane, H). A 1-D
     * dataset is [T × 1]; `slice` cuts axis 1 of a 2-D/3-D dataset
-    * (dataframe.py:67 get_dataset_array with np.take(axis=1)). */
+    * (dataframe.py:67 get_dataset_array with np.take(axis=1));
+    * `maxHits` caps axis 1 of a 2-D dataset and `scale` divides the
+    * values (sxp/loader.py:408-424 max_hits truncation + scale). */
   private def readPlane(f: Hdf5File, c: FlashChannel): (Array[Double], Array[Double], Int) = {
     val trains = f.readDoubles(c.indexKey)
     val dims = f.shape(c.datasetKey)
@@ -126,7 +165,16 @@ object FlashReader {
     val t = dims.head.toInt
     val plane = (dims.length, c.slice) match {
       case (1, _) => (data, 1)
-      case (2, None) => (data, dims(1).toInt)
+      case (2, None) =>
+        val h0 = dims(1).toInt
+        c.maxHits.filter(_ < h0) match {
+          case None => (data, h0)
+          case Some(h) =>
+            val out = new Array[Double](t * h)
+            var i = 0
+            while (i < t) { System.arraycopy(data, i * h0, out, i * h, h); i += 1 }
+            (out, h)
+        }
       case (2, Some(s)) =>
         val out = new Array[Double](t)
         var i = 0; while (i < t) { out(i) = data(i * dims(1).toInt + s); i += 1 }
@@ -142,7 +190,11 @@ object FlashReader {
       case (n, sl) => throw new UnsupportedOperationException(
         s"channel ${c.name}: ${n}-D dataset with slice=$sl")
     }
-    (trains, plane._1, plane._2)
+    val vals = c.scale match {
+      case Some(sc) => plane._1.map(_ / sc)
+      case None => plane._1
+    }
+    (trains, vals, plane._2)
   }
 
   /** Per-file multi-granularity assembly — the pandas
@@ -186,10 +238,17 @@ object FlashReader {
       t += 1
     }
     val sorted = slots.sortBy(s => (s._1, s._2))
+      .map { case (tr, p, slot) =>
+        (tr, p, Array.tabulate(ePlanes.length)(c => ePlanes(c)(slot)))
+      }.toSeq
+    mergeFill(sorted, fillEntries(f, pChs, tChs, fillIdx), nFill, filterTimedByElectron)
+  }
 
-    // --- fill-channel entries keyed at (train, pulse) ---
-    // per-pulse values sit at their pulse slot; per-train values sit at
-    // pulse 0 (dataframe.py:194 df_pulse / :230 df_train index shapes)
+  /** Fill-channel entries keyed at (train, pulse): per-pulse values sit
+    * at their pulse slot; per-train values sit at pulse 0
+    * (dataframe.py:194 df_pulse / :230 df_train index shapes). */
+  private def fillEntries(f: Hdf5File, pChs: Seq[FlashChannel], tChs: Seq[FlashChannel],
+                          fillIdx: Map[String, Int]): Seq[(Long, Long, Int, Double)] = {
     val entries = mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
     pChs.foreach { c =>
       val (trs, plane, np) = readPlane(f, c)
@@ -221,6 +280,18 @@ object FlashReader {
         }
       }
     }
+    entries.toSeq
+  }
+
+  /** The merged forward-fill walk shared by the flash and sxp parsers:
+    * electron slots (already (train, pulse)-sorted, with their channel
+    * values) pick up every fill value keyed at or before their (train,
+    * pulse); electron ids are the running count within each key. */
+  private def mergeFill(sorted: Seq[(Long, Long, Array[Double])],
+                        entries: Seq[(Long, Long, Int, Double)],
+                        nFill: Int, filterTimedByElectron: Boolean)
+      : (Seq[(Long, Long, Long, Array[Double], Array[Double])],
+         Seq[(Long, Long, Array[Double])]) = {
     val sortedEntries = entries.sortBy(e => (e._1, e._2))
 
     // --- merged forward-fill walk over (train, pulse) order ---
@@ -249,11 +320,10 @@ object FlashReader {
     var prevKey: (Long, Long) = null
     var curE = 0L
     while (si < sorted.length) {
-      val (train, pulse, slot) = sorted(si)
+      val (train, pulse, eVals) = sorted(si)
       curE = if (prevKey != null && prevKey == ((train, pulse))) curE + 1 else 0L
       prevKey = (train, pulse)
       advanceTo(train, pulse)
-      val eVals = Array.tabulate(ePlanes.length)(c => ePlanes(c)(slot))
       if (pulse >= 0 && !eVals.exists(_.isNaN)) {
         electronOut += ((train, pulse, curE, eVals, last.clone()))
         val tk = timedKeys.getOrElseUpdate((train, pulse), (last.clone(), false))
@@ -280,11 +350,86 @@ object FlashReader {
     (electronOut.toSeq, timedOut.toSeq)
   }
 
+  /** Per-file sxp (EuXFEL) assembly — reference sxp/loader.py:260
+    * create_multi_index_per_electron + :440 create_dataframe_per_electron.
+    * The sxp DAQ concatenates SEVERAL macrobunches' hits into one buffer
+    * row: the microbunch-id array (the pulseId channel, starterCounter)
+    * descends at each train boundary (`diff < -1`), the real train id is
+    * the row's index id plus the boundary ordinal, and the reference's
+    * `slice(index, train_end)` / `index = train_end + 1` walk EXCLUDES
+    * the boundary hit itself and drops the padding tail after the last
+    * boundary — both reproduced exactly. Per-train channels (timeStamp,
+    * delayStage) are keyed by the raw /INDEX train ids and forward-fill
+    * onto the derived electron trains through the same merged walk as
+    * flash. `numPulses > 0` wraps microbunch ids modulo the machine
+    * cycle (the config's num_pulses, new-DAQ data only). Electron ids
+    * are the running count within (train, pulse) — the order-preserving
+    * equivalent of the reference's value_counts + arange assembly. */
+  private[io] def parseSxpFile(f: Hdf5File, channels: Seq[FlashChannel],
+                               ubidOffset: Int, numPulses: Int,
+                               filterTimedByElectron: Boolean)
+      : (Seq[(Long, Long, Long, Array[Double], Array[Double])],
+         Seq[(Long, Long, Array[Double])]) = {
+    val bad = invalidChannels(f, channels)
+    if (bad.nonEmpty) throw new InvalidFileException("<file>", bad)
+    val mibCh = channels.find(_.name == PulseAlias).getOrElse(
+      throw new IllegalArgumentException(s"channel set needs '$PulseAlias'"))
+    val eChs = channels.filter(c => c.format == PerElectron &&
+      c.name != PulseAlias && c.name != TrainAlias)
+    val pChs = channels.filter(_.format == PerPulse)
+    val tChs = channels.filter(_.format == PerTrain)
+    val fillNames = fillChannelNames(channels)
+    val fillIdx = fillNames.zipWithIndex.toMap
+
+    val (idxTrains, mib, hits) = readPlane(f, mibCh)
+    val ePlanes = eChs.map(c => readPlane(f, c)._2)
+    val slots = mutable.ArrayBuffer.empty[(Long, Long, Array[Double])]
+    var i = 0
+    while (i < idxTrains.length) {
+      val base = i * hits
+      var ordinal = 0
+      var segStart = 0
+      var h = 0
+      while (h < hits - 1) {
+        if (mib(base + h + 1).toLong - mib(base + h).toLong < -1L) {
+          // macrobunch [segStart, h): boundary hit h itself excluded
+          val trainId = idxTrains(i).toLong + ordinal
+          var s = segStart
+          while (s < h) {
+            val rawPulse = mib(base + s).toLong
+            val pulse = if (numPulses > 0) rawPulse % numPulses else rawPulse
+            // reference drops index values in [-ubid_offset, 0); the
+            // shared walk's pulse >= 0 cut subsumes it for the unsigned
+            // counters this DAQ records
+            if (!(pulse >= -ubidOffset.toLong && pulse < 0))
+              slots += ((trainId, pulse,
+                Array.tabulate(ePlanes.length)(c => ePlanes(c)(base + s))))
+            s += 1
+          }
+          segStart = h + 1
+          ordinal += 1
+        }
+        h += 1
+      }
+      // the tail after the last boundary is DAQ padding — dropped, like
+      // the reference's walk which only emits up to the last train_end
+      i += 1
+    }
+    val sorted = slots.sortBy(s => (s._1, s._2)).toSeq
+    mergeFill(sorted, fillEntries(f, pChs, tChs, fillIdx),
+      fillNames.length, filterTimedByElectron)
+  }
+
   private def openAndParse(path: String, channels: Seq[FlashChannel], ubidOffset: Int,
-                           filterTimedByElectron: Boolean) = {
+                           filterTimedByElectron: Boolean, daq: String = DaqHextof,
+                           numPulses: Int = 0) = {
     val f = Hdf5File.fromHadoop(path, new org.apache.hadoop.conf.Configuration())
-    try parseFile(f, channels, ubidOffset, filterTimedByElectron)
-    catch {
+    try daq match {
+      case DaqHextof => parseFile(f, channels, ubidOffset, filterTimedByElectron)
+      case DaqSxp => parseSxpFile(f, channels, ubidOffset, numPulses, filterTimedByElectron)
+      case other => throw new IllegalArgumentException(
+        s"unknown daq '$other' — use '$DaqHextof' or '$DaqSxp'")
+    } catch {
       case e: InvalidFileException => throw new InvalidFileException(path, e.invalid)
     }
   }
@@ -302,14 +447,17 @@ object FlashReader {
   def readFlashH5(spark: SparkSession, paths: Seq[String],
                   channels: Seq[FlashChannel] = referenceChannels,
                   ubidOffset: Int = 5,
-                  removeInvalidFiles: Boolean = false): DataFrame = {
+                  removeInvalidFiles: Boolean = false,
+                  daq: String = DaqHextof,
+                  numPulses: Int = 0): DataFrame = {
     val eNames = electronChannelNames(channels)
     val fNames = fillChannelNames(channels)
     val files = idsOf(paths)
     val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size)).flatMap {
       case (path, fid, rid) =>
         val parsed =
-          try Some(openAndParse(path, channels, ubidOffset, filterTimedByElectron = true))
+          try Some(openAndParse(path, channels, ubidOffset,
+            filterTimedByElectron = true, daq, numPulses))
           catch { case _: InvalidFileException if removeInvalidFiles => None }
         parsed.iterator.flatMap(_._1.iterator.map { case (t, p, e, ev, fv) =>
           // fill gaps surface as SQL nulls (not NaN) so the cross-file
@@ -334,13 +482,16 @@ object FlashReader {
                        channels: Seq[FlashChannel] = referenceChannels,
                        ubidOffset: Int = 5,
                        filterTimedByElectron: Boolean = true,
-                       removeInvalidFiles: Boolean = false): DataFrame = {
+                       removeInvalidFiles: Boolean = false,
+                       daq: String = DaqHextof,
+                       numPulses: Int = 0): DataFrame = {
     val fNames = fillChannelNames(channels)
     val files = idsOf(paths)
     val rdd = spark.sparkContext.parallelize(files, math.max(1, files.size)).flatMap {
       case (path, fid, rid) =>
         val parsed =
-          try Some(openAndParse(path, channels, ubidOffset, filterTimedByElectron))
+          try Some(openAndParse(path, channels, ubidOffset, filterTimedByElectron,
+            daq, numPulses))
           catch { case _: InvalidFileException if removeInvalidFiles => None }
         parsed.iterator.flatMap(_._2.iterator.map { case (t, p, fv) =>
           Row.fromSeq(Seq(fid, rid, t, p) ++ fv.map(v => if (v.isNaN) null else v))
@@ -352,6 +503,25 @@ object FlashReader {
         fNames.map(c => StructField(c, DoubleType)))
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Electron frame of EuXFEL SXP raw files (reference loader/sxp/
+    * loader.py) — [[readFlashH5]] with the sxp parser and the sxp test
+    * run's defaults (ubid_offset 0, no pulse wrapping). */
+  def readSxpH5(spark: SparkSession, paths: Seq[String],
+                channels: Seq[FlashChannel] = sxpChannels,
+                ubidOffset: Int = 0, numPulses: Int = 0,
+                removeInvalidFiles: Boolean = false): DataFrame =
+    readFlashH5(spark, paths, channels, ubidOffset, removeInvalidFiles,
+      daq = DaqSxp, numPulses = numPulses)
+
+  /** Timed (pulse-resolution) twin of [[readSxpH5]]. */
+  def readSxpTimedH5(spark: SparkSession, paths: Seq[String],
+                     channels: Seq[FlashChannel] = sxpChannels,
+                     ubidOffset: Int = 0, numPulses: Int = 0,
+                     filterTimedByElectron: Boolean = true,
+                     removeInvalidFiles: Boolean = false): DataFrame =
+    readFlashTimedH5(spark, paths, channels, ubidOffset, filterTimedByElectron,
+      removeInvalidFiles, daq = DaqSxp, numPulses = numPulses)
 
   /** Split a bit-packed detector column in two: low `bits` bits and the
     * remaining high bits (reference loader/utils.py:101

@@ -121,6 +121,73 @@ class FlashSpec extends SparkSpecBase {
     assert(err.getMessage.contains("Missing in parquet: bogusChan"))
   }
 
+  test("sxp: the real EuXFEL run loads through the preset and the buffer path") {
+    val sxp = "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
+    assume(Files.exists(Paths.get(sxp)))
+    val df = FlashReader.readSxpH5(spark, Seq(sxp)).cache()
+    try {
+      // macrobunch splitting on the real run: 50 buffer rows explode into
+      // 45 distinct derived trains; ids are rowIndexId + boundary ordinal
+      assert(df.count() === 2043L)
+      assert(df.select("run_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(16L))
+      val trains = df.select("train_id").distinct().collect().map(_.getLong(0))
+      assert(trains.length === 45)
+      val f = Hdf5File.fromPath(Paths.get(sxp))
+      val idxTrains = f.readDoubles(
+        "/INSTRUMENT/SXP_TR_XPES/DET/MCP_DETECTOR:output/data/trainId").map(_.toLong)
+      assert(trains.min === idxTrains.min)
+      assert(trains.forall(t => t >= idxTrains.min && t <= idxTrains.max + 50))
+      // electron ids are the running count within (train, pulse)
+      val idGaps = df.groupBy("train_id", "pulse_id")
+        .agg(max("electron_id").as("mx"), count(lit(1)).as("n"))
+        .filter(col("mx") =!= col("n") - 1).count()
+      assert(idGaps === 0L)
+      // per-train fills are constant within a derived train and never null
+      // (the raw /INDEX keys precede every derived train of their row)
+      assert(df.filter(col("timeStamp").isNull || col("delayStage").isNull).count() === 0L)
+      val varying = df.groupBy("train_id")
+        .agg(countDistinct("timeStamp").as("nt"), countDistinct("delayStage").as("nd"))
+        .filter(col("nt") > 1 || col("nd") > 1).count()
+      assert(varying === 0L)
+      // timeStamp carries the config's 1e9 scale: epoch seconds, not ns
+      val ts = df.agg(min("timeStamp")).head().getDouble(0)
+      assert(ts > 1.6e9 && ts < 1.8e9, s"timeStamp not scaled to seconds: $ts")
+
+      // buffer path end to end: create-once, skip, drift diagnosis
+      val folder = Files.createTempDirectory("sxpbuf").toString
+      val (e1, t1) = FlashBuffer.processAndLoad(spark, Seq(sxp), folder,
+        FlashReader.sxpChannels, ubidOffset = 0, daq = FlashReader.DaqSxp)
+      val sets = FlashBuffer.bufferPaths(Seq(sxp), folder)
+      assert(sets.forall(s => Files.exists(Paths.get(s.electron)) &&
+        Files.exists(Paths.get(s.timed))))
+      assert(FlashBuffer.filesToProcess(spark, sets).isEmpty) // create-once
+      assert(e1.count() === df.count() && t1.count() > 0)
+      // buffered result == direct read (same rows, nulls filled identically)
+      val cols = df.columns.sorted.toSeq
+      assert(e1.select(cols.map(col): _*).collect().toSet ===
+        df.select(cols.map(col): _*).collect().toSet)
+      // config drift after buffering is diagnosed by field name
+      val drifted = FlashReader.sxpChannels :+
+        FlashChannel("bogusChan", FlashReader.PerTrain, "/nope/index", "/nope/value")
+      val err = intercept[IllegalStateException] {
+        FlashBuffer.processAndLoad(spark, Seq(sxp), folder, drifted,
+          ubidOffset = 0, daq = FlashReader.DaqSxp)
+      }
+      assert(err.getMessage.contains("Missing in parquet: bogusChan"))
+    } finally df.unpersist()
+  }
+
+  test("sxp: numPulses wraps microbunch ids modulo the machine cycle") {
+    val sxp = "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
+    assume(Files.exists(Paths.get(sxp)))
+    val plain = FlashReader.readSxpH5(spark, Seq(sxp))
+    val maxPulse = plain.agg(max("pulse_id")).head().getLong(0)
+    assert(maxPulse > 10L)
+    val wrapped = FlashReader.readSxpH5(spark, Seq(sxp), numPulses = 10)
+    assert(wrapped.agg(max("pulse_id")).head().getLong(0) < 10L)
+    assert(wrapped.count() === plain.count()) // wrapping relabels, never drops
+  }
+
   test("sector id splits from the packed TOF word and reassembles") {
     assume(have)
     val df = FlashReader.readFlashH5(spark, Seq(run43878))
