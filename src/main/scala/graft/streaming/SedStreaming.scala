@@ -110,4 +110,39 @@ object SedStreaming {
       }
       .toDF(keyCol, orderCol, valueCol)
   }
+
+  /** Stage a batch table as an event-time-ordered FILE-SOURCE feed: rows
+    * are range-partitioned on `tsCol` into `chunks` parquet files whose
+    * modification times ascend in time order, so
+    * `readStream.option("maxFilesPerTrigger", 1)` replays them as
+    * watermark-friendly micro-batches — the no-driver-feed twin of the
+    * MemoryStream harness (a production job points the same operator
+    * chains at its landing directory instead). One Spark write job; the
+    * mtime fix-up is a metadata-only FS pass. */
+  def stageFileStream(df: DataFrame, tsCol: String, dir: String,
+                      chunks: Int = 3): Unit = {
+    df.repartitionByRange(chunks, col(tsCol))
+      .write.mode("overwrite").parquet(dir)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    // part-NNNNN names follow range-partition order (partition 0 = lowest
+    // range); ascend the mtimes in that order so the file source's
+    // oldest-first listing replays chronologically
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (part, i) =>
+      fs.setTimes(part, base + i * 60000L, -1)
+    }
+  }
+
+  /** Open a staged feed directory as a file-source stream, one staged
+    * file per micro-batch. */
+  def fileStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
 }
