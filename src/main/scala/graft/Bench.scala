@@ -55,10 +55,13 @@ object Bench {
     graft.sed.SedQueries.ensureConfs(spark)
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt)
+    // warmup rounds: 1 by default; 0 for one-shot scale-stress runs where
+    // a second full pass would double a very long job
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = names.map(_ -> Array.fill(runs)(-1.0)).toMap
-    // round -1 = unmeasured warmup pass; rounds 0..runs-1 are measured
-    for (r <- -1 until runs) {
+    // rounds below 0 = unmeasured warmup passes; rounds 0..runs-1 are measured
+    for (r <- -warmups until runs) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
