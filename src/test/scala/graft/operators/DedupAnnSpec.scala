@@ -140,6 +140,31 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("appendToIvfIndex antiJoinExisting makes a retried append idempotent") {
+    val centroids = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    val queries = embeddings.filter($"vec_id" < 3)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val path = java.nio.file.Files.createTempDirectory("ivfidem").toString
+    val half = embeddings.count() / 2
+    val idx = Ann.buildIvfIndex(embeddings.filter($"vec_id" < half),
+      "vec_id", "embedding", path, centroids)
+    val batch = embeddings.filter($"vec_id" >= half)
+    Ann.appendToIvfIndex(idx, batch, "vec_id", "embedding")
+    val once = Ann.searchIvfIndex(spark, idx, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // a RETRY of the same batch with the guard inserts nothing new
+    Ann.appendToIvfIndex(idx, batch, "vec_id", "embedding", antiJoinExisting = true)
+    val afterRetry = Ann.searchIvfIndex(spark, idx, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(afterRetry == once)
+    // and the index row count did not grow
+    val n = spark.read.parquet(path).count()
+    assert(n == embeddings.count(),
+      s"guarded retry must not duplicate rows: $n vs ${embeddings.count()}")
+  }
+
   test("incremental IVF append equals a full rebuild with the same centroids") {
     val centroids = embeddings.filter($"vec_id" % 50 === 0)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
