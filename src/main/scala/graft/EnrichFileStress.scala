@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.SedStreaming
+
+/** Scale-stress twin of q_stream_enrich with a FILE sink: the identical
+  * stream-stream enrichment chain reads file-source feeds and writes
+  * parquet, so the (quadratic-in-density) output stays distributed
+  * instead of accumulating in a driver-side memory sink. Exists because
+  * the 100× stress proved the MEMORY-SINK harness is the bound — the
+  * join state itself is watermark-evicted and partition-count-
+  * insensitive — and a real deployment sinks to files/Kafka anyway.
+  * Args: <sfDir> [chunks]. Prints one line: rows + wall seconds.
+  */
+object EnrichFileStress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val chunks = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sed.SedQueries.ensureConfs(spark)
+
+    val work = java.nio.file.Files.createTempDirectory("enrich_stress").toString
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts div 1000 AS ts_us",
+        "CAST(value AS DOUBLE) AS v")
+    SedStreaming.stageFileStream(base, "ts_us", s"$work/events", chunks)
+    SedStreaming.stageFileStream(
+      base.filter(col("event_id") % 100 === 0).toDF("sensor_id", "sts_us", "reading"),
+      "sts_us", s"$work/sensors", chunks)
+
+    val t0 = System.nanoTime()
+    val evSrc = SedStreaming.fileStream(spark, s"$work/events", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("v", DoubleType))))
+      .withColumn("ets", expr("timestamp_micros(ts_us)"))
+      .select("event_id", "ets")
+    val snSrc = SedStreaming.fileStream(spark, s"$work/sensors", StructType(Seq(
+      StructField("sensor_id", LongType), StructField("sts_us", LongType),
+      StructField("reading", DoubleType))))
+      .withColumn("sts", expr("timestamp_micros(sts_us)"))
+      .select("sensor_id", "sts", "reading")
+    val joined = SedStreaming.enrichWithSensor(evSrc, snSrc,
+      "ets", "sts", "30 minutes", 600)
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val rows = spark.read.parquet(s"$work/out").count()
+    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
