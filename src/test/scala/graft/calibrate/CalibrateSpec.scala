@@ -217,4 +217,55 @@ class CalibrateSpec extends SparkSpecBase {
       assert(math.abs(d.cdeform(i * 16 + j) - j) < 1e-6)
     }
   }
+
+  test("generateInverseDfield inverts an affine warp (inverse ∘ forward ≈ id)") {
+    // forward field: an affine warp F(i,j) = (a·i + b·j + e, c·i + d·j + f).
+    // The inverse field sampled at F's image must return the original grid
+    // coordinates — piecewise-linear interpolation is EXACT for affine
+    // maps, so tolerance is numerical only.
+    val rows = 32; val cols = 32
+    val (a, b, c, d, e, f) = (0.9, 0.08, -0.05, 1.1, 1.7, 0.9)
+    val fwd = MomentumCorrection.Dfield(
+      Array.tabulate(rows * cols)(k => a * (k / cols) + b * (k % cols) + e),
+      Array.tabulate(rows * cols)(k => c * (k / cols) + d * (k % cols) + f),
+      rows, cols)
+    val inv = MomentumCorrection.generateInverseDfield(fwd, 128, 128)
+    val rStep = rows.toDouble / 128; val cStep = cols.toDouble / 128
+    var checked = 0
+    for (i <- 2 until rows - 2; j <- 2 until cols - 2) {
+      // source coordinate of grid point (i,j) under F, as an output pixel
+      val x = a * i + b * j + e
+      val y = c * i + d * j + f
+      val p = math.round(x / rStep).toInt; val q = math.round(y / cStep).toInt
+      if (p >= 0 && p < 128 && q >= 0 && q < 128) {
+        val gotR = inv.rdeform(p * 128 + q)
+        val gotC = inv.cdeform(p * 128 + q)
+        if (!gotR.isNaN) {
+          // pixel center is within half a step of (x,y); the affine
+          // inverse moves by <= ||A^-1|| per unit, bound generously
+          assert(math.abs(gotR - i) < 0.7, s"($i,$j): inverse row $gotR")
+          assert(math.abs(gotC - j) < 0.7, s"($i,$j): inverse col $gotC")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 500, s"too few covered samples: $checked")
+    // pixels outside the warped hull stay NaN (griddata semantics)
+    assert(inv.rdeform(0).isNaN || inv.rdeform.count(_.isNaN) > 0)
+  }
+
+  test("generateInverseDfield skips NaN cells and leaves holes uncovered") {
+    val rows = 8; val cols = 8
+    val rd = Array.tabulate(rows * cols)(k => (k / cols).toDouble)
+    val cd = Array.tabulate(rows * cols)(k => (k % cols).toDouble)
+    rd(3 * cols + 3) = Double.NaN // one bad grid point
+    val inv = MomentumCorrection.generateInverseDfield(
+      MomentumCorrection.Dfield(rd, cd, rows, cols), 64, 64)
+    // the four cells sharing the NaN corner leave their pixels NaN
+    val holeR = inv.rdeform(3 * 8 * 64 + 3 * 8) // pixel at (3,3) exactly
+    assert(holeR.isNaN)
+    // identity elsewhere: pixel (48, 48) = coordinate (6, 6)
+    assert(math.abs(inv.rdeform(48 * 64 + 48) - 6.0) < 1e-9)
+    assert(math.abs(inv.cdeform(48 * 64 + 48) - 6.0) < 1e-9)
+  }
 }
