@@ -157,6 +157,36 @@ case class SedProcessor(dataframe: DataFrame,
       newXCol, newYCol, detectorRanges))
       .copy(calibrations = calibrations.copy(dfield = Some(dfield)))
 
+  /** Apply a FORWARD deformation field (the orientation the reference
+    * saves and composes pose adjustments into — momentum.py:1291/1793
+    * regenerate `inverse_dfield` from rdeform/cdeform before every
+    * apply): numerically invert it onto an outRows×outCols raster
+    * ([[MomentumCorrection.generateInverseDfield]]) and bilinear-look it
+    * up per event, with event coordinates (forward-grid units, like
+    * [[applyMomentumCorrection]]'s) scaled to raster indices. Lets a
+    * user bring a reference-produced momentum_correction config
+    * unchanged; chains that fit with [[generateSplinewarp]] get the
+    * inverse directly and use [[applyMomentumCorrection]]. The COMPACT
+    * forward field is what the workflow store records (the raster is a
+    * derived artifact, regenerated on reapply — reference parity). */
+  def applyForwardMomentumCorrection(forward: MomentumCorrection.Dfield,
+                                     detectorRanges: ((Double, Double), (Double, Double)),
+                                     outRows: Int = 2048, outCols: Int = 2048,
+                                     newXCol: String = "xc", newYCol: String = "yc"): SedProcessor = {
+    import org.apache.spark.sql.graft.Bilinear2D
+    val inv = MomentumCorrection.generateInverseDfield(forward, outRows, outCols)
+    val sr = outRows.toDouble / forward.rows // raster pixels per grid unit
+    val sc = outCols.toDouble / forward.cols
+    val rStep = (detectorRanges._1._2 - detectorRanges._1._1) / forward.rows
+    val cStep = (detectorRanges._2._2 - detectorRanges._2._1) / forward.cols
+    next(dataframe
+      .withColumn(newXCol,
+        Bilinear2D(col(xCol) * sr, col(yCol) * sc, inv.rdeform, outRows, outCols) * rStep)
+      .withColumn(newYCol,
+        Bilinear2D(col(xCol) * sr, col(yCol) * sc, inv.cdeform, outRows, outCols) * cStep))
+      .copy(calibrations = calibrations.copy(dfield = Some(forward)))
+  }
+
   /** Detector → k-space calibration (processor.py:964
     * apply_momentum_calibration / momentum.py:1890 append_k_axis). */
   def appendKAxis(kxStart: Double, kxCenter: Double, kxScale: Double, kxStep: Double,

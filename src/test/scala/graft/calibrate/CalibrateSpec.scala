@@ -254,6 +254,37 @@ class CalibrateSpec extends SparkSpecBase {
     assert(inv.rdeform(0).isNaN || inv.rdeform.count(_.isNaN) > 0)
   }
 
+  test("applyForwardMomentumCorrection ≈ applying the analytic inverse field") {
+    import spark.implicits._
+    // forward affine warp F; its analytic inverse G = F^{-1}. Applying the
+    // numerically inverted forward field must match applying G directly.
+    val rows = 32; val cols = 32
+    val (a, b, c, d) = (0.95, 0.05, -0.04, 1.05)
+    val det = a * d - b * c
+    val fwd = graft.calibrate.MomentumCorrection.Dfield(
+      Array.tabulate(rows * cols)(k => a * (k / cols) + b * (k % cols)),
+      Array.tabulate(rows * cols)(k => c * (k / cols) + d * (k % cols)),
+      rows, cols)
+    val analyticInv = graft.calibrate.MomentumCorrection.Dfield(
+      Array.tabulate(rows * cols)(k => (d * (k / cols) - b * (k % cols)) / det),
+      Array.tabulate(rows * cols)(k => (-c * (k / cols) + a * (k % cols)) / det),
+      rows, cols)
+    val events = Seq((10.0, 12.0), (15.5, 8.25), (20.0, 20.0), (6.0, 25.0))
+      .toDF("x", "y")
+    val ranges = ((0.0, 32.0), (0.0, 32.0))
+    def proc = graft.sed.SedProcessor(events, None, "x", "y", "t")
+    val got = proc.applyForwardMomentumCorrection(fwd, ranges, 256, 256)
+      .dataframe.select("xc", "yc").as[(Double, Double)].collect().toSeq
+    val expected = proc.applyMomentumCorrection(analyticInv, ranges)
+      .dataframe.select("xc", "yc").as[(Double, Double)].collect().toSeq
+    got.zip(expected).foreach { case ((gx, gy), (ex, ey)) =>
+      // numeric inversion samples the inverse on a raster; bilinear lookup
+      // of an affine inverse is exact up to raster resolution
+      assert(math.abs(gx - ex) < 0.05, s"x: $gx vs $ex")
+      assert(math.abs(gy - ey) < 0.05, s"y: $gy vs $ey")
+    }
+  }
+
   test("generateInverseDfield skips NaN cells and leaves holes uncovered") {
     val rows = 8; val cols = 8
     val rd = Array.tabulate(rows * cols)(k => (k / cols).toDouble)
