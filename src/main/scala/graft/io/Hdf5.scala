@@ -125,6 +125,11 @@ final class Hdf5File(bytes: Array[Byte]) {
 
   // ---- groups ----
   /** (child name -> object header address) of the group at `headerAddr`. */
+  /** Sentinel "address" marking a soft-link entry; the real target path
+    * lives in [[softTargets]] keyed by (group header addr, name). */
+  private val SoftEntry = Long.MinValue
+  private val softTargets = mutable.Map.empty[(Long, String), String]
+
   private def groupEntries(headerAddr: Long): Seq[(String, Long)] = {
     val msgs = readMessages(headerAddr)
     val out = mutable.ArrayBuffer.empty[(String, Long)]
@@ -175,6 +180,12 @@ final class Hdf5File(bytes: Array[Byte]) {
           }
           val name = new String(bytes, p, nameLen.toInt, "UTF-8"); p += nameLen.toInt
           if (linkType == 0) out += ((name, u64(p))) // hard link
+          else if (linkType == 1) { // soft link: u16 value length + path
+            val tlen = u16(p)
+            softTargets += ((headerAddr, name)) ->
+              new String(bytes, p + 2, tlen, "UTF-8")
+            out += ((name, SoftEntry))
+          }
         case 0x0002 => // link info: dense storage would live here
           val fheap = u64(m.bodyPos + 2 + (if ((u8(m.bodyPos + 1) & 1) != 0) 8 else 0))
           if (fheap != Undef && fheap != 0 && out.isEmpty && !msgs.exists(x => x.typ == 0x0011 || x.typ == 0x0006))
@@ -393,13 +404,30 @@ final class Hdf5File(bytes: Array[Byte]) {
 
   // ---- public API ----
 
-  /** Object header address lookup by absolute path ("/grp/dset"). */
-  private def resolve(path: String): Long = {
+  /** Object header address lookup by absolute path ("/grp/dset"),
+    * following soft links (bounded depth against cycles). */
+  private def resolve(path: String): Long = resolve(path, depth = 0)
+
+  private def resolve(path: String, depth: Int): Long = {
+    require(depth < 16, s"soft-link chain too deep resolving $path")
     val parts = path.split('/').filter(_.nonEmpty)
-    parts.foldLeft(rootHeaderAddr) { (hdr, name) =>
-      groupEntries(hdr).find(_._1 == name)
+    var hdr = rootHeaderAddr
+    var i = 0
+    while (i < parts.length) {
+      val name = parts(i)
+      val entry = groupEntries(hdr).find(_._1 == name)
         .getOrElse(throw new NoSuchElementException(s"no '$name' under path in $path"))._2
+      if (entry == SoftEntry) {
+        val target = softTargets((hdr, name))
+        // absolute target; remaining segments continue under it
+        val rest = parts.drop(i + 1)
+        return resolve((target.split('/').filter(_.nonEmpty) ++ rest).mkString("/", "/", ""),
+          depth + 1)
+      }
+      hdr = entry
+      i += 1
     }
+    hdr
   }
 
   /** Names of the root group's children (datasets and subgroups). */

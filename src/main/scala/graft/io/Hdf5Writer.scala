@@ -45,6 +45,14 @@ object Hdf5Writer {
     * class-3 strings are equally conformant and self-contained). */
   case class StringDataset(name: String, value: String,
                            attrs: Seq[(String, Any)] = Nil) extends Node
+  /** Soft link to another object by absolute path (h5py SoftLink — what
+    * pynxtools emits for NeXus `@link` entries). Latest format only:
+    * classic symbol-table groups would need a link-value heap entry the
+    * minimal writer doesn't model. Links carry no attributes (they have
+    * no object header — attributes belong to the TARGET). */
+  case class SoftLink(name: String, target: String) extends Node {
+    override def attrs: Seq[(String, Any)] = Nil
+  }
   /** Chunked float64 dataset with optional shuffle + deflate filters
     * (the compression every production sed/DAQ file uses). */
   case class ChunkedDoubleDataset(name: String, dims: Seq[Long], chunkDims: Seq[Int],
@@ -248,19 +256,41 @@ object Hdf5Writer {
     b.array()
   }
 
+  /** Soft-link message (v1, flags bit 3 = explicit link type, type 1 =
+    * soft; link info = u16 value length + path bytes). */
+  private def softLinkMessage(name: String, target: String): Array[Byte] = {
+    val nb = name.getBytes("UTF-8")
+    val tb = target.getBytes("UTF-8")
+    require(nb.length < 256, s"link name too long: $name")
+    require(tb.length < 65536, s"link target too long: $target")
+    val b = ByteBuffer.allocate(4 + nb.length + 2 + tb.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(0x08.toByte) // version, flags: link-type field present
+    b.put(1.toByte)                  // link type: soft
+    b.put(nb.length.toByte).put(nb)
+    b.putShort(tb.length.toShort).put(tb)
+    b.array()
+  }
+
   /** Write one group's heap/SNOD/B-tree over already-written children;
-    * returns the group's object header address. */
-  private def writeGroup(out: Buf, children: Seq[(String, Long)],
+    * returns the group's object header address. Children are either
+    * written objects (Left: header address) or soft links (Right:
+    * target path — Latest format only). */
+  private def writeGroup(out: Buf, children: Seq[(String, Either[Long, String])],
                          attrs: Seq[(String, Any)], fmt: Format): Long = {
     if (fmt == Latest) {
       // compact (link-message) storage — the libver='latest' layout
       return objectHeaderV2(out,
-        children.map { case (n, hdr) => (0x0006, linkMessage(n, hdr)) } ++
+        children.map {
+          case (n, Left(hdr)) => (0x0006, linkMessage(n, hdr))
+          case (n, Right(target)) => (0x0006, softLinkMessage(n, target))
+        } ++
           attrs.map { case (n, v) => (0x000C, attrMessage(n, v, v3 = true)) })
     }
     require(children.size <= 8,
       s"minimal writer supports <= 8 entries per group, got ${children.size}")
-    val sorted = children.sortBy(_._1)
+    require(children.forall(_._2.isLeft),
+      "soft links need the Latest format (classic symbol-table groups not modeled)")
+    val sorted = children.collect { case (n, Left(hdr)) => (n, hdr) }.sortBy(_._1)
     // local heap: leading 8 zero bytes (offset 0 = empty name), then names
     val nameOffsets = ArrayBuffer.empty[Long]
     val heapData = {
@@ -422,29 +452,30 @@ object Hdf5Writer {
     addr
   }
 
-  private def writeNode(out: Buf, node: Node, fmt: Format): (String, Long) = node match {
+  private def writeNode(out: Buf, node: Node, fmt: Format): (String, Either[Long, String]) = node match {
+    case SoftLink(name, target) => (name, Right(target))
     case Group(name, children, attrs) =>
       val kids = children.map(c => writeNode(out, c, fmt))
-      (name, writeGroup(out, kids, attrs, fmt))
+      (name, Left(writeGroup(out, kids, attrs, fmt)))
     case d: DoubleDataset =>
       out.pad8()
       val dataAddr = out.pos
       d.data.foreach { v =>
         val bits = java.lang.Double.doubleToLongBits(v); out.u64(bits)
       }
-      (d.name, datasetHeader(out, d.dims, DtFloat64, dataAddr, d.data.length * 8L, d.attrs, fmt))
+      (d.name, Left(datasetHeader(out, d.dims, DtFloat64, dataAddr, d.data.length * 8L, d.attrs, fmt)))
     case l: LongDataset =>
       out.pad8()
       val dataAddr = out.pos
       l.data.foreach(out.u64)
-      (l.name, datasetHeader(out, l.dims, DtInt64, dataAddr, l.data.length * 8L, l.attrs, fmt))
+      (l.name, Left(datasetHeader(out, l.dims, DtInt64, dataAddr, l.data.length * 8L, l.attrs, fmt)))
     case s: StringDataset =>
       out.pad8()
       val dataAddr = out.pos
       val d = (s.value + NulS).getBytes("UTF-8")
       out.bytes(d)
       // dims = Nil -> rank-0 (scalar) dataspace
-      (s.name, datasetHeader(out, Nil, dtString(d.length), dataAddr, d.length.toLong, s.attrs, fmt))
+      (s.name, Left(datasetHeader(out, Nil, dtString(d.length), dataAddr, d.length.toLong, s.attrs, fmt)))
     case c: ChunkedDoubleDataset =>
       val rank = c.dims.size
       require(rank >= 1 && c.chunkDims.size == rank, "chunkDims rank mismatch")
@@ -476,7 +507,7 @@ object Hdf5Writer {
         Seq((0x0008, layout)) ++
         c.attrs.map { case (n, v) => (0x000C, attrMessage(n, v, v3 = v3Attrs)) }
       val hdr = if (fmt == Latest) objectHeaderV2(out, msgs) else objectHeaderV1(out, msgs)
-      (c.name, hdr)
+      (c.name, Left(hdr))
   }
 
   private def datasetHeader(out: Buf, dims: Seq[Long], dt: Array[Byte],

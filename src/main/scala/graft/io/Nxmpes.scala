@@ -24,8 +24,8 @@ import scala.collection.mutable
   *   - String values: `@attrs:metadata/<path>` pulls from the metadata
   *     tree; `@eln:<path>` is an electronic-lab-notebook source (no ELN
   *     in scope — never resolves, exists so reference configs load);
-  *     `@link:<target>` renders as the NeXus link convention (a field
-  *     whose `target` attribute names the linked object);
+  *     `@link:<target>` renders as a REAL HDF5 soft link (h5py/pynxtools
+  *     parity; the pure-JVM reader follows it);
   *     `"['a', 'b', ...]"` is a fallback chain (first resolvable entry
   *     wins; a plain-string entry is a literal default); a leading `!`
   *     marks the field required — unresolvable required paths are
@@ -217,9 +217,9 @@ object Nxmpes {
         case Bool(b) => Hdf5Writer.LongDataset(f.name, Nil, Array(if (b) 1L else 0L), attrs)
         case Arr(ds) => Hdf5Writer.DoubleDataset(f.name, Seq(ds.length.toLong), ds, attrs)
         case Link(t) =>
-          // NeXus link convention: the linked object carries a `target`
-          // attribute naming its canonical path
-          Hdf5Writer.StringDataset(f.name, t, attrs :+ ("target" -> t))
+          // a REAL HDF5 soft link (what h5py/pynxtools emit for @link):
+          // the reader resolves it to the target object transparently
+          Hdf5Writer.SoftLink(f.name, t)
       }
     }
     val groupNodes = g.groups.values.toSeq.map(toNode)

@@ -82,13 +82,14 @@ class NxmpesSpec extends SparkSpecBase {
     // aperture sizes with µ-units survive UTF-8 attr encoding
     assert(f.readDoubles(s"$cc/field_aperture/size").head == 200.0)
     assert(f.attributes(s"$cc/field_aperture/size").get("units").contains("µm"))
-    // manipulator sensors + the NeXus link convention (target attribute)
+    // manipulator sensors + @link as a REAL HDF5 soft link: the linked
+    // path resolves transparently to the target sensor group
     val sensor = "/entry/instrument/manipulator/temperature_sensor"
     assert(f.readDoubles(s"$sensor/value").head == 300.0)
-    val linked = f.readString("/entry/sample/temperature_env/temperature_sensor")
-    assert(linked == sensor)
-    assert(f.attributes("/entry/sample/temperature_env/temperature_sensor")
-      .get("target").contains(sensor))
+    val viaLink = "/entry/sample/temperature_env/temperature_sensor"
+    assert(f.readString(s"$viaLink/name") == "sample_temperature")
+    assert(f.readDoubles(s"$viaLink/value").head == 300.0)
+    assert(f.attributes(s"$viaLink/value").get("units").contains("K"))
     // calibration sections: applied stamped true, parameters round-trip
     assert(f.readDoubles("/entry/energy_calibration/applied").head == 1.0)
     assert(f.readDoubles("/entry/energy_calibration/fit_formula_inputs/coefficients")
