@@ -65,25 +65,31 @@ object SedReader {
                  nameCol: String = "file_name"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // normalize both sides to a URL-decoded form with collapsed scheme
-    // slashes: input_file_name() yields the percent-encoded URI while
-    // inputFiles yields Path.toString — a raw string join would silently
-    // drop rows for any path containing a space/%/non-ASCII char
-    def canon(s: String): String =
-      java.net.URLDecoder.decode(s, "UTF-8").replaceFirst("^file:/+", "file:/")
-    val files = df.inputFiles.map(canon).sorted.zipWithIndex
-      .map { case (f, i) => (f, i.toLong) }.toSeq
-    val mapping = broadcast(files.toDF(nameCol, idCol))
-    val canonUdf = udf(canon _) // driver-listing parity beats codegen here
-    df.withColumn(nameCol, canonUdf(input_file_name()))
-      .join(mapping, Seq(nameCol), "left")
+    // Dataset.inputFiles and input_file_name() both emit the
+    // percent-encoded SparkPath URI (verified incl. space/% paths), so
+    // the join keys match verbatim; a scheme-slash collapse on both
+    // sides guards against sources that disagree on file:/ vs file:///.
+    // The runtime side stays pure codegen'd column algebra — no UDF.
+    // The emitted nameCol is the DECODED form (human-readable, stable
+    // for withFileAttributes' base-name joins — the pre-round-7
+    // contract).
+    val encoded = "__graft_encoded_name"
+    val files = df.inputFiles.sorted.zipWithIndex.map { case (f, i) =>
+      val key = f.replaceFirst("^file:/+", "file:/")
+      (key, java.net.URLDecoder.decode(key, "UTF-8"), i.toLong)
+    }.toSeq
+    val mapping = broadcast(files.toDF(encoded, nameCol, idCol))
+    df.withColumn(encoded,
+        regexp_replace(input_file_name(), "^file:/+", "file:/"))
+      .join(mapping, Seq(encoded), "left")
       // loud failure beats silent row loss if a name still doesn't match —
       // checked IN-FLIGHT: an unmatched name trips raise_error inside the
       // same job, instead of a second validation pass over the data
       .withColumn(idCol, coalesce(col(idCol),
         raise_error(concat(
           lit("input_file_name() not in the driver-side file listing: "),
-          col(nameCol))).cast("long")))
+          col(encoded))).cast("long")))
+      .drop(encoded)
   }
 
   /** Per-file metadata table — the Spark-native form of the reference's

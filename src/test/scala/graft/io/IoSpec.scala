@@ -61,6 +61,23 @@ class IoSpec extends SparkSpecBase {
     assert(perFile == again)
   }
 
+  test("withFileId matches every row for paths with spaces and percent chars") {
+    // the case the encoding parity exists for: input_file_name() yields
+    // the percent-encoded URI, so a raw join against Path.toString would
+    // silently drop every row from such files (left join -> raise_error)
+    val dir = Files.createTempDirectory("graft_io sp%ace").toString
+    events.limit(5).write.parquet(s"$dir/part a")
+    events.limit(7).write.parquet(s"$dir/part b")
+    val df = SedReader.read(spark, s"$dir/part*")
+    val withId = SedReader.withFileId(df)
+    assert(withId.filter(withId("file_id").isNull).count() == 0)
+    assert(withId.count() == 12)
+    val perFile = withId.groupBy("file_id").count().as[(Long, Long)].collect().toMap
+    assert(perFile.values.toSet == Set(5L, 7L))
+    // the emitted name column stays the readable decoded form
+    assert(withId.select("file_name").as[String].head().contains("sp%ace"))
+  }
+
   test("withFileId adds no extra validation job over a plain broadcast join") {
     val dir = Files.createTempDirectory("graft_io").toString
     events.limit(10).write.parquet(s"$dir/f0")
