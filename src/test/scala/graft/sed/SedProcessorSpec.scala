@@ -101,6 +101,38 @@ class SedProcessorSpec extends SparkSpecBase {
     assert(f.readDoubles("/entry/data/counts").sum > 0)
   }
 
+  test("saveNxmpes maps the chain's applied calibrations onto NXmpes paths") {
+    val axes = Seq(BinAxis("x", 4, 0.0, 512.0), BinAxis("y", 4, 0.0, 512.0))
+    val dir = java.nio.file.Files.createTempDirectory("proc_nxmpes").toString
+    val cal = graft.calibrate.EnergyCalibration.PolyCalibration(
+      Array(1.5, -2.25, 0.125), e0 = -10.5, offset = 42000.0)
+    val p = proc
+      .appendEnergyAxisPoly(cal)
+      .addAttribute("title", "graphite 0030")
+      .addMetadata(Map("analyzer" -> Map(
+        "lens_mode" -> "6kV_kmodem4.0", "projection" -> "reciprocal")), "instrument")
+    val report = p.saveNxmpes(s"$dir/scan.nxs", axes)
+    val f = graft.io.Hdf5File.fromPath(java.nio.file.Paths.get(s"$dir/scan.nxs"))
+    assert(f.readString("/entry/definition") == "NXmpes")
+    assert(f.readString("/entry/title") == "graphite 0030")
+    // the chain's energy calibration landed on the NXcalibration template
+    assert(f.readDoubles("/entry/energy_calibration/applied").head == 1.0)
+    assert(f.readDoubles(
+      "/entry/energy_calibration/fit_formula_inputs/coefficients").toSeq ==
+      Seq(1.5, -2.25, 0.125))
+    assert(f.readDoubles(
+      "/entry/energy_calibration/fit_formula_inputs/reference_energy").head == -10.5)
+    // analyzer metadata reached the collectioncolumn
+    assert(f.readString(
+      "/entry/instrument/electronanalyzer/collectioncolumn/lens_mode") == "6kV_kmodem4.0")
+    // cube rides alongside
+    assert(f.readDoubles("/entry/data/counts").sum > 0)
+    // momentum/delay sections were not applied -> their required
+    // `applied` flags are the report's missing entries
+    assert(report.missingRequired.forall(_.endsWith("/applied")))
+    assert(!report.missingRequired.exists(_.contains("energy_calibration")))
+  }
+
   test("generateSplinewarp: identity landmarks yield the identity field") {
     val marks = Seq((10.0, 10.0), (10.0, 50.0), (50.0, 10.0), (50.0, 50.0), (30.0, 30.0))
     val df = proc.generateSplinewarp(marks, marks, rows = 8, cols = 8)
