@@ -56,11 +56,31 @@ object EnrichFileStress {
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode("append")
       .start()
+    // track PEAK join state across micro-batches — the number that must
+    // stay bounded (watermark-evicted) while the OUTPUT grows quadratic
+    var peakStateRows = 0L
+    var peakStateBytes = 0L
+    val poll = new Thread(() => {
+      while (q.isActive) {
+        Option(q.lastProgress).foreach { pr =>
+          pr.stateOperators.foreach { so =>
+            peakStateRows = math.max(peakStateRows, so.numRowsTotal)
+            peakStateBytes = math.max(peakStateBytes, so.memoryUsedBytes)
+          }
+        }
+        Thread.sleep(250)
+      }
+    })
+    poll.setDaemon(true); poll.start()
     q.processAllAvailable()
+    Option(q.lastProgress).foreach(_.stateOperators.foreach { so =>
+      peakStateRows = math.max(peakStateRows, so.numRowsTotal)
+      peakStateBytes = math.max(peakStateBytes, so.memoryUsedBytes)
+    })
     q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
     val rows = spark.read.parquet(s"$work/out").count()
-    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"sf":"$sfDir"}""")
+    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"peak_state_rows":$peakStateRows,"peak_state_mb":${peakStateBytes / 1048576},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
