@@ -228,6 +228,21 @@ object Multimodal {
     * Frames are returned as independently-decoded rasters (no disposal
     * compositing — each is what the format stores for that index).
     * None when the payload is not a GIF. */
+  private def packRgb(img: java.awt.image.BufferedImage): (Int, Int, Int, Array[Byte]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * 3)
+    var j = 0
+    while (j < argb.length) {
+      val v = argb(j)
+      out(j * 3) = ((v >> 16) & 0xff).toByte
+      out(j * 3 + 1) = ((v >> 8) & 0xff).toByte
+      out(j * 3 + 2) = (v & 0xff).toByte
+      j += 1
+    }
+    (w, h, 3, out)
+  }
+
   def decodeGifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Int, Array[Byte])]] = {
     if (bytes.length < 4 || bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return None
     javax.imageio.ImageIO.setUseCache(false)
@@ -238,32 +253,64 @@ object Multimodal {
     try {
       reader.setInput(in)
       val n = reader.getNumImages(true)
-      val frames = (0 until n).map { i =>
-        val img = reader.read(i)
-        val w = img.getWidth; val h = img.getHeight
-        val argb = img.getRGB(0, 0, w, h, null, 0, w)
-        val out = new Array[Byte](w * h * 3)
-        var j = 0
-        while (j < argb.length) {
-          val v = argb(j)
-          out(j * 3) = ((v >> 16) & 0xff).toByte
-          out(j * 3 + 1) = ((v >> 8) & 0xff).toByte
-          out(j * 3 + 2) = (v & 0xff).toByte
-          j += 1
-        }
-        (w, h, 3, out)
-      }
-      Some(frames)
+      Some((0 until n).map(i => packRgb(reader.read(i))))
     } catch { case _: Exception => None }
     finally { reader.dispose(); in.close() }
   }
 
+  /** REAL video frame extraction for MJPEG-in-AVI — the one mainstream
+    * video container that needs no codec: each frame is an ordinary JPEG
+    * in a `##dc`/`##db` chunk of the RIFF `movi` list, decodable by the
+    * JDK's own ImageIO. Parses the RIFF structure directly (fourcc +
+    * little-endian sizes, even-byte padding, nested `rec ` lists);
+    * anything that isn't a RIFF/AVI or holds no decodable frames returns
+    * None and the caller falls back. */
+  def decodeAviMjpegFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Int, Array[Byte])]] = {
+    if (bytes.length < 12 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'A' || bytes(9) != 'V' || bytes(10) != 'I' || bytes(11) != ' ') return None
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def fourcc(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    val raw = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(p0: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = p0
+      while (p + 8 <= end) {
+        val cc = fourcc(p)
+        val sz = u32(p + 4)
+        val dataStart = p + 8
+        val dataEnd = math.min(dataStart + sz, end.toLong).toInt // truncation guard
+        if (cc == "LIST" && dataEnd >= dataStart + 4)
+          walk(dataStart + 4, dataEnd,
+            inMovi || { val t = fourcc(dataStart); t == "movi" || t == "rec " })
+        else if (inMovi && cc(0).isDigit && cc(1).isDigit &&
+          cc(2) == 'd' && (cc(3) == 'c' || cc(3) == 'b') && dataEnd > dataStart)
+          raw += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        p = dataStart + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    if (raw.isEmpty) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val frames = raw.toSeq.map { fb =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        if (img == null) return None
+        packRgb(img)
+      }
+      Some(frames)
+    } catch { case _: Exception => None }
+  }
+
   /** Frame sampling: every `stride`-th frame, one output row per sampled
-    * frame — REAL decoded rasters for animated GIF payloads (the one
-    * multi-frame format the JDK decodes); for anything else the payload
-    * is treated as a "video" of fixed-size `frameBytes` slices — the
-    * row-explosion shape (1 payload → N frame rows) of a real video
-    * sampler (the JDK ships no video codec), batch iteration preserved. */
+    * frame — REAL decoded rasters for animated GIF payloads AND
+    * MJPEG-in-AVI video (RIFF parse + per-frame ImageIO JPEG decode, see
+    * [[decodeAviMjpegFrames]] — no codec needed); any other payload is
+    * treated as a "video" of fixed-size `frameBytes` slices — the
+    * row-explosion shape (1 payload → N frame rows) of a sampler for
+    * codec-bound formats (the JDK ships no H.26x/VP9 decoder), batch
+    * iteration preserved. */
   def sampleFrames(docs: DataFrame, idCol: String, payloadCol: String,
                    frameBytes: Int, stride: Int, batchSize: Int = 64): DataFrame = {
     require(frameBytes > 0 && stride > 0)
@@ -274,7 +321,7 @@ object Multimodal {
           batch.iterator.flatMap { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            decodeGifFrames(bytes) match {
+            decodeGifFrames(bytes).orElse(decodeAviMjpegFrames(bytes)) match {
               case Some(frames) =>
                 (0 until frames.size by stride).iterator.map { f =>
                   Row(id, f.toLong, frames(f)._4)

@@ -152,4 +152,48 @@ class MultimodalSpec extends SparkSpecBase {
     val strided = Multimodal.sampleFrames(df, "doc_id", "payload", frameBytes = 1, stride = 2)
     assert(strided.count() == 1)
   }
+
+  test("MJPEG-AVI video payloads explode into REAL decoded frames") {
+    // build a 4-frame MJPEG AVI: JPEG-encode solid-colour frames with the
+    // JDK, wrap them in a RIFF container (hdrl stub + movi list with
+    // 00dc chunks + even-byte padding) — a structurally real AVI of the
+    // kind motion-JPEG cameras write, decodable with zero codecs
+    import javax.imageio.ImageIO
+    def jpegOf(argb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 4, 2, Array.fill(8)(argb), 0, 4)
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(0xffcc0000, 0xff00cc00, 0xff0000cc, 0xffcccc00).map(jpegOf)
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(cc.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array() // trailing pad byte stays zero when length is odd
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = chunk("RIFF", body).take(8) ++ body // RIFF header wraps the body
+
+    val df = Seq((9L, avi)).toDF("doc_id", "payload")
+    val got = Multimodal.sampleFrames(df, "doc_id", "payload", frameBytes = 1, stride = 1)
+      .collect().map(r => r.getLong(1) -> r.getAs[Array[Byte]]("frame")).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.values.foreach(f => assert(f.length == 4 * 2 * 3)) // decoded rasters
+    // JPEG is lossy: dominant channel per frame survives with tolerance
+    assert((got(0L)(0) & 0xff) >= 150 && (got(0L)(1) & 0xff) <= 80)  // red-ish
+    assert((got(1L)(1) & 0xff) >= 150 && (got(1L)(0) & 0xff) <= 80)  // green-ish
+    assert((got(2L)(2) & 0xff) >= 150 && (got(2L)(0) & 0xff) <= 80)  // blue-ish
+    // stride samples every other frame
+    val strided = Multimodal.sampleFrames(df, "doc_id", "payload", frameBytes = 1, stride = 2)
+    assert(strided.select("frame_idx").collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    // a non-AVI payload still falls back to byte-slice framing
+    val junk = Seq((1L, Array.tabulate[Byte](64)(_.toByte))).toDF("doc_id", "payload")
+    assert(Multimodal.sampleFrames(junk, "doc_id", "payload", 16, 1).count() == 4)
+  }
 }
