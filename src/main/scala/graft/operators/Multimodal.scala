@@ -163,7 +163,7 @@ object Multimodal {
     * deterministic size-derived dimensions so the pass is total. The
     * fingerprint is always the first 32 bits of md5, matching the SQL
     * oracle's `('0x' || substr(md5(payload), 1, 8))::BIGINT`. */
-  def decodeStub(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+  def dimsAndFingerprint(bytes: Array[Byte]): (Long, Long, Long, Long) = {
     val d = MessageDigest.getInstance("MD5").digest(bytes)
     val fp = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -349,7 +349,7 @@ object Multimodal {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val (w, h, c, fp) = decodeStub(bytes)
+            val (w, h, c, fp) = dimsAndFingerprint(bytes)
             Row(id, bytes.length.toLong, w, h, c, fp)
           }
         }
