@@ -14,11 +14,13 @@ import org.apache.spark.sql.types._
   * hand-rolled header parse, no codec needed) AND for every format the
   * JDK's `javax.imageio` registry handles (PNG, JPEG, BMP, GIF, WBMP):
   * pixel extraction and nearest-neighbour resampling operate on the
-  * actual decoded raster. Only VIDEO frame extraction remains a
-  * deterministic stand-in (the JDK ships no video codec); payloads that
-  * no decoder recognises (e.g. text used as a stand-in blob) degrade to
-  * a size-derived deterministic fallback so metadata extraction is
-  * total. Either way the pipeline shape is the production one: binary
+  * actual decoded raster. VIDEO frame extraction is REAL for
+  * MJPEG-in-AVI (RIFF parse + per-frame ImageIO JPEG decode — container
+  * format, no codec needed); only codec-bound formats (H.26x/VP9, which
+  * the JDK cannot decode) fall back to deterministic byte-slice
+  * framing, and payloads no decoder recognises (e.g. text used as a
+  * stand-in blob) degrade to a size-derived deterministic fallback so
+  * metadata extraction is total. Either way the pipeline shape is the production one: binary
   * column in, `mapPartitions` streaming fixed-size batches (the JVM
   * analogue of `mapInPandas` batch iteration — a native decoder takes
   * each batch in one call), typed struct schema out, no driver
