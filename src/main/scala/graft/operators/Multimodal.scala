@@ -152,6 +152,141 @@ object Multimodal {
     out
   }
 
+  /** REAL decode of RIFF/WAVE audio — like MJPEG-AVI, WAV is a container
+    * problem, not a codec problem: the `fmt ` chunk gives format/rate/
+    * channels, the `data` chunk holds raw samples. Handles PCM (format 1,
+    * 8/16/24/32-bit) and IEEE float (format 3, 32/64-bit); samples are
+    * normalised to [-1, 1] doubles, channels interleaved as stored.
+    * Returns (sampleRate, channels, bitsPerSample, samples); None if not
+    * a parseable WAV. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    if (bytes.length < 12 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    var fmtCode = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataStart = -1; var dataLen = 0
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val cc = new String(bytes, p, 4, "US-ASCII")
+      val sz = u32(p + 4).toInt
+      val ds = p + 8
+      if (cc == "fmt " && sz >= 16) {
+        fmtCode = u16(ds); channels = u16(ds + 2)
+        rate = u32(ds + 4).toInt; bits = u16(ds + 14)
+      } else if (cc == "data") {
+        dataStart = ds; dataLen = math.min(sz, bytes.length - ds)
+      }
+      p = ds + sz + (sz & 1)
+    }
+    if (channels <= 0 || rate <= 0 || dataStart < 0) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes, dataStart, dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val samples: Array[Double] = (fmtCode, bits) match {
+      case (1, 8) => // unsigned, midpoint 128
+        Array.tabulate(dataLen)(i => ((bytes(dataStart + i) & 0xff) - 128) / 128.0)
+      case (1, 16) =>
+        Array.tabulate(dataLen / 2)(i => bb.getShort(dataStart + i * 2) / 32768.0)
+      case (1, 24) =>
+        Array.tabulate(dataLen / 3) { i =>
+          val o = dataStart + i * 3
+          val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) << 16)
+          v / 8388608.0
+        }
+      case (1, 32) =>
+        Array.tabulate(dataLen / 4)(i => bb.getInt(dataStart + i * 4) / 2147483648.0)
+      case (3, 32) =>
+        Array.tabulate(dataLen / 4)(i => bb.getFloat(dataStart + i * 4).toDouble)
+      case (3, 64) =>
+        Array.tabulate(dataLen / 8)(i => bb.getDouble(dataStart + i * 8))
+      case _ => return None
+    }
+    Some((rate, channels, bits, samples))
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("size", LongType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** Batched audio metadata: REAL header+sample counts for WAV payloads,
+    * nulls for everything else (audio metadata of a non-audio blob is
+    * meaningless — unlike image dims there is no defensible fallback). */
+  def audioMeta(docs: DataFrame, idCol: String, payloadCol: String,
+                batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = nonNull(docs, idCol, payloadCol).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            decodeWav(bytes) match {
+              case Some((rate, ch, _, samples)) =>
+                val frames = samples.length / ch
+                Row(id, bytes.length.toLong, rate.toLong, ch.toLong,
+                  frames.toLong, frames * 1000L / rate)
+              case None => Row(id, bytes.length.toLong, null, null, null, null)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, audioMetaSchema)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("win_idx", LongType),
+    StructField("rms", DoubleType),
+    StructField("zcr", DoubleType)))
+
+  /** Windowed audio feature extraction over WAV payloads — the
+    * feature-extract step of an audio training-data pipeline, computed
+    * on REAL decoded samples: per non-overlapping window of
+    * `windowSamples` mono frames (channels averaged), RMS energy and
+    * zero-crossing rate (fraction of adjacent sign changes). One payload
+    * explodes into one row per complete window; non-WAV payloads yield
+    * no rows. Same batched mapPartitions shape as the image passes. */
+  def audioFeatures(docs: DataFrame, idCol: String, payloadCol: String,
+                    windowSamples: Int, batchSize: Int = 64): DataFrame = {
+    require(windowSamples > 1, "windowSamples must be > 1")
+    val spark = docs.sparkSession
+    val rows = nonNull(docs, idCol, payloadCol).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            decodeWav(r.getAs[Array[Byte]](1)).iterator.flatMap { case (_, ch, _, inter) =>
+              val n = inter.length / ch
+              val mono = Array.tabulate(n) { i =>
+                var c = 0; var acc = 0.0
+                while (c < ch) { acc += inter(i * ch + c); c += 1 }
+                acc / ch
+              }
+              (0 until n / windowSamples).iterator.map { w =>
+                val s = w * windowSamples
+                var i = s; var sq = 0.0; var zc = 0
+                while (i < s + windowSamples) {
+                  sq += mono(i) * mono(i)
+                  if (i > s && (mono(i) >= 0) != (mono(i - 1) >= 0)) zc += 1
+                  i += 1
+                }
+                Row(id, w.toLong, math.sqrt(sq / windowSamples),
+                  zc.toDouble / (windowSamples - 1))
+              }
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, audioFeatureSchema)
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("size", LongType),

@@ -153,6 +153,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(strided.count() == 1)
   }
 
+  test("WAV audio payloads decode for REAL: header, duration, windowed RMS + ZCR") {
+    // 16-bit PCM mono WAV, 8 kHz, 0.5 s of a 400 Hz sine at amplitude 0.5
+    val rate = 8000; val n = 4000; val freq = 400.0; val amp = 0.5
+    val pcm = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toShort)
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    pcm.foreach(bb.putShort)
+    val wav = bb.array()
+
+    val df = Seq((3L, wav), (4L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.audioMeta(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(3L).getLong(2) == rate && meta(3L).getLong(3) == 1)
+    assert(meta(3L).getLong(4) == n && meta(3L).getLong(5) == 500) // 0.5 s
+    assert(meta(4L).isNullAt(2), "non-audio payloads carry null audio metadata")
+
+    // windows of 800 samples (= 40 full sine periods): RMS = amp/sqrt(2),
+    // ZCR = 2 crossings per period = 2*freq/rate per adjacent pair
+    val feats = Multimodal.audioFeatures(df, "doc_id", "payload", windowSamples = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(feats.forall(_._1 == 3L) && feats.length == 5) // non-WAV yields no rows
+    feats.foreach { case (_, _, rms, zcr) =>
+      assert(math.abs(rms - amp / math.sqrt(2.0)) < 0.005, s"rms $rms")
+      assert(math.abs(zcr - 2.0 * freq / rate) < 0.01, s"zcr $zcr")
+    }
+  }
+
   test("MJPEG-AVI video payloads explode into REAL decoded frames") {
     // build a 4-frame MJPEG AVI: JPEG-encode solid-colour frames with the
     // JDK, wrap them in a RIFF container (hdrl stub + movi list with
