@@ -86,11 +86,28 @@ object Bench {
         (name, median, if (median > 0) sorted.last / median else 1.0)
       }
     }
-    val qs = results.map { case (k, m, _) => s"${q(k)}:$m" }.mkString("{", ",", "}")
-    val sp = results.map { case (k, _, s) => s"${q(k)}:${math.rint(s * 100) / 100}" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"runs":$runs,"sf":${q(sfDir)}}""")
+    // Artifact durability (round 8): the driver captures a bounded stdout
+    // TAIL (~2 KB — round 7's full-precision line lost all medians before
+    // "q_zorder"), so the stdout line is packed to survive left-truncation:
+    // boilerplate and the spread map (flagged entries only, max/median >
+    // 1.3) come FIRST, the complete per-query medians map (3 decimals =
+    // 1 ms resolution) comes LAST. The FULL artifact — every spread entry,
+    // 4-decimal medians — goes to BENCH_LOCAL.json in-repo, committed each
+    // round, so the complete signal survives any stdout window.
+    def rd(x: Double, s: Double): Double = math.rint(x * s) / s
+    def qmap(dec: Double) =
+      results.map { case (k, m, _) => s"${q(k)}:${rd(m, dec)}" }.mkString("{", ",", "}")
+    def spmap(minSpread: Double) = results
+      .filter { case (_, _, s) => s >= minSpread }
+      .map { case (k, _, s) => s"${q(k)}:${rd(s, 100)}" }.mkString("{", ",", "}")
+    val total = rd(results.map(_._2).filter(_ >= 0).sum, 10000)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"spread":${spmap(0.0)},"queries":${qmap(10000)}}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"spread":${spmap(1.3)},"queries":${qmap(1000)}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
+    // LAST line of stdout, after spark.stop() so no shutdown logging follows it
+    println(compact)
   }
 }

@@ -286,10 +286,15 @@ object FlashReader {
   /** The merged forward-fill walk shared by the flash and sxp parsers:
     * electron slots (already (train, pulse)-sorted, with their channel
     * values) pick up every fill value keyed at or before their (train,
-    * pulse); electron ids are the running count within each key. */
+    * pulse); electron ids are the running count within each key.
+    * `dropNegativePulses` is the hextof `pulseId >= 0` cut
+    * (flash/dataframe.py:307); the sxp loader has no such filter (its
+    * dropna removes only NaN), so a nonzero ubid offset legitimately
+    * yields negative pulse ids there. */
   private def mergeFill(sorted: Seq[(Long, Long, Array[Double])],
                         entries: Seq[(Long, Long, Int, Double)],
-                        nFill: Int, filterTimedByElectron: Boolean)
+                        nFill: Int, filterTimedByElectron: Boolean,
+                        dropNegativePulses: Boolean = true)
       : (Seq[(Long, Long, Long, Array[Double], Array[Double])],
          Seq[(Long, Long, Array[Double])]) = {
     val sortedEntries = entries.sortBy(e => (e._1, e._2))
@@ -324,7 +329,7 @@ object FlashReader {
       curE = if (prevKey != null && prevKey == ((train, pulse))) curE + 1 else 0L
       prevKey = (train, pulse)
       advanceTo(train, pulse)
-      if (pulse >= 0 && !eVals.exists(_.isNaN)) {
+      if ((pulse >= 0 || !dropNegativePulses) && !eVals.exists(_.isNaN)) {
         electronOut += ((train, pulse, curE, eVals, last.clone()))
         val tk = timedKeys.getOrElseUpdate((train, pulse), (last.clone(), false))
         timedKeys((train, pulse)) = (tk._1, true)
@@ -344,7 +349,7 @@ object FlashReader {
       while (c < nFill) {
         if (!arr(c).isNaN) last(c) = arr(c); c += 1
       }
-      if (pulse >= 0 && (!filterTimedByElectron || hasE))
+      if ((pulse >= 0 || !dropNegativePulses) && (!filterTimedByElectron || hasE))
         timedOut += ((train, pulse, last.clone()))
     }
     (electronOut.toSeq, timedOut.toSeq)
@@ -397,13 +402,14 @@ object FlashReader {
           var s = segStart
           while (s < h) {
             val rawPulse = mib(base + s).toLong
-            val pulse = if (numPulses > 0) rawPulse % numPulses else rawPulse
-            // reference drops index values in [-ubid_offset, 0); the
-            // shared walk's pulse >= 0 cut subsumes it for the unsigned
-            // counters this DAQ records
-            if (!(pulse >= -ubidOffset.toLong && pulse < 0))
-              slots += ((trainId, pulse,
-                Array.tabulate(ePlanes.length)(c => ePlanes(c)(base + s))))
+            // offset applied AFTER the modulo, matching the reference
+            // (sxp/loader.py:309 `% num_pulses` then :324 `- ubid_offset`);
+            // the reference keeps post-subtraction values as-is (its
+            // dropna only removes NaN), so no sign cut here
+            val pulse = (if (numPulses > 0) rawPulse % numPulses else rawPulse) -
+              ubidOffset
+            slots += ((trainId, pulse,
+              Array.tabulate(ePlanes.length)(c => ePlanes(c)(base + s))))
             s += 1
           }
           segStart = h + 1
@@ -417,7 +423,7 @@ object FlashReader {
     }
     val sorted = slots.sortBy(s => (s._1, s._2)).toSeq
     mergeFill(sorted, fillEntries(f, pChs, tChs, fillIdx),
-      fillNames.length, filterTimedByElectron)
+      fillNames.length, filterTimedByElectron, dropNegativePulses = false)
   }
 
   private def openAndParse(path: String, channels: Seq[FlashChannel], ubidOffset: Int,

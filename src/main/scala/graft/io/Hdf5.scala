@@ -419,10 +419,13 @@ final class Hdf5File(bytes: Array[Byte]) {
         .getOrElse(throw new NoSuchElementException(s"no '$name' under path in $path"))._2
       if (entry == SoftEntry) {
         val target = softTargets((hdr, name))
-        // absolute target; remaining segments continue under it
+        // A target starting with '/' is absolute; otherwise HDF5 resolves
+        // it relative to the group HOLDING the link, so prefix the walked
+        // path so far. "." segments (self-references) are dropped.
+        val tSegs = target.split('/').filter(s => s.nonEmpty && s != ".")
+        val base = if (target.startsWith("/")) tSegs else parts.take(i) ++ tSegs
         val rest = parts.drop(i + 1)
-        return resolve((target.split('/').filter(_.nonEmpty) ++ rest).mkString("/", "/", ""),
-          depth + 1)
+        return resolve((base ++ rest).mkString("/", "/", ""), depth + 1)
       }
       hdr = entry
       i += 1

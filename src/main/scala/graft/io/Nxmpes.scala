@@ -45,9 +45,14 @@ import scala.collection.mutable
   */
 object Nxmpes {
 
-  /** Outcome of a mapping pass: NeXus paths that resolved, and required
-    * (`!`) paths whose every source was unresolvable. */
-  case class Report(resolved: Seq[String], missingRequired: Seq[String])
+  /** Outcome of a mapping pass: NeXus paths that resolved, required
+    * (`!`) paths whose every source was unresolvable, and attribute paths
+    * that resolved but could NOT be applied — attributes of a Link-valued
+    * field (an HDF5 soft link carries no attributes of its own; they live
+    * on the link's TARGET, so a config `@units` sibling of an `@link:`
+    * entry is surfaced here instead of being silently dropped). */
+  case class Report(resolved: Seq[String], missingRequired: Seq[String],
+                    unapplied: Seq[String] = Nil)
 
   /** The library's bundled NXmpes mapping config (resource
     * `nxmpes_config.json`) — same dialect as the reference's
@@ -281,8 +286,26 @@ object Nxmpes {
     if (strict && missing.nonEmpty)
       throw new IllegalArgumentException(
         s"NXmpes required fields unresolvable from metadata: ${missing.mkString(", ")}")
+    val unapplied = mutable.ArrayBuffer.empty[String]
+    collectLinkAttrs(entry, "ENTRY", unapplied)
     val node = toNode(entry)
-    (node.children, node.attrs, rootAttrs.toSeq, Report(resolvedPaths.toSeq, missing.toSeq))
+    (node.children, node.attrs, rootAttrs.toSeq,
+      Report(resolvedPaths.toSeq, missing.toSeq, unapplied.toSeq))
+  }
+
+  /** Attribute paths accumulated on Link-valued fields: toNode maps Link
+    * to an HDF5 soft link, which cannot carry attributes, so these are
+    * reported as unapplied rather than silently lost. */
+  private def collectLinkAttrs(g: GroupB, prefix: String,
+                               out: mutable.ArrayBuffer[String]): Unit = {
+    g.fields.values.foreach { f =>
+      f.value match {
+        case Link(_) if f.attrs.nonEmpty =>
+          f.attrs.keys.foreach(a => out += s"$prefix/${f.name}/@$a")
+        case _ => ()
+      }
+    }
+    g.groups.values.foreach(sg => collectLinkAttrs(sg, s"$prefix/${sg.name}", out))
   }
 
   /** Insert one resolved field/group value under a group builder

@@ -172,15 +172,19 @@ object Multimodal {
     var p = 12
     while (p + 8 <= bytes.length) {
       val cc = new String(bytes, p, 4, "US-ASCII")
-      val sz = u32(p + 4).toInt
       val ds = p + 8
-      if (cc == "fmt " && sz >= 16) {
+      // Declared size is UNSIGNED 32-bit; clamp to the bytes actually
+      // present so a corrupt/hostile size (>= 2^31, or past EOF) can
+      // neither walk the pointer backwards nor read past the array —
+      // audioMeta is documented total over arbitrary blobs.
+      val sz = math.min(u32(p + 4), (bytes.length - ds).toLong).toInt
+      if (cc == "fmt " && sz >= 16) { // >= 16 AFTER clamping: body fully present
         fmtCode = u16(ds); channels = u16(ds + 2)
         rate = u32(ds + 4).toInt; bits = u16(ds + 14)
       } else if (cc == "data") {
-        dataStart = ds; dataLen = math.min(sz, bytes.length - ds)
+        dataStart = ds; dataLen = sz
       }
-      p = ds + sz + (sz & 1)
+      p = ds + sz + (sz & 1) // ds > p and sz >= 0, so p strictly advances
     }
     if (channels <= 0 || rate <= 0 || dataStart < 0) return None
     val bb = java.nio.ByteBuffer.wrap(bytes, dataStart, dataLen)
@@ -415,16 +419,19 @@ object Multimodal {
       var p = p0
       while (p + 8 <= end) {
         val cc = fourcc(p)
-        val sz = u32(p + 4)
         val dataStart = p + 8
-        val dataEnd = math.min(dataStart + sz, end.toLong).toInt // truncation guard
+        // Declared size is UNSIGNED 32-bit; clamp to the enclosing extent so
+        // a corrupt/hostile size (>= 2^31, or past EOF) can neither walk the
+        // pointer backwards (infinite loop) nor read past the array.
+        val sz = math.min(u32(p + 4), (end - dataStart).toLong).toInt
+        val dataEnd = dataStart + sz
         if (cc == "LIST" && dataEnd >= dataStart + 4)
           walk(dataStart + 4, dataEnd,
             inMovi || { val t = fourcc(dataStart); t == "movi" || t == "rec " })
         else if (inMovi && cc(0).isDigit && cc(1).isDigit &&
           cc(2) == 'd' && (cc(3) == 'c' || cc(3) == 'b') && dataEnd > dataStart)
           raw += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-        p = dataStart + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        p = dataStart + sz + (sz & 1) // chunks pad to even; strictly advances
       }
     }
     walk(12, bytes.length, inMovi = false)

@@ -188,6 +188,21 @@ class FlashSpec extends SparkSpecBase {
     assert(wrapped.count() === plain.count()) // wrapping relabels, never drops
   }
 
+  test("sxp: ubidOffset shifts pulse ids after the modulo, matching the reference") {
+    // reference order: `% num_pulses` first (sxp/loader.py:309), then
+    // `- ubid_offset` (loader.py:324); shipped sxp configs use offset 0,
+    // so an offset k must shift every pulse id by exactly -k
+    val sxp = "/root/reference/tests/data/loader/sxp/RAW-R0016-DA03-S00000.h5"
+    assume(Files.exists(Paths.get(sxp)))
+    val base = FlashReader.readSxpH5(spark, Seq(sxp), numPulses = 10)
+      .groupBy("pulse_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shifted = FlashReader.readSxpH5(spark, Seq(sxp), ubidOffset = 3, numPulses = 10)
+      .groupBy("pulse_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shifted == base.map { case (p, n) => (p - 3) -> n })
+  }
+
   test("sector id splits from the packed TOF word and reassembles") {
     assume(have)
     val df = FlashReader.readFlashH5(spark, Seq(run43878))

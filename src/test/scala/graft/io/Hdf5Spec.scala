@@ -153,6 +153,29 @@ class Hdf5Spec extends SparkSpecBase {
     assert(f.readDoubles("/g/flat").toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
   }
 
+  test("relative soft-link targets resolve against the containing group") {
+    import Hdf5Writer._
+    val dir = Files.createTempDirectory("h5rellink").toString
+    val path = s"$dir/rel.h5"
+    // HDF5 soft links whose target does not start with '/' are resolved
+    // relative to the group HOLDING the link (externally produced files
+    // use this; our writer emits absolute targets)
+    val inner = Group("inner", Seq(
+      DoubleDataset("x", Seq(2L), Array(1.0, 2.0), attrs = Seq("units" -> "eV"))))
+    val g = Group("g", Seq(
+      inner,
+      SoftLink("relds", "inner/x"),       // relative, into a sibling subgroup
+      SoftLink("dotds", "./inner/x"),     // with a self-reference segment
+      SoftLink("relgrp", "inner")))       // relative link to a group
+    Hdf5Writer.write(Seq(g, SoftLink("abs", "/g/inner/x")), Nil, path, Latest)
+    val f = Hdf5File.fromPath(Paths.get(path))
+    assert(f.readDoubles("/g/relds").toSeq == Seq(1.0, 2.0))
+    assert(f.readDoubles("/g/dotds").toSeq == Seq(1.0, 2.0))
+    assert(f.readDoubles("/g/relgrp/x").toSeq == Seq(1.0, 2.0))
+    assert(f.attributes("/g/relgrp/x")("units") == "eV")
+    assert(f.readDoubles("/abs").toSeq == Seq(1.0, 2.0)) // absolute unchanged
+  }
+
   test("superblock v1 round-trips (4-byte K-field shift before the address block)") {
     import Hdf5Writer._
     val dir = Files.createTempDirectory("h5v1").toString

@@ -131,6 +131,35 @@ class NxmpesSpec extends SparkSpecBase {
     assert(err.getMessage.contains("lens_mode"))
   }
 
+  test("attributes on @link fields are reported unapplied, not silently dropped") {
+    // an HDF5 soft link cannot carry attributes of its own — a config
+    // '@units' sibling of an '@link:' entry must surface in the Report
+    val cfg = """{
+      "/ENTRY/instrument/source/value": 42.0,
+      "/ENTRY/instrument/source/value/@units": "mm",
+      "/ENTRY/sample/mirror": "@link:/entry/instrument/source",
+      "/ENTRY/sample/mirror/@units": "mm",
+      "/ENTRY/sample/mirror/@note": "alias"
+    }"""
+    val (nodes, _, _, report) = Nxmpes.map(cfg, Map.empty)
+    assert(report.unapplied.toSet ==
+      Set("ENTRY/sample/mirror/@units", "ENTRY/sample/mirror/@note"))
+    // the link itself still materializes; the dataset's own attr applied
+    val sample = nodes.collectFirst {
+      case g: Hdf5Writer.Group if g.name == "sample" => g }.get
+    assert(sample.children.exists {
+      case Hdf5Writer.SoftLink("mirror", "/entry/instrument/source") => true
+      case _ => false
+    })
+    val inst = nodes.collectFirst {
+      case g: Hdf5Writer.Group if g.name == "instrument" => g }.get
+    val src = inst.children.collectFirst {
+      case g: Hdf5Writer.Group if g.name == "source" => g }.get
+    assert(src.children.collectFirst {
+      case d: Hdf5Writer.DoubleDataset if d.name == "value" => d.attrs }.get
+      .contains(("units", "mm")))
+  }
+
   test("the reference's own NXmpes config parses in the same dialect") {
     // dialect-compatibility evidence: the pynxtools config shipped with
     // the reference loads and maps without error; its literal fields

@@ -187,6 +187,32 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("corrupt RIFF payloads terminate safely: hostile 32-bit sizes, truncated fmt") {
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // declared chunk size >= 2^31: as a signed Int this is negative and
+    // would walk the chunk pointer BACKWARDS (infinite executor loop)
+    val hostileWav = cc("RIFF") ++ le32(0xfffffff0L) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(0xfffffff0L) ++ new Array[Byte](32)
+    assert(Multimodal.decodeWav(hostileWav).isEmpty)
+    // fmt declares 16 body bytes but only 4 are present: must not read past the array
+    val truncatedFmt = cc("RIFF") ++ le32(20) ++ cc("WAVE") ++
+      cc("fmt ") ++ le32(16) ++ new Array[Byte](4)
+    assert(Multimodal.decodeWav(truncatedFmt).isEmpty)
+    // same hostile size through the AVI walker (LIST and frame chunk)
+    val hostileAvi = cc("RIFF") ++ le32(0xfffffff0L) ++ cc("AVI ") ++
+      cc("LIST") ++ le32(0xfffffff0L) ++ cc("movi") ++
+      cc("00dc") ++ le32(0xfffffff0L) ++ new Array[Byte](8)
+    assert(Multimodal.decodeAviMjpegFrames(hostileAvi).isEmpty)
+    // audioMeta is documented total over arbitrary blobs — the corrupt
+    // payloads flow through the Spark pass as null-metadata rows
+    val df = Seq((1L, hostileWav), (2L, truncatedFmt), (3L, hostileAvi))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.audioMeta(df, "doc_id", "payload").collect()
+    assert(rows.length == 3 && rows.forall(_.isNullAt(2)))
+  }
+
   test("MJPEG-AVI video payloads explode into REAL decoded frames") {
     // build a 4-frame MJPEG AVI: JPEG-encode solid-colour frames with the
     // JDK, wrap them in a RIFF container (hdrl stub + movi list with
