@@ -29,6 +29,18 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** The corpus restricted to one minimum-id representative per distinct
+    * `key` value — the exact-dedup pre-pass every near-dup stage should
+    * run behind. Pass `md5(text)` for documents (the shuffle then carries
+    * a 16-byte key, not the payload) or the vector column itself for
+    * embeddings. One groupBy shuffle + one semi-join; partial agg
+    * collapses copies map-side, so the shuffle carries ~one row per
+    * distinct value, not per copy. */
+  def exactRepresentatives(docs: DataFrame, idCol: String, key: Column): DataFrame =
+    docs.join(
+      docs.groupBy(key).agg(min(col(idCol)).as(idCol)).select(idCol),
+      Seq(idCol), "left_semi")
+
   /** MinHash signatures: doc id + `numHashes` signature columns s0..s{k-1}
     * over word `shingleN`-gram shingles. Map-only. The shingle hashes are
     * materialized once in their own projection (CollapseProject keeps a
@@ -240,6 +252,34 @@ object Dedup {
     val comps = connectedComponents(verifiedPairs)
     val losers = comps.filter(col("id") =!= col("label")).select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** End-to-end near-dup removal, EXACT-FIRST: collapse identical content
+    * to its min-id representative (one md5-key shuffle) before LSH, then
+    * MinHash candidates → n-gram-Jaccard verify (>= `minJaccard`) →
+    * connected components → keep each cluster's min id. Returns the
+    * surviving representatives' rows.
+    *
+    * The ordering is the 100 TB-critical part: a duplicate-saturated
+    * corpus (c exact copies per document) fed straight to LSH produces
+    * ~c² candidate pairs per cluster that all verify at jaccard 1 — real
+    * work, quadratic in COPIES. Collapsing exact copies first makes the
+    * pair count quadratic only in NEAR-duplicate cluster width. The
+    * survivor set is unchanged: an exact copy and its representative
+    * carry identical text, so every near-dup cluster's min id IS a
+    * representative, and the copies the exact pass removes are exactly
+    * the cluster members with a smaller-id twin. (When copies-per-bucket
+    * exceeded `maxBucket`, the naive order silently DROPPED those
+    * buckets — exact-first also closes that recall hole.) */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 12, rowsPerBand: Int = 3, shingleN: Int = 3,
+                    minJaccard: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    val reps = exactRepresentatives(docs, idCol, md5(col(textCol).cast("binary")))
+    val cand = minhashCandidates(reps, idCol, textCol, numHashes, rowsPerBand,
+      shingleN, maxBucket)
+    val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
+      .filter(col("jaccard") >= minJaccard)
+    dedupCorpus(reps, idCol, verified)
   }
 
   /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent

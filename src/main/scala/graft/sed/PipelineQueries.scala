@@ -150,14 +150,22 @@ object PipelineQueries {
            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
           .replaceAll("\\s+", " ")}),
 
+    // Blocked all-pairs Jaccard verify, EXACT-FIRST (round 8): identical
+    // copies collapse to their min-id representative before the verify —
+    // a pair of exact copies has jaccard 1 by construction, so verifying
+    // it is pure waste that grows quadratically in copies on a
+    // duplicate-saturated corpus. The oracle replays the rep restriction.
     "q_ngram_jaccard" -> QueryDef(
-      (s, d) => Dedup.ngramJaccard(docs(s, d), "doc_id", "text", ShingleN,
+      (s, d) => Dedup.ngramJaccard(
+        Dedup.exactRepresentatives(docs(s, d), "doc_id", md5(col("text").cast("binary"))),
+        "doc_id", "text", ShingleN,
         (a, b) => a("a_id") < b("b_id") && a("a_id") % 50 === b("b_id") % 50),
       Some {
         val sh = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
         // the len >= n filter mirrors Dedup.shingleSets dropping docs
         // with no n-grams
-        s"""WITH s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents WHERE len($toksSqlFrag) >= $ShingleN))
+        s"""WITH rep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents JOIN rep USING (doc_id) WHERE len($toksSqlFrag) >= $ShingleN))
            SELECT a_id, b_id, inter, uni, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM (
              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
@@ -165,22 +173,22 @@ object PipelineQueries {
              FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50)"""
           .replaceAll("\\s+", " ")}),
 
-    // End-to-end near-dup removal: LSH candidates -> n-gram-Jaccard verify
-    // (>= 0.8) -> connected components -> keep each cluster's min id.
-    // Returns the surviving corpus ids. The oracle replays the whole
-    // pipeline: candidate generation + Jaccard reuse the q_dedup_minhash /
-    // q_ngram_jaccard fragments, and the iterated min-label propagation is
-    // a recursive reachability CTE (min over all reachable ids == the
-    // converged propagation label).
+    // End-to-end near-dup removal, EXACT-FIRST (round 8): md5 exact-dedup
+    // collapses identical copies to their min-id representative BEFORE
+    // LSH, so candidate pairs scale with NEAR-dup cluster width, not total
+    // copies² — on the 100x duplicate-saturated stress corpus (~50 exact
+    // copies per doc) this cuts the verify stage's pair count ~2500x while
+    // leaving the survivor set identical (see Dedup.dedupPipeline). Then:
+    // LSH candidates -> n-gram-Jaccard verify (>= 0.8) -> connected
+    // components -> keep each cluster's min id. Returns the surviving
+    // corpus ids. The oracle replays the whole composition: the rep CTE is
+    // the exact pass, candidate generation + Jaccard reuse the
+    // q_dedup_minhash / q_ngram_jaccard fragments restricted to reps, and
+    // the iterated min-label propagation is a recursive reachability CTE
+    // (min over all reachable ids == the converged propagation label).
     "q_dedup_pipeline" -> QueryDef(
-      (s, d) => {
-        val dd = docs(s, d)
-        val cand = Dedup.minhashCandidates(dd, "doc_id", "text",
-          NumHashes, RowsPerBand, ShingleN)
-        val verified = Dedup.jaccardForPairs(dd, "doc_id", "text", ShingleN, cand)
-          .filter(col("jaccard") >= 0.8)
-        Dedup.dedupCorpus(dd, "doc_id", verified).select("doc_id")
-      },
+      (s, d) => Dedup.dedupPipeline(docs(s, d), "doc_id", "text",
+        NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket).select("doc_id"),
       Some {
         import graft.functions.SedFunctions.d2s
         val numBands = NumHashes / RowsPerBand
@@ -189,7 +197,9 @@ object PipelineQueries {
           s"SELECT doc_id, $b AS band, $key AS key FROM sig"
         }.mkString(" UNION ALL ")
         val shHash = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
-        s"""WITH RECURSIVE sig AS ($minhashSigSql),
+        s"""WITH RECURSIVE rep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           sig0 AS ($minhashSigSql),
+           sig AS (SELECT sig0.* FROM sig0 JOIN rep USING (doc_id)),
            banded AS ($bandSelects),
            ok AS (SELECT band, key FROM banded GROUP BY band, key
                   HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
@@ -199,6 +209,7 @@ object PipelineQueries {
              JOIN ok ON ok.band = a.band AND ok.key = a.key),
            sh AS (SELECT doc_id, list_distinct($shHash) AS sh
              FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents
+                   JOIN rep USING (doc_id)
                    WHERE len($toksSqlFrag) >= $ShingleN)),
            verified AS (SELECT a_id, b_id FROM (
              SELECT c.a_id, c.b_id,
@@ -212,18 +223,23 @@ object PipelineQueries {
              SELECT src AS id, src AS label FROM edges
              UNION
              SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id)
-           SELECT doc_id FROM documents WHERE doc_id NOT IN (
+           SELECT doc_id FROM rep WHERE doc_id NOT IN (
              SELECT id FROM (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
              WHERE label <> id)""".replaceAll("\\s+", " ")
       }),
 
-    // Sign-plane LSH near-dups. The plane sign bits are dots with ±1
-    // literal hyperplanes (VectorFunctions.signPlane — the SAME driver-side
-    // sequence feeds both emitters), so the oracle replays bucketing,
-    // size guard, pair expansion, and the cosine threshold exactly.
+    // Sign-plane LSH near-dups, EXACT-FIRST (round 8): bit-identical
+    // vectors collapse to their min-id representative before bucketing
+    // (grouping on the vector column itself — no hash needed), so pair
+    // expansion scales with near-dup width, not copies². The plane sign
+    // bits are dots with ±1 literal hyperplanes (VectorFunctions.signPlane
+    // — the SAME driver-side sequence feeds both emitters), so the oracle
+    // replays the rep pass, bucketing, size guard, pair expansion, and
+    // the cosine threshold exactly.
     "q_dedup_embedding" -> QueryDef(
-      (s, d) => Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding",
-        EmbDim, NearDupCos, LshTables, LshBits, MaxBucket),
+      (s, d) => Dedup.embeddingNearDups(
+        Dedup.exactRepresentatives(emb(s, d), "vec_id", col("embedding")),
+        "vec_id", "embedding", EmbDim, NearDupCos, LshTables, LshBits, MaxBucket),
       Some {
         import graft.functions.SedFunctions.d2s
         def planeLit(t: Int, bit: Int): String =
@@ -240,7 +256,8 @@ object PipelineQueries {
           .map(t => s"SELECT vec_id, embedding, $t AS tbl, t$t AS key FROM k")
           .mkString(" UNION ALL ")
         val cos = VectorFunctions.cosineSql("a.embedding", "b.embedding")
-        s"""WITH k AS (SELECT vec_id, embedding, $keyCols FROM embeddings),
+        s"""WITH rep AS (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+           k AS (SELECT vec_id, embedding, $keyCols FROM embeddings JOIN rep USING (vec_id)),
            banded AS ($bandSelects),
            ok AS (SELECT tbl, key FROM banded GROUP BY tbl, key
                   HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)

@@ -293,6 +293,40 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(1L, 5L, 7L)) // cluster minima + untouched doc
   }
 
+  test("exactRepresentatives keeps one min-id row per distinct key") {
+    val df = Seq((5L, "a b c"), (2L, "a b c"), (3L, "x y"), (7L, "a b c"))
+      .toDF("doc_id", "text")
+    val reps = Dedup.exactRepresentatives(df, "doc_id", md5(col("text").cast("binary")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(reps == Set(2L, 3L))
+  }
+
+  test("dedupPipeline (exact-first) survivors equal the naive LSH-first composition") {
+    // a duplicate-saturated corpus: 3 content clusters, each with exact
+    // copies AND a near-dup variant; plus a short doc (< n tokens, no
+    // shingles) with an exact copy — exact-first must still collapse it
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different words appear here with no overlap at all whatsoever"
+    val c = "spark catalyst tungsten codegen shuffle partition broadcast join aggregate window"
+    val docs = Seq(
+      10L -> a, 11L -> a, 12L -> a, 13L -> (a + " extra"),
+      20L -> b, 21L -> b, 22L -> (b + " indeed"),
+      30L -> c, 31L -> c,
+      40L -> "tiny", 41L -> "tiny").toDF("doc_id", "text")
+    val exactFirst = Dedup.dedupPipeline(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // naive order: LSH over the raw corpus, verify, CC, min-id survivors
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val verified = Dedup.jaccardForPairs(docs, "doc_id", "text", 3, cand)
+      .filter(col("jaccard") >= 0.8)
+    val naive = Dedup.dedupCorpus(docs, "doc_id", verified)
+      .select("doc_id").as[Long].collect().toSet
+    // the naive order cannot see the shingle-less exact pair (40, 41);
+    // exact-first collapses it — survivors otherwise identical
+    assert(exactFirst == naive - 41L)
+    assert(exactFirst == Set(10L, 20L, 30L, 40L))
+  }
+
   test("kmeans converges to cluster directions and feeds ivfTopK") {
     // two obvious direction clusters in 4-d
     val data = (0 until 40).map { i =>
