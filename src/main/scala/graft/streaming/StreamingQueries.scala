@@ -5,20 +5,28 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.sed.{QueryDef, SedQueries, Tables}
 
 /** Driver-contract entries for the streaming operators: each runs the
-  * REAL Structured-Streaming plan (MemoryStream source fed in event-time
-  * -ordered chunks → stateful operator → memory sink, run to completion)
-  * and returns the sink contents as the result DataFrame. Deterministic
-  * (fixed chunking, fixed data), so the driver's rows-only gate is stable;
-  * batch equivalence is asserted in SedStreamingSpec.
+  * REAL Structured-Streaming plan against a FILE-SOURCE feed — the input
+  * table is staged as event-time-ordered parquet chunks by one Spark
+  * write job (stageFileStream) and replayed one file per micro-batch, so
+  * NOTHING rides through the driver on the input side. Append-mode
+  * entries (the stream-stream join, dedup-at-ingest) write a parquet
+  * sink and return the read-back — output never accumulates on the
+  * driver either, which is what lets q_stream_enrich's 240M-row 100x
+  * run complete inside the entry itself (the round-7 memory-sink shape
+  * exhausted a 96 GB heap there). Complete-mode aggregations (windowed
+  * histogram, sessionize) keep the memory sink: their result IS the
+  * bounded aggregate state (windows x bins; one row per session).
   *
-  * The driver feed collects the sf table to the driver only because
-  * MemoryStream is driver-fed — a production deployment reads Kafka/files
-  * with the identical operator chain (the plans in SedStreaming are
-  * source-agnostic).
+  * Deterministic (fixed chunking, fixed data), so the driver's rows-only
+  * gate is stable. The MemoryStream twins of all four chains live in
+  * [[memoryTwins]] — FileStreamSpec asserts row equality between each
+  * contract entry and its driver-fed twin, proving the feed mechanism is
+  * an implementation detail of the harness, not of the operators.
   */
 object StreamingQueries {
 
@@ -28,13 +36,12 @@ object StreamingQueries {
     * partitioning at first start from `spark.sql.shuffle.partitions`, and
     * every micro-batch commits one state-store delta PER PARTITION PER
     * STORE — at the session default of 32 that fixed commit overhead
-    * dominates the driver-fed MemoryStream runs ~3-to-1 (measured 6.1 s
-    * vs 2.5 s per single-batch run at 8 partitions for the stream-stream
-    * join; flat below 8). 8 keeps the harness honest (state is still
-    * partitioned and shuffled) without paying 32 ways for a small feed;
-    * production jobs reusing [[SedStreaming]] inherit their own
-    * session's setting. Applied on a CLONED session so the caller's conf
-    * is never mutated. */
+    * dominates the small-feed runs ~3-to-1 (measured 6.1 s vs 2.5 s per
+    * single-batch run at 8 partitions for the stream-stream join; flat
+    * below 8). 8 keeps the harness honest (state is still partitioned and
+    * shuffled) without paying 32 ways for a small feed; production jobs
+    * reusing [[SedStreaming]] inherit their own session's setting.
+    * Applied on a CLONED session so the caller's conf is never mutated. */
   private val StatePartitions = 8
 
   private def streamSession(s: SparkSession,
@@ -42,13 +49,13 @@ object StreamingQueries {
     val s2 = s.newSession()
     SedQueries.ensureConfs(s2)
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    // processAllAvailable() after each chunk would otherwise schedule a
-    // no-data micro-batch purely to advance the watermark — re-committing
-    // EVERY state store delta (8 per partition for a stream-stream join)
-    // with zero new rows, nearly doubling batch count. Inner-join and
-    // complete-mode aggregation output is emitted on DATA batches, so
-    // dropping no-data batches changes cost, never results (the batch-
-    // equivalence specs pin this).
+    // processAllAvailable() would otherwise schedule no-data micro-batches
+    // purely to advance the watermark — re-committing EVERY state store
+    // delta (8 per partition for a stream-stream join) with zero new rows,
+    // nearly doubling batch count. Inner-join and complete-mode
+    // aggregation output is emitted on DATA batches, so dropping no-data
+    // batches changes cost, never results (the batch-equivalence specs
+    // pin this).
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2
   }
@@ -58,100 +65,125 @@ object StreamingQueries {
   private val Watermark = "30 minutes"
   private val ToleranceSec = 600
 
-  private def emptyStream[T <: Product : org.apache.spark.sql.Encoder](
-      s: SparkSession): MemoryStream[T] = {
-    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    MemoryStream[T]
-  }
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** Rows per feed chunk are capped so the stateful operators hold at
-    * most ~one chunk of in-flight state per side (watermark eviction
-    * trails one batch): an unbounded chunk would grow join state with the
-    * dataset and OOM the single-JVM harness — a real stream trickles, so
-    * the harness should too. At least 3 chunks regardless of size. */
-  private val MaxChunkRows = 500000
-
-  private def chunk3[T](rows: Seq[T]): Seq[Seq[T]] =
-    rows.grouped(math.max(1,
-      math.min(rows.length / 3 + 1, MaxChunkRows))).toSeq
-
-  /** Start the query, then feed each chunk and drain it as its OWN
-    * micro-batch (addData interleaved with processAllAvailable). Data
-    * added entirely before start would be served as ONE batch (the
-    * MemoryStream read limit is all-available), so state would never
-    * carry across triggers and the watermark would never advance —
-    * interleaving is what makes these entries exercise real incremental
-    * execution. Event-time-ordered chunks + a watermark delay far larger
-    * than the join tolerance / session gap keep the emitted row set
-    * identical to the batch plan (spec-asserted). */
-  private def runChunked(s: SparkSession, out: DataFrame, mode: String)
-                        (feedChunk: Int => Unit, nChunks: Int): DataFrame = {
+  /** Drain a file-source chain into a named memory sink (complete-mode
+    * aggregations — the sink holds the bounded aggregate result). */
+  private def runToMemory(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try (0 until nChunks).foreach { i => feedChunk(i); q.processAllAvailable() }
-    finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
+
+  /** Drain a file-source chain into a parquet sink and return the
+    * read-back — append-mode entries, where output volume scales with the
+    * data and must not accumulate on the driver. */
+  private def runToParquet(s: SparkSession, out: DataFrame): DataFrame = {
+    val outDir = tmp("graft_stream_sink")
+    val q = out.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", tmp("graft_stream_ck"))
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+  }
+
+  // ---- the four contract chains, shared by file and memory feeds ------
+
+  private val sessSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts_us", LongType)))
+
+  private def sessionizeChain(src: DataFrame): DataFrame =
+    SedStreaming.sessionize(
+      src.withColumn("ts", expr("timestamp_micros(ts_us)")),
+      "ts", "user_id", Watermark, SessionGap)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"))
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts_us", LongType),
+    StructField("v", DoubleType)))
+  private val snSchema = StructType(Seq(
+    StructField("sensor_id", LongType), StructField("sts_us", LongType),
+    StructField("reading", DoubleType)))
+
+  private def enrichChain(ev: DataFrame, sn: DataFrame): DataFrame =
+    SedStreaming.enrichWithSensor(
+      ev.withColumn("ets", expr("timestamp_micros(ts_us)"))
+        .select("event_id", "ets"),
+      sn.withColumn("sts", expr("timestamp_micros(sts_us)"))
+        .select("sensor_id", "sts", "reading"),
+      "ets", "sts", Watermark, ToleranceSec)
+      .select(col("event_id"), unix_micros(col("ets")).as("ets_us"),
+        col("sensor_id"), unix_micros(col("sts")).as("sts_us"), col("reading"))
+
+  private val histSchema = StructType(Seq(
+    StructField("ts_us", LongType), StructField("value", DoubleType)))
+
+  private def histChain(src: DataFrame): DataFrame =
+    SedStreaming.streamingHistogram(
+      src.withColumn("ts", expr("timestamp_micros(ts_us)")),
+      "ts", Watermark, "1 hour",
+      Seq(graft.operators.BinAxis("value", 50, 0.0, 500.0)))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("value_bin"), col("cnt"))
+
+  private val dedupSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def dedupChain(src: DataFrame): DataFrame =
+    SedStreaming.streamingDedup(
+      // +1 day: doc 0 must not land exactly ON the initial watermark
+      // (epoch 0), where it would be discarded as late before dedup
+      src.withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)")),
+      "ts", "text", Watermark)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+
+  // ---- contract entries: file-source feed, driver-residency-free ------
 
   /** Streaming sessionize over the events table (session_window state). */
   def streamSessionize(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
     val s = streamSession(s0)
-    import s.implicits._
-    val rows = Tables.events(s0, d)
-      .selectExpr("CAST(user_id AS BIGINT) AS u", "ts div 1000 AS ts_us")
-      .as[(Long, Long)].collect().sortBy(_._2).toSeq
-    val ms = emptyStream[(Long, Long)](s)
-    val src = ms.toDF().toDF("user_id", "ts_us")
-      .withColumn("ts", expr("timestamp_micros(ts_us)"))
-    val sess = SedStreaming.sessionize(src, "ts", "user_id", Watermark, SessionGap)
-    val cks = chunk3(rows)
-    runChunked(s, sess, "complete")(i => ms.addData(cks(i)), cks.size)
-      .select(col("user_id"),
-        unix_micros(col("session_start")).as("session_start_us"),
-        unix_micros(col("session_end")).as("session_end_us"),
-        col("n_events"))
+    val dir = tmp("graft_sess_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts div 1000 AS ts_us"),
+      "ts_us", dir)
+    runToMemory(s, sessionizeChain(SedStreaming.fileStream(s, dir, sessSchema)),
+      "complete")
   }
 
   /** Stream-stream enrichment: every 100th event doubles as a "sensor"
     * reading; each event joins the readings within the preceding
-    * `ToleranceSec` (bucketed equality key + exact range predicate). */
+    * `ToleranceSec` (bucketed equality key + exact range predicate).
+    * Both sides staged over the SAME time ranges (both are staged sorted
+    * by ts into the same chunk count), so each micro-batch advances the
+    * two watermarks together. */
   def streamEnrich(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
     // A symmetric-hash stream-stream join commits FOUR state stores per
     // side per partition per batch (keyToNumValues + keyWithIndexToValue
-    // × left/right) — 8× the per-partition store budget of the single-
+    // x left/right) — 8x the per-partition store budget of the single-
     // store aggregations. Halving the partitions equalizes the per-batch
     // delta-commit count with the other entries while the state stays
-    // partitioned and shuffled; production jobs inherit their session's
-    // own setting via SedStreaming.
+    // partitioned and shuffled.
     val s = streamSession(s0, StatePartitions / 2)
-    import s.implicits._
     val base = Tables.events(s0, d)
-      .selectExpr("CAST(event_id AS BIGINT) AS id", "ts div 1000 AS ts_us",
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts div 1000 AS ts_us",
         "CAST(value AS DOUBLE) AS v")
-      .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
-    val sensorRows = base.filter(_._1 % 100 == 0)
-    val evMs = emptyStream[(Long, Long, Double)](s)
-    val snMs = emptyStream[(Long, Long, Double)](s)
-    val evStream = evMs.toDF().toDF("event_id", "ts_us", "v")
-      .withColumn("ets", expr("timestamp_micros(ts_us)"))
-      .select("event_id", "ets")
-    val snStream = snMs.toDF().toDF("sensor_id", "sts_us", "reading")
-      .withColumn("sts", expr("timestamp_micros(sts_us)"))
-      .select("sensor_id", "sts", "reading")
-    val joined = SedStreaming.enrichWithSensor(evStream, snStream,
-      "ets", "sts", Watermark, ToleranceSec)
-      .select(col("event_id"), unix_micros(col("ets")).as("ets_us"),
-        col("sensor_id"), unix_micros(col("sts")).as("sts_us"), col("reading"))
-    // both sides chunked over the SAME time ranges (both are sorted by
-    // ts), so each micro-batch advances the two watermarks together
-    val evCks = chunk3(base)
-    val snCks = chunk3(sensorRows)
-    runChunked(s, joined, "append")({ i =>
-      if (i < evCks.size) evMs.addData(evCks(i))
-      if (i < snCks.size) snMs.addData(snCks(i))
-    }, math.max(evCks.size, snCks.size))
+    val evDir = tmp("graft_enrich_ev")
+    val snDir = tmp("graft_enrich_sn")
+    SedStreaming.stageFileStream(base, "ts_us", evDir)
+    SedStreaming.stageFileStream(
+      base.filter(col("event_id") % 100 === 0).toDF("sensor_id", "sts_us", "reading"),
+      "sts_us", snDir)
+    runToParquet(s, enrichChain(
+      SedStreaming.fileStream(s, evDir, evSchema),
+      SedStreaming.fileStream(s, snDir, snSchema)))
   }
 
   /** Incremental windowed histogram — the flagship sed streaming shape:
@@ -160,19 +192,12 @@ object StreamingQueries {
   def streamHistogram(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
     val s = streamSession(s0)
-    import s.implicits._
-    val rows = Tables.events(s0, d)
-      .selectExpr("ts div 1000 AS ts_us", "CAST(value AS DOUBLE) AS v")
-      .as[(Long, Double)].collect().sortBy(_._1).toSeq
-    val ms = emptyStream[(Long, Double)](s)
-    val src = ms.toDF().toDF("ts_us", "value")
-      .withColumn("ts", expr("timestamp_micros(ts_us)"))
-    val hist = SedStreaming.streamingHistogram(src, "ts", Watermark,
-      "1 hour", Seq(graft.operators.BinAxis("value", 50, 0.0, 500.0)))
-    val cks = chunk3(rows)
-    runChunked(s, hist, "complete")(i => ms.addData(cks(i)), cks.size)
-      .select(unix_micros(col("window.start")).as("win_start_us"),
-        col("value_bin"), col("cnt"))
+    val dir = tmp("graft_hist_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("ts div 1000 AS ts_us", "CAST(value AS DOUBLE) AS value"),
+      "ts_us", dir)
+    runToMemory(s, histChain(SedStreaming.fileStream(s, dir, histSchema)),
+      "complete")
   }
 
   /** Streaming dedup-at-ingest over the near-duplicate-heavy documents
@@ -184,19 +209,104 @@ object StreamingQueries {
   def streamDedup(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
     val s = streamSession(s0)
-    import s.implicits._
-    val rows = Tables.documents(s0, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
-      .as[(Long, String)].collect().sortBy(_._1).toSeq
-    val ms = emptyStream[(Long, String)](s)
-    // +1 day: doc 0 must not land exactly ON the initial watermark
-    // (epoch 0), where it would be discarded as late before dedup
-    val src = ms.toDF().toDF("doc_id", "text")
-      .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
-    val dd = SedStreaming.streamingDedup(src, "ts", "text", Watermark)
-    val cks = chunk3(rows)
-    runChunked(s, dd, "append")(i => ms.addData(cks(i)), cks.size)
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val dir = tmp("graft_dedup_feed")
+    SedStreaming.stageFileStream(Tables.documents(s0, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"),
+      "doc_id", dir)
+    runToParquet(s, dedupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
+  }
+
+  // ---- MemoryStream twins (spec evidence: feed-independence) ----------
+
+  /** The same four chains fed from driver-side MemoryStream in event-time
+    * -ordered chunks — kept as the equality twins FileStreamSpec holds
+    * the contract entries against. Data added entirely before start would
+    * be served as ONE batch (the MemoryStream read limit is
+    * all-available), so addData is interleaved with processAllAvailable:
+    * state carries across triggers and the watermark advances, the same
+    * incremental execution the file source gets from maxFilesPerTrigger. */
+  private[streaming] object memoryTwins {
+
+    private val MaxChunkRows = 500000
+
+    private def chunk3[T](rows: Seq[T]): Seq[Seq[T]] =
+      rows.grouped(math.max(1,
+        math.min(rows.length / 3 + 1, MaxChunkRows))).toSeq
+
+    private def emptyStream[T <: Product : org.apache.spark.sql.Encoder](
+        s: SparkSession): MemoryStream[T] = {
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      MemoryStream[T]
+    }
+
+    private def runChunked(s: SparkSession, out: DataFrame, mode: String)
+                          (feedChunk: Int => Unit, nChunks: Int): DataFrame = {
+      val name = s"graft_stream_mem_${runCounter.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try (0 until nChunks).foreach { i => feedChunk(i); q.processAllAvailable() }
+      finally q.stop()
+      s.table(name)
+    }
+
+    def streamSessionize(s0: SparkSession, d: String): DataFrame = {
+      SedQueries.ensureConfs(s0)
+      val s = streamSession(s0)
+      import s.implicits._
+      val rows = Tables.events(s0, d)
+        .selectExpr("CAST(user_id AS BIGINT) AS u", "ts div 1000 AS ts_us")
+        .as[(Long, Long)].collect().sortBy(_._2).toSeq
+      val ms = emptyStream[(Long, Long)](s)
+      val cks = chunk3(rows)
+      runChunked(s, sessionizeChain(ms.toDF().toDF("user_id", "ts_us")),
+        "complete")(i => ms.addData(cks(i)), cks.size)
+    }
+
+    def streamEnrich(s0: SparkSession, d: String): DataFrame = {
+      SedQueries.ensureConfs(s0)
+      val s = streamSession(s0, StatePartitions / 2)
+      import s.implicits._
+      val base = Tables.events(s0, d)
+        .selectExpr("CAST(event_id AS BIGINT) AS id", "ts div 1000 AS ts_us",
+          "CAST(value AS DOUBLE) AS v")
+        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      val sensorRows = base.filter(_._1 % 100 == 0)
+      val evMs = emptyStream[(Long, Long, Double)](s)
+      val snMs = emptyStream[(Long, Long, Double)](s)
+      val evCks = chunk3(base)
+      val snCks = chunk3(sensorRows)
+      runChunked(s, enrichChain(
+        evMs.toDF().toDF("event_id", "ts_us", "v"),
+        snMs.toDF().toDF("sensor_id", "sts_us", "reading")), "append")({ i =>
+        if (i < evCks.size) evMs.addData(evCks(i))
+        if (i < snCks.size) snMs.addData(snCks(i))
+      }, math.max(evCks.size, snCks.size))
+    }
+
+    def streamHistogram(s0: SparkSession, d: String): DataFrame = {
+      SedQueries.ensureConfs(s0)
+      val s = streamSession(s0)
+      import s.implicits._
+      val rows = Tables.events(s0, d)
+        .selectExpr("ts div 1000 AS ts_us", "CAST(value AS DOUBLE) AS v")
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      val ms = emptyStream[(Long, Double)](s)
+      val cks = chunk3(rows)
+      runChunked(s, histChain(ms.toDF().toDF("ts_us", "value")),
+        "complete")(i => ms.addData(cks(i)), cks.size)
+    }
+
+    def streamDedup(s0: SparkSession, d: String): DataFrame = {
+      SedQueries.ensureConfs(s0)
+      val s = streamSession(s0)
+      import s.implicits._
+      val rows = Tables.documents(s0, d)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val ms = emptyStream[(Long, String)](s)
+      val cks = chunk3(rows)
+      runChunked(s, dedupChain(ms.toDF().toDF("doc_id", "text")),
+        "append")(i => ms.addData(cks(i)), cks.size)
+    }
   }
 
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
