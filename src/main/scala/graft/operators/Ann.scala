@@ -366,6 +366,185 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ: residual int8 compression of the persisted index. The codes
+  // index stores, per vector, a per-vector-scaled int8 quantization of
+  // the RESIDUAL against its bucket centroid (residuals are small, so
+  // 8 bits cover them tightly) — ~4x smaller on disk than the float32
+  // index, so the probe-pruned candidate scan reads a quarter of the
+  // bytes. Search is two phases: (1) approximate scores on reconstructed
+  // vectors over the codes scan keep a top-`rerank` pool per query;
+  // (2) the pool is re-ranked EXACTLY against the full-precision index,
+  // reading only the probed partitions with the candidate ids pushed
+  // down to the parquet row-group stats. With `rerank` >= the probed
+  // row count phase 2 degenerates to searchIvfIndex exactly
+  // (spec-asserted); recall at realistic rerank budgets is gated by the
+  // same >= 0.9 @ nprobe=4 bar as the uncompressed index.
+  // -------------------------------------------------------------------
+
+  /** Handle to a codes index: quantized residuals at `codesPath`,
+    * the full-precision index it compresses at `fullPath`. */
+  case class IvfPqIndex(codesPath: String, fullPath: String,
+                        centroids: Array[(Int, Array[Float])])
+
+  /** Quantize a built [[IvfIndex]] into residual-int8 codes, partitioned
+    * by the same bucket ids. One partition-preserving pass; scale =
+    * 127/max|residual| per vector (scale 0 marks an exactly-centroid
+    * vector, reconstructed as the centroid itself). Round half-up,
+    * matching QuantizeI8's convention. */
+  def buildIvfPqIndex(spark: org.apache.spark.sql.SparkSession, full: IvfIndex,
+                      codesPath: String): IvfPqIndex = {
+    val cB = spark.sparkContext.broadcast(full.centroids.toMap)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("code", BinaryType),
+      StructField("scale", FloatType),
+      StructField("bucket", IntegerType)))
+    val rows = spark.read.parquet(full.path)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .rdd.mapPartitions { it =>
+        val cs = cB.value
+        it.map { row =>
+          val v = row.getSeq[Float](1).toArray
+          val bucket = row.getInt(2)
+          val c = cs(bucket)
+          val d = v.length
+          val res = new Array[Float](d)
+          var mx = 0f
+          var i = 0
+          while (i < d) {
+            val r = v(i) - c(i); res(i) = r
+            val a = math.abs(r); if (a > mx) mx = a
+            i += 1
+          }
+          val scale = if (mx > 0f) 127f / mx else 0f
+          val code = new Array[Byte](d)
+          i = 0
+          while (i < d) {
+            code(i) = math.max(-127, math.min(127, math.round(res(i) * scale))).toByte
+            i += 1
+          }
+          Row(row.getLong(0), code, scale, bucket)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").partitionBy("bucket").parquet(codesPath)
+    IvfPqIndex(codesPath, full.path, full.centroids)
+  }
+
+  /** Two-phase probe-pruned search against a codes index: approximate
+    * top-`rerank` per query from the (4x smaller) codes scan, exact
+    * re-rank of that pool against the full-precision index. The
+    * candidate pool pulled to the driver between phases is bounded by
+    * queries x rerank ids — the same small-query-batch posture as
+    * [[collectQueries]], and guarded. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, pq: IvfPqIndex,
+                       queries: Array[(Long, Array[Float])], k: Int,
+                       nprobe: Int = 2, rerank0: Int = 0): DataFrame = {
+    val rerank = if (rerank0 > 0) rerank0 else 4 * k
+    require(queries.length.toLong * rerank <= 4000000L,
+      s"searchIvfPqIndex: candidate pool ${queries.length} x $rerank exceeds the " +
+        "driver guard — shrink the query batch or the rerank budget")
+    val cB = spark.sparkContext.broadcast(
+      pq.centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
+    def nearestCentroids(v: Array[Float], n: Int): Seq[Int] = {
+      val nv = math.sqrt(dot(v, v))
+      cB.value.map { case (cid, cv, cn) => (dot(cv, v) / (cn * nv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.take(n).map(_._2).toSeq
+    }
+    val probes: Map[Long, Set[Int]] =
+      queries.map { case (qid, qv) => qid -> nearestCentroids(qv, nprobe).toSet }.toMap
+    val qB = spark.sparkContext.broadcast(
+      queries.map { case (qid, v) => (qid, v, math.sqrt(dot(v, v)), probes(qid)) })
+    val probedBuckets = probes.values.flatten.toSet.toSeq.sorted
+    val centroidMap = spark.sparkContext.broadcast(pq.centroids.toMap)
+
+    // phase 1: approximate scores over the codes scan (partition-pruned)
+    val codeScan = spark.read.parquet(pq.codesPath)
+      .filter(col("bucket").isin(probedBuckets: _*))
+      .select(col("vec_id"), col("code"), col("scale"), col("bucket"))
+    val approx = codeScan.rdd.mapPartitions { it =>
+      val qs = qB.value
+      val cs = centroidMap.value
+      val heaps = Array.fill(qs.length)(
+        mutable.PriorityQueue.empty[(Double, Long)](betterOrd))
+      it.foreach { row =>
+        val id = row.getLong(0)
+        val code = row.getAs[Array[Byte]](1)
+        val scale = row.getFloat(2)
+        val bucket = row.getInt(3)
+        val c = cs(bucket)
+        val d = code.length
+        val vhat = new Array[Float](d)
+        var i = 0
+        while (i < d) {
+          vhat(i) = if (scale > 0f) c(i) + code(i) / scale else c(i)
+          i += 1
+        }
+        val nv = math.sqrt(dot(vhat, vhat))
+        var q = 0
+        while (q < qs.length) {
+          val (qid, qv, qn, probe) = qs(q)
+          if (id != qid && probe.contains(bucket)) {
+            val cos = dot(qv, vhat) / (qn * nv)
+            val h = heaps(q)
+            if (h.size < rerank) h.enqueue((cos, id))
+            else if (betterOrd.lt((cos, id), h.head)) { h.dequeue(); h.enqueue((cos, id)) }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case (cos, id) => Row(qs(q)._1, id, cos) }
+      }
+    }
+    val approxDf = spark.createDataFrame(approx, outSchema)
+    val wA = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val candRows = approxDf.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank).select("vec_id", "query_id").collect()
+    val candMap: Map[Long, Set[Long]] = candRows
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val candB = spark.sparkContext.broadcast(candMap)
+    val candIds = candMap.keys.toSeq.sorted
+
+    // phase 2: exact re-rank — probed partitions of the full index, the
+    // candidate ids pushed down to the scan's row-group stats
+    val fullScan = spark.read.parquet(pq.fullPath)
+      .filter(col("bucket").isin(probedBuckets: _*) &&
+        col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"), col("embedding"))
+    val exact = fullScan.rdd.mapPartitions { it =>
+      val qs = qB.value
+      val qIdx = qs.map(_._1).zipWithIndex.toMap
+      val cands = candB.value
+      val heaps = Array.fill(qs.length)(
+        mutable.PriorityQueue.empty[(Double, Long)](betterOrd))
+      it.foreach { row =>
+        val id = row.getLong(0)
+        cands.get(id).foreach { qids =>
+          val v = row.getSeq[Float](1).toArray
+          val nv = math.sqrt(dot(v, v))
+          qids.foreach { qid =>
+            val q = qIdx(qid)
+            val (_, qv, qn, _) = qs(q)
+            val cos = dot(qv, v) / (qn * nv)
+            val h = heaps(q)
+            if (h.size < k) h.enqueue((cos, id))
+            else if (betterOrd.lt((cos, id), h.head)) { h.dequeue(); h.enqueue((cos, id)) }
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case (cos, id) => Row(qs(q)._1, id, cos) }
+      }
+    }
+    val exactDf = spark.createDataFrame(exact, outSchema)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    exactDf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Distributed Lloyd k-means over the embedding column, for IVF
     * centroids: assignment is a map-only pass against broadcast centroids
     * (cosine, like the search itself); the update step averages per

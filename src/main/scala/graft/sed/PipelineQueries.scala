@@ -68,6 +68,15 @@ object PipelineQueries {
       Ann.buildIvfIndex(emb(s, d), "vec_id", "embedding", path, strideCentroids(s, d))
     })
 
+  /** Residual-int8 codes index over the persisted IVF index, built once
+    * per JVM (the offline compression job of the index build). */
+  private val pqIndexes = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfPqIndex]
+  private def pqIndexFor(s: SparkSession, d: String): Ann.IvfPqIndex =
+    pqIndexes.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      Ann.buildIvfPqIndex(s, ivfIndexFor(s, d), path)
+    })
+
   /** PCA model per sf dir, fitted once per JVM (the offline fit of the
     * fit-once/project-forever loop). */
   private val pcaModels = scala.collection.concurrent.TrieMap.empty[String, Pca.PcaModel]
@@ -346,6 +355,22 @@ object PipelineQueries {
                AND a.vec_id = e.vec_id AND p.q_id = q.vec_id AND p.cid = a.cid)
            WHERE rank <= $TopK""".replaceAll("\\s+", " ")
       }),
+
+    // IVF-PQ search over the residual-int8 codes index: approximate
+    // candidates from the 4x-smaller codes scan, exact re-rank of the
+    // top-4k pool against the full-precision index (probed partitions,
+    // candidate ids pushed to row-group stats). Rows-only BY DESIGN: the
+    // candidate pool hinges on float32 quantize/reconstruct arithmetic an
+    // engine computing in doubles cannot replay bit-for-bit; quality and
+    // exactness are spec-gated instead (DedupAnnSpec: recall >= 0.9 at
+    // nprobe=4, and == searchIvfIndex under a covering rerank budget).
+    "q_ann_ivf_pq" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val queries = Ann.collectQueries(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
+        Ann.searchIvfPqIndex(s, pqIndexFor(s, d), queries, TopK, IvfNprobe)
+      },
+      None),
 
     // ---------------- text analysis ----------------
     "q_lang_id" -> QueryDef(

@@ -258,6 +258,49 @@ class DedupAnnSpec extends SparkSpecBase {
       s"fitted centroids ($fittedR4) must beat the stride sample ($strideR4) at nprobe=4")
   }
 
+  test("IVF-PQ: codes index is ~4x smaller, recall >= 0.9 @ nprobe=4, exact under a covering rerank") {
+    def partBytes(dir: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(p => p.getFileName.toString.startsWith("part-"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally s.close()
+    }
+    val queries = embeddings.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val k = 10
+    val fitted = Ann.kmeans(embeddings, "vec_id", "embedding", 10, iters = 8)
+    val fullPath = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    val idx = Ann.buildIvfIndex(embeddings, "vec_id", "embedding", fullPath, fitted)
+    val pq = Ann.buildIvfPqIndex(spark,
+      idx, java.nio.file.Files.createTempDirectory("ivfpq_codes").toString)
+    // compression is the index's point: int8 residual codes vs float32.
+    // Per-row payload is 76 B (64 code + 4 scale + 8 id) vs 264 B — ~3.5x;
+    // at this fixture's ~50-row files parquet footers/dictionaries eat
+    // part of that, so the gate is 2.5x (the ratio only improves with
+    // file size as fixed metadata amortizes)
+    val (fullB, codeB) = (partBytes(fullPath), partBytes(pq.codesPath))
+    assert(codeB * 5 <= fullB * 2,
+      s"codes index $codeB B not >= 2.5x smaller than full index $fullB B")
+    // ANN quality gate at a realistic rerank budget (4k), same bar as the
+    // uncompressed index: >= 0.9 of the exact top-k at nprobe=4
+    val exact = Ann.bruteTopK(embeddings, "vec_id", "embedding", queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Ann.searchIvfPqIndex(spark, pq, queries, k, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = queries.map { case (qid, _) =>
+      got.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / k
+    }.sum / queries.length
+    assert(recall >= 0.9, s"IVF-PQ recall@$k at nprobe=4 is $recall, expected >= 0.9")
+    // with a rerank pool covering every probed row, phase 2 re-ranks the
+    // whole probe set exactly — results must EQUAL the uncompressed search
+    val covering = Ann.searchIvfPqIndex(spark, pq, queries, k,
+      nprobe = 2, rerank0 = 100000)
+    val ref = Ann.searchIvfIndex(spark, idx, queries, k, nprobe = 2)
+    assert(covering.collect().map(_.toSeq).toSet == ref.collect().map(_.toSeq).toSet)
+  }
+
   test("ngramJaccard drops documents shorter than n tokens instead of crashing") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "too short"), (4L, ""))
       .toDF("doc_id", "text")
