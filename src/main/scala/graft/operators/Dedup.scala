@@ -351,6 +351,31 @@ object Dedup {
         (max(col(posCol)) + lit(n)).cast("long").as("span_end"))
   }
 
+  /** Per-document REMOVAL decisions for exact substring dedup across the
+    * corpus — the Gopher/RefinedWeb-style trim operation: an n-gram
+    * occurrence is removable when the same n-gram also occurs in a
+    * LOWER-id document (the corpus-order-first occurrence is the keeper),
+    * and per doc the removable [pos, pos+n) intervals merge into maximal
+    * trim spans via [[duplicatedSpans]]. Intra-document repetition with
+    * no earlier-doc twin is NOT trimmed (that is q_repetition's
+    * dimension). Shuffle shape: one groupBy(h) for the min-doc map, one
+    * join back on h (no broadcast hint — the dup map scales with the
+    * corpus, Catalyst picks broadcast only while it is small), and the
+    * one per-doc sort duplicatedSpans shares across its window passes. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.ShingleHashes(col("__toks"), n))
+          .as(Seq("pos", "h")))
+    val minDoc = sh.groupBy("h").agg(min(col(idCol)).as("__min_doc"))
+    val hits = sh.join(minDoc, Seq("h"))
+      .filter(col(idCol) > col("__min_doc"))
+      .select(col(idCol), col("pos"))
+    duplicatedSpans(hits, n, idCol, "pos")
+  }
+
   /** Two-phase benchmark decontamination for eval n-gram sets too large
     * to broadcast exactly: a Bloom filter over the eval shingle hashes
     * (~10 bits/item at 1% fpp — 10-60× smaller than the exact 64-bit

@@ -691,6 +691,44 @@ object PipelineQueries {
            FROM ids GROUP BY doc_id, span_id""".replaceAll("\\s+", " ")
       }),
 
+    // Span-granularity REMOVAL decisions (round 8) — q_repeated_spans
+    // locates corpus-duplicated text; this entry decides what to TRIM:
+    // an n-gram occurrence is removable iff the same n-gram occurs in a
+    // LOWER-id doc (corpus-order-first occurrence is the keeper), the
+    // actual Gopher/RefinedWeb-style exact substring dedup operation.
+    // Same shuffle shape as q_repeated_spans (min-doc map instead of
+    // distinct-count), same shared per-doc sort for the interval merge.
+    "q_span_dedup" -> QueryDef(
+      (s, d) => Dedup.spanDedup(docs(s, d), "doc_id", "text", ShingleN)
+        .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end")),
+      Some {
+        val shFrag = shinglesSqlFrag("l", ShingleN)
+        s"""WITH sg AS (
+             SELECT doc_id, $shFrag AS sgl
+             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents)
+             WHERE len(l) >= $ShingleN),
+           pairs AS (SELECT doc_id,
+             unnest(generate_series(1, len(sgl))) - 1 AS pos,
+             unnest(sgl) AS sg FROM sg),
+           sh AS (SELECT doc_id, pos, ${hash32Frag("sg")} AS h FROM pairs),
+           mind AS (SELECT h, MIN(doc_id) AS min_doc FROM sh GROUP BY h),
+           hits AS (SELECT doc_id, pos FROM sh JOIN mind USING (h)
+             WHERE doc_id > min_doc),
+           marked AS (SELECT doc_id, pos,
+             MAX(pos + $ShingleN) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM hits),
+           flagged AS (SELECT doc_id, pos,
+             CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS is_new
+             FROM marked),
+           ids AS (SELECT doc_id, pos,
+             CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+             FROM flagged)
+           SELECT doc_id, span_id, MIN(pos) AS span_start,
+             MAX(pos) + $ShingleN AS span_end
+           FROM ids GROUP BY doc_id, span_id""".replaceAll("\\s+", " ")
+      }),
+
     // Per-class embedding centroids — the class-prototype primitive
     // (clustering seeds, nearest-class-mean classification, drift
     // monitoring). Scale shape: posexplode to (label, dim) and partial-agg

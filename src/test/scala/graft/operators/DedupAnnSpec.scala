@@ -394,6 +394,19 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(out.nonEmpty && out.forall(_ >= 0.3))
   }
 
+  test("spanDedup trims spans shared with a lower-id doc; keeper and self-repeats untouched") {
+    val df = Seq(
+      1L -> "a b c d e f",          // keeper: every shared n-gram is first here
+      2L -> "x y a b c d q r",      // shares "a b c", "b c d" -> one trim span
+      3L -> "u v u v u v u v",      // intra-doc repetition only: nothing to trim
+      4L -> "a b c d e f").toDF("doc_id", "text") // exact copy: trim everything
+    val got = Dedup.spanDedup(df, "doc_id", "text", 3)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 2: hits at pos 2,3 -> merged span [2, 6); doc 4: hits 0..3 -> [0, 6)
+    assert(got == Set((2L, 2L, 6L), (4L, 0L, 6L)))
+  }
+
   test("duplicatedSpans merges overlapping and touching n-gram intervals per doc") {
     val hits = Seq((1L, 0), (1L, 1), (1L, 5), (1L, 9), // overlap, gap, gap
       (2L, 5), (2L, 8), // touching intervals [5,8)+[8,11) chain
