@@ -155,10 +155,19 @@ final class Hdf5File(bytes: Array[Byte]) {
                 var e = s + 8
                 for (_ <- 0 until nsyms) {
                   val nameOff = u64(e); val hdr = u64(e + 8)
-                  var np = (heapData + nameOff).toInt
-                  val sb = new StringBuilder
-                  while (bytes(np) != 0) { sb.append(bytes(np).toChar); np += 1 }
-                  out += ((sb.toString, hdr))
+                  def heapStr(off: Long): String = {
+                    var np = (heapData + off).toInt
+                    val sb = new StringBuilder
+                    while (bytes(np) != 0) { sb.append(bytes(np).toChar); np += 1 }
+                    sb.toString
+                  }
+                  val name = heapStr(nameOff)
+                  // cache type 2 = symbolic link: scratch bytes 0-3 hold
+                  // the local-heap offset of the link value string
+                  if (u32(e + 16) == 2) {
+                    softTargets += ((headerAddr, name)) -> heapStr(u32(e + 24))
+                    out += ((name, SoftEntry))
+                  } else out += ((name, hdr))
                   e += 40
                 }
               }

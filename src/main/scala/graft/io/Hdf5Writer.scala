@@ -2,6 +2,7 @@ package graft.io
 
 import java.nio.{ByteBuffer, ByteOrder}
 
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** Minimal HDF5 writer with two on-disk profiles:
@@ -45,11 +46,12 @@ object Hdf5Writer {
     * class-3 strings are equally conformant and self-contained). */
   case class StringDataset(name: String, value: String,
                            attrs: Seq[(String, Any)] = Nil) extends Node
-  /** Soft link to another object by absolute path (h5py SoftLink — what
-    * pynxtools emits for NeXus `@link` entries). Latest format only:
-    * classic symbol-table groups would need a link-value heap entry the
-    * minimal writer doesn't model. Links carry no attributes (they have
-    * no object header — attributes belong to the TARGET). */
+  /** Soft link to another object by path (h5py SoftLink — what pynxtools
+    * emits for NeXus `@link` entries). Latest format stores it as a link
+    * message; classic symbol-table groups as a cache-type-2 symbol entry
+    * whose scratch space points at the link value in the group's local
+    * heap. Links carry no attributes (they have no object header —
+    * attributes belong to the TARGET). */
   case class SoftLink(name: String, target: String) extends Node {
     override def attrs: Seq[(String, Any)] = Nil
   }
@@ -274,7 +276,7 @@ object Hdf5Writer {
   /** Write one group's heap/SNOD/B-tree over already-written children;
     * returns the group's object header address. Children are either
     * written objects (Left: header address) or soft links (Right:
-    * target path — Latest format only). */
+    * target path). */
   private def writeGroup(out: Buf, children: Seq[(String, Either[Long, String])],
                          attrs: Seq[(String, Any)], fmt: Format): Long = {
     if (fmt == Latest) {
@@ -288,17 +290,25 @@ object Hdf5Writer {
     }
     require(children.size <= 8,
       s"minimal writer supports <= 8 entries per group, got ${children.size}")
-    require(children.forall(_._2.isLeft),
-      "soft links need the Latest format (classic symbol-table groups not modeled)")
-    val sorted = children.collect { case (n, Left(hdr)) => (n, hdr) }.sortBy(_._1)
-    // local heap: leading 8 zero bytes (offset 0 = empty name), then names
+    val sorted = children.sortBy(_._1)
+    // local heap: leading 8 zero bytes (offset 0 = empty name), then names;
+    // a soft link's target path is stored in the SAME heap (the classic
+    // format keeps link values as heap strings referenced from the symbol
+    // table entry's scratch space)
     val nameOffsets = ArrayBuffer.empty[Long]
+    val linkValOffsets = mutable.Map.empty[Int, Long]
     val heapData = {
       val hb = new Buf
       hb.u64(0)
-      sorted.foreach { case (n, _) =>
+      sorted.zipWithIndex.foreach { case ((n, child), i) =>
         nameOffsets += hb.pos.toLong
         hb.bytes((n + NulS).getBytes("US-ASCII")); hb.pad8()
+        child match {
+          case Right(target) =>
+            linkValOffsets(i) = hb.pos.toLong
+            hb.bytes((target + NulS).getBytes("US-ASCII")); hb.pad8()
+          case Left(_) => ()
+        }
       }
       hb.result
     }
@@ -317,9 +327,20 @@ object Hdf5Writer {
     val snodAddr = out.pos
     out.bytes("SNOD".getBytes("US-ASCII"))
     out.u8(1); out.u8(0); out.u16(sorted.size)
-    sorted.zipWithIndex.foreach { case ((_, hdr), i) =>
-      out.u64(nameOffsets(i)); out.u64(hdr); out.u32(0); out.u32(0)
-      out.bytes(new Array[Byte](16))
+    sorted.zipWithIndex.foreach { case ((_, child), i) =>
+      out.u64(nameOffsets(i))
+      child match {
+        case Left(hdr) => // cache type 0: plain object
+          out.u64(hdr); out.u32(0); out.u32(0)
+          out.bytes(new Array[Byte](16))
+        case Right(_) => // cache type 2: symbolic link — header address is
+          // undefined; scratch bytes 0-3 hold the heap offset of the
+          // link value string
+          out.u64(Undef); out.u32(2); out.u32(0)
+          val scratch = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+          scratch.putInt(linkValOffsets(i).toInt)
+          out.bytes(scratch.array())
+      }
     }
     // B-tree: single leaf pointing at the SNOD; an attrs-only group
     // (metadata leaves) gets a childless tree — the reader's walk sees

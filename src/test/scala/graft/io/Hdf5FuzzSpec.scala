@@ -84,17 +84,54 @@ class Hdf5FuzzSpec extends AnyFunSuite {
     }
   }
 
+  private def datasetPaths(prefix: String, nodes: Seq[Node]): Seq[String] =
+    nodes.flatMap {
+      case g: Group => datasetPaths(s"$prefix/${g.name}", g.children)
+      case d: DoubleDataset => Seq(s"$prefix/${d.name}")
+      case _ => Nil
+    }
+
   for (fmt <- Seq[Format](ClassicV0, ClassicV1, Latest)) {
     test(s"seeded random trees round-trip byte-faithfully ($fmt)") {
       val rnd = new scala.util.Random(20260813L + fmt.hashCode())
       for (trial <- 0 until 25) {
-        val tree = genTree(rnd, 0, fmt, 5)
+        val tree0 = genTree(rnd, 0, fmt, 5)
+        // soft links in EVERY profile (classic = cache-type-2 symbol
+        // entries with link-value heap strings; Latest = link messages):
+        // an absolute link at root to a random dataset, and a RELATIVE
+        // link (bare child name) inside the first group that has a
+        // float dataset child
+        val dsPaths = datasetPaths("", tree0)
+        val absTarget =
+          if (dsPaths.isEmpty) None
+          else Some(dsPaths(rnd.nextInt(dsPaths.length)))
+        val withAbs = absTarget match {
+          case Some(t) => tree0 :+ SoftLink("zlink", t)
+          case None => tree0
+        }
+        var relCheck: Option[(String, String)] = None
+        val tree = withAbs.map {
+          case g: Group if relCheck.isEmpty && g.children.size < 8 &&
+            g.children.exists(_.isInstanceOf[DoubleDataset]) =>
+            val ds = g.children.collectFirst { case d: DoubleDataset => d.name }.get
+            relCheck = Some((s"/${g.name}/rlink", s"/${g.name}/$ds"))
+            g.copy(children = g.children :+ SoftLink("rlink", ds))
+          case n => n
+        }
         val rootAttrs = Seq("trial" -> (trial.toLong: Any))
         val path = s"${Files.createTempDirectory("h5fuzz")}/t.h5"
         Hdf5Writer.write(tree, rootAttrs, path, fmt)
         val f = Hdf5File.fromPath(java.nio.file.Paths.get(path))
         assert(f.attributes("/").get("trial").contains(trial.toLong))
         tree.foreach(n => verify(f, s"/${n.name}", n))
+        absTarget.foreach { t =>
+          assert(f.readDoubles("/zlink").toSeq == f.readDoubles(t).toSeq,
+            s"absolute soft link /zlink -> $t ($fmt)")
+        }
+        relCheck.foreach { case (link, t) =>
+          assert(f.readDoubles(link).toSeq == f.readDoubles(t).toSeq,
+            s"relative soft link $link -> $t ($fmt)")
+        }
       }
     }
   }
