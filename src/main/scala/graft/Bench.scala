@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   * visible in the artifact itself rather than discovered a round later.
   */
 object Bench {
+  /** Peak resident set size of this JVM in GiB (VmHWM — the honest
+    * "did it fit" number the scale-probe benches report). */
+  def peakRssGb: Double = {
+    val src = scala.io.Source.fromFile("/proc/self/status")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("VmHWM") => l.trim.split("\\s+")(1).toDouble / (1024 * 1024)
+    }.getOrElse(-1.0)
+    finally src.close()
+  }
+
   /** JSON string escape (same contract as Verify's). */
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""

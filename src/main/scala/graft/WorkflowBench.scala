@@ -41,14 +41,20 @@ object WorkflowBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // benchmark_sed.py ranges; X/Y pre-scaled to 512-grid index units for
-    // the deformation-field lookup (2048 detector px / 512 grid cells)
+    // the deformation-field lookup (2048 detector px / 512 grid cells).
+    // SPARK_GRAFT_STORAGE=MEMORY_AND_DISK swaps eviction for disk spill at
+    // the 1e9-row scale probe, same valve as BinBench.
+    val level =
+      if (sys.env.get("SPARK_GRAFT_STORAGE").contains("MEMORY_AND_DISK"))
+        StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.MEMORY_ONLY
     val raw = spark.range(0L, n, 1L, cpus.toInt * 2).select(
       col("id").as("rid"),
       (rand(42) * 512.0).as("x"),
       (rand(43) * 512.0).as("y"),
       (rand(44) * 60000.0 + 60000.0).as("tof"),
       (rand(45) * 18000.0 + 2000.0).as("adc"))
-      .persist(StorageLevel.MEMORY_ONLY)
+      .persist(level)
     raw.count()
 
     // 512x512 inverse deformation field from a 3x3 landmark TPS solve —
@@ -84,6 +90,7 @@ object WorkflowBench {
     bench("workflow_4d")(Seq(
       BinAxis("kx", 100, -2.0, 2.0), BinAxis("ky", 100, -2.0, 2.0),
       BinAxis("energy", 100, -10.0, 10.0), BinAxis("delay", 100, -1000.0, 1000.0)))
+    println(f"[workflowbench] peak_rss_gb=${Bench.peakRssGb}%.1f")
     spark.stop()
   }
 }
