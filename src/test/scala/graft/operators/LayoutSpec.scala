@@ -58,6 +58,53 @@ class LayoutSpec extends SparkSpecBase {
     assert(got(1) == ref(Seq(6L, 1L, 0L), 10))
   }
 
+  test("parquet min/max stats prune more row groups under z than lex layout") {
+    // The real claim behind Layout: after a z-sorted write, footer
+    // min/max statistics are selective on BOTH dimensions, so a 2-D box
+    // predicate intersects fewer row groups than under a lexicographic
+    // (value, user_id) sort at the same file count. Counted from the
+    // actual parquet footers, same logic LayoutBench runs at 100x.
+    //
+    // Regime matters: lex prunes on the FIRST dimension only, so its
+    // cost floor is one full stripe of files per box (boxFraction *
+    // files). Z wins once files >> stripes-per-box — the many-files
+    // regime a 100 TB store lives in — so the spec uses 64 files with
+    // boxes 1/8 of each dim: lex must touch ~8 files/box, z a ~2-tile
+    // neighborhood.
+    val dir = java.nio.file.Files.createTempDirectory("zspec").toString
+    val df = spark.range(400000).select(
+      (col("id") * 7919L % 561).cast("double").as("value"),
+      (col("id") * 104729L % 1501).as("user_id"))
+    val bx = least(floor(col("value")).cast("long"), lit(1023L))
+    val by = least(floor(col("user_id") / 2).cast("long"), lit(1023L))
+    df.withColumn("zkey", Layout.zorderKey(Seq(bx, by), 10))
+      .repartitionByRange(64, col("zkey")).sortWithinPartitions("zkey")
+      .drop("zkey").write.mode("overwrite").parquet(s"$dir/z")
+    df.repartitionByRange(64, col("value"), col("user_id"))
+      .sortWithinPartitions("value", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/lex")
+
+    // 2-D boxes, each 1/8 of either dim (1/64 selectivity)
+    val boxes = for (i <- 0 until 4; j <- 0 until 2)
+      yield (i * 140.0 + 10, i * 140.0 + 80, j * 750L + 40, j * 750L + 227)
+    def survivors(path: String): Long = {
+      val stats = graft.LayoutBench.rowGroupStats(path)
+      boxes.map { case (v0, v1, u0, u1) =>
+        stats.map(_._2.count { case (vMin, vMax, uMin, uMax, _) =>
+          vMax >= v0 && vMin <= v1 && uMax >= u0 && uMin <= u1
+        }.toLong).sum
+      }.sum
+    }
+    val z = survivors(s"$dir/z")
+    val lex = survivors(s"$dir/lex")
+    // lex pays a full value-stripe per box (~8 files + boundary); z pays
+    // a 2-D tile neighborhood (~4-5 of 64). The gap widens with file
+    // count (LayoutBench at 256 files: 4 vs 13); at 64 files the
+    // guaranteed structural margin is ~2x — gate at 0.7 with the data
+    // deterministic (measured 37 vs 72).
+    assert(z < lex * 7 / 10, s"z row-group survivors $z not < 0.7*lex ($lex)")
+  }
+
   test("a z-sorted write clusters both dimensions into few files") {
     // write the same data z-sorted and x-sorted; a selective filter on y
     // must prune more row groups under the z layout. Proxy (local FS):
