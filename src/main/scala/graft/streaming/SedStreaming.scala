@@ -111,6 +111,94 @@ object SedStreaming {
       .toDF(keyCol, orderCol, valueCol)
   }
 
+  /** Streaming MinHash-LSH NEAR-duplicate candidate detection at ingest —
+    * the incremental twin of the batch `Dedup.minhashCandidates` stage.
+    * Each arriving document is signed and banded with the same codegen
+    * expressions as batch (ShingleHashes → MinHashSigs → bandKey), then
+    * each (band, key) bucket checks a keyed state table holding the
+    * EARLIEST (event time, id) seen for that key inside the watermark
+    * horizon. A document colliding with an earlier one emits
+    * (band, dup_id, keeper_id) in append mode as it arrives; a document
+    * that emits nothing is unique-so-far.
+    *
+    * Scale shape: state is ONE (ts, id) pair per live band key — bucket
+    * MEMBERSHIP is never stored, so an arriving doc emits at most
+    * numBands rows and there is no quadratic pair expansion (the batch
+    * stage's maxBucket guard has nothing to guard here). Per bucket the
+    * emitted pairs are the STAR (keeper, x) rather than batch's
+    * all-pairs — the same connected components, which is what dedup
+    * consumes. Like [[streamingDedup]], the watermark horizon IS the
+    * dedup scope (unbounded lookback would need unbounded state):
+    * state times out once the event-time watermark passes `watermark`
+    * beyond the key's last activity. A late-but-in-horizon arrival
+    * EARLIER than the current keeper becomes the new keeper and the old
+    * keeper is emitted as its dup — every doc except the bucket's final
+    * keeper appears as dup at most once per band.
+    */
+  def streamingLshCandidates(docs: DataFrame, idCol: String, tsCol: String,
+                             textCol: String, watermark: String,
+                             numHashes: Int = 12, rowsPerBand: Int = 3,
+                             shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val numBands = numHashes / rowsPerBand
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // same column algebra as Dedup.minhashSignatures (tokens materialized
+    // once — no CSE inside higher-order lambdas; sig array materialized
+    // once — bandKey references it rowsPerBand times per band)
+    val banded = docs.withWatermark(tsCol, watermark)
+      .filter(size(toks) >= shingleN)
+      .withColumn("__toks", toks)
+      .withColumn("__sh", org.apache.spark.sql.graft.ShingleHashes(col("__toks"), shingleN))
+      .withColumn("__sigs", org.apache.spark.sql.graft.MinHashSigs(col("__sh"), numHashes))
+      .select(col(tsCol).as("__ts"), col(idCol).cast("long").as("__id"),
+        explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            graft.functions.TextFunctions.bandKey((0 until rowsPerBand).map(r =>
+              element_at(col("__sigs"), b * rowsPerBand + r + 1))).as("key"))
+        }: _*)).as("__bk"))
+      .select(col("__ts"), col("__id"),
+        col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+
+    banded.as[(java.sql.Timestamp, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[(Long, Long), (Int, Long, Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+            var keeper = state.getOption // (keeper ts millis, keeper id)
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Long, Long, java.sql.Timestamp)]
+            var maxMs = 0L
+            sorted.foreach { case (ts, id, _, _) =>
+              val ms = ts.getTime
+              maxMs = math.max(maxMs, ms)
+              keeper match {
+                case None => keeper = Some((ms, id))
+                case Some((kMs, kId)) =>
+                  if (ms < kMs || (ms == kMs && id < kId)) {
+                    // late arrival precedes the keeper: it takes over,
+                    // the old keeper is now the bucket's dup
+                    out += ((band, kId, id, ts))
+                    keeper = Some((ms, id))
+                  } else if (id != kId) out += ((band, id, kId, ts))
+              }
+            }
+            keeper.foreach(state.update)
+            // evict once the watermark passes `watermark` beyond this
+            // bucket's newest event (timeout must exceed the current
+            // watermark or the call throws on already-late buckets)
+            state.setTimeoutTimestamp(
+              math.max(maxMs, state.getCurrentWatermarkMs() + 1), watermark)
+            out.iterator
+          }
+      }
+      .toDF("band", "dup_id", "keeper_id", "ts")
+  }
+
   /** Stage a batch table as an event-time-ordered FILE-SOURCE feed: rows
     * are range-partitioned on `tsCol` into `chunks` parquet files whose
     * modification times ascend in time order, so

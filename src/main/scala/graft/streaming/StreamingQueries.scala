@@ -143,6 +143,15 @@ object StreamingQueries {
       "ts", "text", Watermark)
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
 
+  private def neardupChain(src: DataFrame): DataFrame =
+    SedStreaming.streamingLshCandidates(
+      // same doc_id-derived event time as dedupChain (1 s spacing,
+      // +1 day so doc 0 isn't late against the initial watermark)
+      src.withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)")),
+      "doc_id", "ts", "text", Watermark)
+      .select(col("band"), col("dup_id"), col("keeper_id"),
+        unix_micros(col("ts")).as("ts_us"))
+
   // ---- contract entries: file-source feed, driver-residency-free ------
 
   /** Streaming sessionize over the events table (session_window state). */
@@ -214,6 +223,20 @@ object StreamingQueries {
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"),
       "doc_id", dir)
     runToParquet(s, dedupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
+  }
+
+  /** Streaming NEAR-dup candidate detection at ingest over the same
+    * documents feed: MinHash-LSH banding per arriving doc against
+    * watermark-evicted per-band-key keeper state
+    * (SedStreaming.streamingLshCandidates) — star pairs per bucket, the
+    * same connected components as the batch LSH stage. */
+  def streamNearDedup(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_neardup_feed")
+    SedStreaming.stageFileStream(Tables.documents(s0, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"), "doc_id", dir)
+    runToParquet(s, neardupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
   }
 
   // ---- MemoryStream twins (spec evidence: feed-independence) ----------
@@ -307,6 +330,19 @@ object StreamingQueries {
       runChunked(s, dedupChain(ms.toDF().toDF("doc_id", "text")),
         "append")(i => ms.addData(cks(i)), cks.size)
     }
+
+    def streamNearDedup(s0: SparkSession, d: String): DataFrame = {
+      SedQueries.ensureConfs(s0)
+      val s = streamSession(s0)
+      import s.implicits._
+      val rows = Tables.documents(s0, d)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      val ms = emptyStream[(Long, String)](s)
+      val cks = chunk3(rows)
+      runChunked(s, neardupChain(ms.toDF().toDF("doc_id", "text")),
+        "append")(i => ms.addData(cks(i)), cks.size)
+    }
   }
 
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
@@ -314,5 +350,6 @@ object StreamingQueries {
     "q_stream_sessionize" -> QueryDef((s, d) => streamSessionize(s, d), None),
     "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None),
     "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None),
-    "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None))
+    "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
+    "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None))
 }

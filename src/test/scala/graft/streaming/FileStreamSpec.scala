@@ -42,4 +42,9 @@ class FileStreamSpec extends SparkSpecBase {
     assertTwin(StreamingQueries.streamDedup(spark, Sf),
       StreamingQueries.memoryTwins.streamDedup(spark, Sf))
   }
+
+  test("file-source LSH near-dup entry (parquet sink read-back) equals the MemoryStream twin") {
+    assertTwin(StreamingQueries.streamNearDedup(spark, Sf),
+      StreamingQueries.memoryTwins.streamNearDedup(spark, Sf))
+  }
 }

@@ -168,6 +168,79 @@ class SedStreamingSpec extends SparkSpecBase {
     assert(got.toSet.subsetOf(docs.toSet))
   }
 
+  test("streamingLshCandidates emits the star pairs of every batch LSH bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    // ts ascends with doc_id, so the streaming keeper rule (earliest
+    // (ts, id)) coincides with the batch star rule (min id per bucket)
+    val texts =
+      (0 until 4).map(_ => "the quick brown fox jumps over the lazy dog again and again") ++
+      (0 until 3).map(_ => "colorless green ideas sleep furiously in the winter garden tonight") ++
+      Seq(
+        "completely unrelated first document about spark physics detectors",
+        "another standalone text mentioning large language model corpora",
+        "a third loner document on parquet min max statistics pruning")
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      (new Timestamp(86400000L + i * 1000L), i.toLong, t)
+    }
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = SedStreaming.streamingLshCandidates(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "doc_id", "ts", "text", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(4).foreach { ck => input.addData(ck); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("lsh_out")
+      .select("band", "dup_id", "keeper_id").as[(Int, Long, Long)].collect().toSet
+
+    // expected: per (band, key) batch bucket, (min id, other) star pairs
+    val batch = graft.operators.Dedup.withBandKeys(
+      graft.operators.Dedup.minhashSignatures(
+        docs.toDF("ts", "doc_id", "text"), "doc_id", "text", 12, 3), 12, 3)
+    val expected = (0 until 4).flatMap { b =>
+      batch.select(col(s"b$b").as("k"), col("doc_id").cast("long").as("id"))
+        .as[(Long, Long)].collect().groupBy(_._1).values
+        .filter(_.length >= 2)
+        .flatMap { g =>
+          val ids = g.map(_._2).sorted
+          ids.tail.map(id => (b, id, ids.head))
+        }
+    }.toSet
+    assert(expected.nonEmpty, "fixture must produce LSH collisions")
+    assert(got == expected)
+  }
+
+  test("streamingLshCandidates evicts keeper state past the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = SedStreaming.streamingLshCandidates(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "doc_id", "ts", "text", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("lsh_evict")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val x = "a repeated near duplicate payload that will collide in every band"
+    try {
+      input.addData((t(1), 1L, x),
+        (t(1), 2L, "unrelated filler text so the batch holds several documents"))
+      q.processAllAvailable()
+      input.addData((t(3), 3L, x)) // in horizon: dup of doc 1 in all 4 bands
+      q.processAllAvailable()
+      input.addData((t(60), 4L, "watermark advancing text one two three four five"))
+      q.processAllAvailable()
+      input.addData((t(62), 5L, "more advancing text to process the pending timeouts"))
+      q.processAllAvailable()
+      input.addData((t(64), 6L, x)) // keeper evicted: emits NOTHING
+      q.processAllAvailable()
+      val got = spark.table("lsh_evict")
+        .select("dup_id", "keeper_id").as[(Long, Long)].collect().toSeq
+      assert(got.nonEmpty && got.toSet == Set((3L, 1L)),
+        s"expected only (3,1) band hits, got $got")
+      assert(got.size == 4, s"identical text must collide in all 4 bands: $got")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
