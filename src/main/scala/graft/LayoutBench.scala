@@ -83,9 +83,7 @@ object LayoutBench {
     val by = least(floor(col("user_id") / 2).cast("long"), lit(1023L))
     val zDir = s"$out/z"
     val lexDir = s"$out/lex"
-    big.withColumn("zkey", Layout.zorderKey(Seq(bx, by), 10))
-      .repartitionByRange(nFiles, col("zkey")).sortWithinPartitions("zkey")
-      .drop("zkey")
+    Layout.zOrdered(big, Seq(bx, by), 10, nFiles)
       .write.mode("overwrite").parquet(zDir)
     big.repartitionByRange(nFiles, col("value"), col("user_id"))
       .sortWithinPartitions("value", "user_id")

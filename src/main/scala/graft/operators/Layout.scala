@@ -49,6 +49,23 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** The layout step itself: cluster `df` on the interleaved key of the
+    * given (already-binned, non-negative) columns — range-partition into
+    * `files` output partitions and sort within each, so a subsequent
+    * write produces files whose min/max stats are selective on every
+    * interleaved dimension. Returns the clustered frame (key dropped);
+    * compose with any sink: `Layout.zOrdered(df, Seq(bx, by), 10, 256)
+    * .write.parquet(...)`. One shuffle (the range exchange) — the sort
+    * is partition-local. */
+  def zOrdered(df: org.apache.spark.sql.DataFrame, binCols: Seq[Column],
+               bits: Int, files: Int): org.apache.spark.sql.DataFrame = {
+    require(files >= 1, "files must be positive")
+    df.withColumn("__zkey", zorderKey(binCols, bits))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+
   /** DuckDB twin of [[zorderKey]] — emitted from the same loop so the
     * oracle replays the identical bit placement. */
   def zorderKeySql(cols: Seq[String], bits: Int): String = {

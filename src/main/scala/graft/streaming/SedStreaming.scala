@@ -207,9 +207,23 @@ object SedStreaming {
     * MemoryStream harness (a production job points the same operator
     * chains at its landing directory instead). One Spark write job; the
     * mtime fix-up is a metadata-only FS pass. */
+  /** Default rows per staged chunk when `chunks` is left adaptive. A
+    * micro-batch's stream-stream join state holds everything inside the
+    * watermark horizon of the rows it ingests, and the watermark only
+    * advances BETWEEN batches — coarser chunks mean coarser watermark
+    * steps and proportionally more resident state (measured at 100×:
+    * the 3-chunk enrich feed peaks ~8× the state of the 8-chunk twin).
+    * ~1.5M rows/chunk keeps state small without drowning small feeds in
+    * per-batch state-store commits. */
+  private val RowsPerChunk = 1500000L
+
   def stageFileStream(df: DataFrame, tsCol: String, dir: String,
-                      chunks: Int = 3): Unit = {
-    df.repartitionByRange(chunks, col(tsCol))
+                      chunks: Int = 0): Unit = {
+    val n =
+      if (chunks > 0) chunks
+      else math.min(16L, math.max(3L,
+        (df.count() + RowsPerChunk - 1) / RowsPerChunk)).toInt
+    df.repartitionByRange(n, col(tsCol))
       .write.mode("overwrite").parquet(dir)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)

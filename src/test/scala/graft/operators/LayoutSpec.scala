@@ -77,9 +77,8 @@ class LayoutSpec extends SparkSpecBase {
       (col("id") * 104729L % 1501).as("user_id"))
     val bx = least(floor(col("value")).cast("long"), lit(1023L))
     val by = least(floor(col("user_id") / 2).cast("long"), lit(1023L))
-    df.withColumn("zkey", Layout.zorderKey(Seq(bx, by), 10))
-      .repartitionByRange(64, col("zkey")).sortWithinPartitions("zkey")
-      .drop("zkey").write.mode("overwrite").parquet(s"$dir/z")
+    Layout.zOrdered(df, Seq(bx, by), 10, 64)
+      .write.mode("overwrite").parquet(s"$dir/z")
     df.repartitionByRange(64, col("value"), col("user_id"))
       .sortWithinPartitions("value", "user_id")
       .write.mode("overwrite").parquet(s"$dir/lex")
