@@ -44,13 +44,28 @@ object BinBench {
       if (sys.env.get("SPARK_GRAFT_STORAGE").contains("MEMORY_AND_DISK"))
         StorageLevel.MEMORY_AND_DISK
       else StorageLevel.MEMORY_ONLY
-    val df = spark.range(0L, n, 1L, cpus.toInt * 2).select(
+    val gen = spark.range(0L, n, 1L, cpus.toInt * 2).select(
       (rand(42) * 2048.0).as("X"),
       (rand(43) * 2048.0).as("Y"),
       (rand(44) * 60000.0 + 60000.0).as("t"),
       (rand(45) * 18000.0 + 2000.0).as("ADC"))
-      .persist(level)
-    df.count() // materialize the cache before timing
+    // SPARK_GRAFT_SOURCE=parquet: bin over a STORAGE SCAN instead of the
+    // block cache — the 100 TB shape, where the event store never fits
+    // in memory and every pass re-reads parquet (column pruning means
+    // the 1-d histogram reads one column of four). Data is materialized
+    // once (deterministic seeds) and reused across runs.
+    val df = sys.env.get("SPARK_GRAFT_SOURCE") match {
+      case Some("parquet") =>
+        val dir = sys.env.getOrElse("SPARK_GRAFT_PARQUET_DIR",
+          s"/tmp/binbench_parquet_$n")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          gen.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case _ =>
+        val cached = gen.persist(level)
+        cached.count() // materialize the cache before timing
+        cached
+    }
 
     def bench(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       val times = (0 until runs).map { _ =>
