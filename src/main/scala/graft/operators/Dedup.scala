@@ -328,6 +328,70 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): collapse exact-duplicate vectors to their min-id
+    * representative, assign each representative to its nearest centroid
+    * (the same broadcast-map bucketing as the IVF index / cluster
+    * profiling), then inside each cluster drop every representative that
+    * has a LOWER-id neighbor whose cosine clears `threshold` — the public
+    * SemDeDup implementation's upper-triangle rule (pairwise similarities
+    * per cluster; a row is removed when any earlier row in its cluster is
+    * ε-close). Near-dups straddling a cluster boundary are NOT compared:
+    * that is the approximation that makes the op linear in cluster width
+    * instead of corpus², and the exact-first collapse keeps width a
+    * function of near-dup structure, not copy counts.
+    *
+    * Output: one decision row per input id — (id, cid, keep). A
+    * non-representative exact copy inherits its representative's cluster
+    * and is always dropped; a representative keeps iff no lower-id
+    * in-cluster neighbor clears the threshold.
+    *
+    * Scale shape: one groupBy(vector) shuffle + broadcast-map assignment,
+    * ONE groupBy(cid) shuffle whose pair expansion is cluster-local
+    * (posexplode + slice — O(width) per emitted row, never a width²
+    * value), then an id-keyed shuffle fanning decisions back over copies.
+    * Clusters wider than `maxCluster` fail loudly in-plan (assert_true):
+    * a cluster that wide means the centroid set underfits the corpus —
+    * fit more centroids (Ann.kmeans) rather than silently skip decisions.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Int, Array[Float])], threshold: Double,
+                    maxCluster: Int = 10000): DataFrame = {
+    val repIds = emb.groupBy(col(vecCol)).agg(min(col(idCol)).as("__rep"))
+    val withRep = emb.select(col(idCol), col(vecCol)).join(repIds, Seq(vecCol))
+    val reps = withRep.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(vecCol))
+    val assigned = Ann.assignBuckets(reps, idCol, vecCol, centroids)
+    val es = col("es")
+    val dups = assigned
+      .select(struct(col("vec_id").as("id"), col("embedding").as("vec")).as("e"),
+        col("bucket"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("e"))).as("es")) // struct sort: id asc
+      .filter(assert_true(size(es) <= maxCluster,
+        lit(s"semanticDedup: cluster exceeds $maxCluster members — the " +
+          "centroid set underfits this corpus; fit more centroids " +
+          "(Ann.kmeans) instead")).isNull)
+      .filter(size(es) >= 2)
+      .select(es, posexplode(es).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(es, col("i") + lit(2), size(es) - col("i") - lit(1))).as("b"))
+      .select(col("b.id").as("__rep"),
+        // barrier: keep the cosine evaluated ONCE per candidate (the
+        // threshold filter would otherwise push below and duplicate it)
+        org.apache.spark.sql.graft.NoPushBarrier(
+          VectorFunctions.cosine(col("a.vec"), col("b.vec"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("__rep")).distinct()
+      .withColumn("__dup", lit(true))
+    withRep
+      .join(assigned.select(col("vec_id").as("__rep"), col("bucket").as("cid")),
+        Seq("__rep"))
+      .join(dups, Seq("__rep"), "left")
+      .select(col(idCol), col("cid"),
+        (col(idCol) === col("__rep") && col("__dup").isNull).as("keep"))
+  }
+
   /** Merge per-document token intervals [pos, pos+n) of corpus-duplicated
     * n-grams into maximal spans — the span-level output of exact substring
     * dedup (the "remove duplicated text, not whole documents" cleanup):

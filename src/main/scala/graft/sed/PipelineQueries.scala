@@ -278,6 +278,42 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
+    // SemDeDup semantic dedup (Abbas et al. 2023): exact-first collapse →
+    // nearest-centroid clustering (the SAME stride centroids + tie-break
+    // as the IVF index and q_cluster_assign, so buckets line up across
+    // the three entries) → within-cluster upper-triangle cosine pruning.
+    // The oracle replays every stage: the rep window, the argmax
+    // assignment (ROW_NUMBER over cos DESC, cid — q_cluster_assign's
+    // proven replay), the cluster self-join restricted to a.rep < b.rep,
+    // and the keep rule.
+    "q_semantic_dedup" -> QueryDef(
+      (s, d) => Dedup.semanticDedup(emb(s, d), "vec_id", "embedding",
+        strideCentroids(s, d), NearDupCos),
+      Some {
+        import graft.functions.SedFunctions.d2s
+        val aCos = VectorFunctions.cosineSql("r.embedding", "c.embedding")
+        val pCos = VectorFunctions.cosineSql("ea.embedding", "eb.embedding")
+        s"""WITH m AS (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY embedding) AS rep
+             FROM embeddings),
+           reps AS (SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding)
+             USING (vec_id)),
+           cent AS (SELECT CAST(vec_id // $IvfStride AS INT) AS cid, embedding
+             FROM embeddings WHERE vec_id % $IvfStride = 0),
+           assign AS (SELECT vec_id AS rep, cid FROM (
+             SELECT r.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY $aCos DESC, c.cid) AS rn
+             FROM reps r, cent c) WHERE rn = 1),
+           dup AS (SELECT DISTINCT b.rep
+             FROM assign a JOIN assign b ON a.cid = b.cid AND a.rep < b.rep
+             JOIN reps ea ON ea.vec_id = a.rep
+             JOIN reps eb ON eb.vec_id = b.rep
+             WHERE $pCos >= ${d2s(NearDupCos)})
+           SELECT m.vec_id, a.cid, (m.vec_id = m.rep AND d.rep IS NULL) AS keep
+           FROM m JOIN assign a ON a.rep = m.rep
+           LEFT JOIN dup d ON d.rep = m.rep""".replaceAll("\\s+", " ")
+      }),
+
     // ---------------- similarity search ----------------
     // Symmetric int8 scalar quantization of the embedding column — the
     // storage-compression step of an embedding pipeline: per-vector scale

@@ -436,4 +436,52 @@ class DedupAnnSpec extends SparkSpecBase {
     val survivors = train.collect().count(r => bf.mightContainLong(r.getLong(1)))
     assert(survivors < 50, s"bloom pruned nothing: $survivors of ${train.count()}")
   }
+
+  // ---- semanticDedup (SemDeDup): fixture geometry ----
+  // centroids c0=(1,0,0,0), c1=(0,1,0,0); ids 1,2 near-identical in
+  // cluster 0 (cos≈0.999997), id 5 in cluster 0 but only cos≈0.894 to
+  // both, id 3 alone-ish in cluster 1, id 4 an exact copy of id 1, id 8
+  // an exact copy of id 2 (whose representative is itself dropped).
+  private def semCentroids = Array(
+    0 -> Array(1f, 0f, 0f, 0f), 1 -> Array(0f, 1f, 0f, 0f))
+  private def semCorpus = Seq(
+    (1L, Array(1f, 0.01f, 0f, 0f)),
+    (2L, Array(0.99f, 0.012f, 0f, 0f)),
+    (3L, Array(0.01f, 1f, 0f, 0f)),
+    (4L, Array(1f, 0.01f, 0f, 0f)),
+    (5L, Array(1f, 0f, 0.5f, 0f)),
+    (8L, Array(0.99f, 0.012f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  test("semanticDedup: upper-triangle in-cluster pruning, exact copies always dropped") {
+    val got = Dedup.semanticDedup(semCorpus, "vec_id", "embedding", semCentroids, 0.95)
+      .as[(Long, Int, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 8L)) // one decision per input id
+    assert(got(1L) == ((0, true)))  // cluster-0 min id survives
+    assert(got(2L) == ((0, false))) // near-dup of the earlier id 1
+    assert(got(3L) == ((1, true)))  // its cluster holds no earlier neighbor
+    assert(got(4L) == ((0, false))) // exact copy: inherits cid, dropped
+    assert(got(5L) == ((0, true)))  // same cluster, below threshold: kept
+    assert(got(8L) == ((0, false))) // copy of a DROPPED rep: still dropped
+  }
+
+  test("semanticDedup: cross-cluster near-dups are not compared (documented approximation)") {
+    // two near-identical vectors that straddle the c0/c1 decision boundary:
+    // (0.72, 0.69, ...) -> c0, (0.69, 0.72, ...) -> c1; cosine ≈ 0.9991
+    val df = Seq((1L, Array(0.72f, 0.69f, 0f, 0f)), (2L, Array(0.69f, 0.72f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding", semCentroids, 0.95)
+      .as[(Long, Int, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((0, true)) && got(2L) == ((1, true)))
+  }
+
+  test("semanticDedup fails loudly when a cluster exceeds maxCluster") {
+    val e = intercept[Throwable] {
+      Dedup.semanticDedup(semCorpus, "vec_id", "embedding", semCentroids, 0.95,
+        maxCluster = 2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("underfits"))), s"got: $e")
+  }
 }
