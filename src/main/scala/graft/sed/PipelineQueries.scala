@@ -39,6 +39,11 @@ object PipelineQueries {
   private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
   private val TfidfTopK = 10 // salient terms kept per doc (q_tfidf)
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
+  // q_domain_mix target mixture (micro-units, sums to 1e6); zh deliberately
+  // absent — out-of-mixture domains drop. With the sf tables' lang counts,
+  // de binds the waterfill (keeps all its rows at rate_u = 1e6).
+  private val MixMicroWeights =
+    Seq("en" -> 500000L, "de" -> 200000L, "es" -> 200000L, "fr" -> 100000L)
 
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
@@ -659,6 +664,31 @@ object PipelineQueries {
       Some(s"""SELECT doc_id, source FROM documents
            WHERE ${hash32Frag("(CAST(doc_id AS VARCHAR) || ':' || source)")} % 100 <
                  ${hash32Frag("source")} % 60 + 20""".replaceAll("\\s+", " "))),
+
+    // Domain-mixture waterfilling (Mixture.waterfill) — downsample so the
+    // language proportions hit the target mixture without upsampling any
+    // domain: C = min_l(n_l·1e6 DIV w_u_l) is the largest achievable
+    // corpus, each domain keeps C·w_u DIV n_l micro-units of its rows via
+    // the deterministic hash threshold. zh is deliberately absent from
+    // the mixture (the drop path); de is the binding domain (rate_u
+    // exactly 1e6). All-integer arithmetic, so the oracle replays every
+    // stage exactly.
+    "q_domain_mix" -> QueryDef(
+      (s, d) => graft.operators.Mixture.waterfill(
+        docs(s, d), "doc_id", "lang", MixMicroWeights),
+      Some {
+        val vals = MixMicroWeights.sortBy(_._1)
+          .map { case (l, w) => s"('$l', CAST($w AS BIGINT))" }.mkString(", ")
+        s"""WITH w(lang, w_u) AS (VALUES $vals),
+           inmix AS (SELECT doc_id, d.lang, w_u FROM documents d JOIN w USING (lang)),
+           counts AS (SELECT lang, w_u, COUNT(*) AS n FROM inmix GROUP BY lang, w_u),
+           cap AS (SELECT MIN(n * 1000000 // w_u) AS c FROM counts),
+           rates AS (SELECT lang, CAST(c * w_u // n AS BIGINT) AS rate_u
+             FROM counts CROSS JOIN cap)
+           SELECT doc_id, lang, rate_u FROM inmix JOIN rates USING (lang)
+           WHERE ${hash32Frag("(CAST(doc_id AS VARCHAR) || ':' || lang)")} % 1000000
+             < rate_u""".replaceAll("\\s+", " ")
+      }),
 
     // Vocabulary building: corpus-wide token frequencies, top 100.
     // explode -> groupBy(token) is the one genuinely token-per-row

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpecBase {
 
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
   private val oneRowBroadcastOk =
-    Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score")
+    Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score",
+      "q_domain_mix")
 
   private def crossJoinsAreOneRowAggregates(df: DataFrame): Boolean = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
