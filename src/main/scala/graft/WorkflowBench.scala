@@ -48,14 +48,27 @@ object WorkflowBench {
       if (sys.env.get("SPARK_GRAFT_STORAGE").contains("MEMORY_AND_DISK"))
         StorageLevel.MEMORY_AND_DISK
       else StorageLevel.MEMORY_ONLY
-    val raw = spark.range(0L, n, 1L, cpus.toInt * 2).select(
+    val gen = spark.range(0L, n, 1L, cpus.toInt * 2).select(
       col("id").as("rid"),
       (rand(42) * 512.0).as("x"),
       (rand(43) * 512.0).as("y"),
       (rand(44) * 60000.0 + 60000.0).as("tof"),
       (rand(45) * 18000.0 + 2000.0).as("adc"))
-      .persist(level)
-    raw.count()
+    // SPARK_GRAFT_SOURCE=parquet: run the chain over a STORAGE SCAN (the
+    // 100 TB posture — every pass re-reads parquet, the 1-d workflow only
+    // reads the columns its chain touches). Same valve as BinBench.
+    val raw = sys.env.get("SPARK_GRAFT_SOURCE") match {
+      case Some("parquet") =>
+        val dir = sys.env.getOrElse("SPARK_GRAFT_PARQUET_DIR",
+          s"/tmp/workflowbench_parquet_$n")
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          gen.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case _ =>
+        val cached = gen.persist(level)
+        cached.count()
+        cached
+    }
 
     // 512x512 inverse deformation field from a 3x3 landmark TPS solve —
     // the mpes-resolution grid shape
