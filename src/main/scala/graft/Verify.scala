@@ -21,7 +21,13 @@ object Verify {
       if (f.isDirectory) f.listFiles.foreach(rmTree)
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name filter for fast single-query
+    // iteration (tools/selfcheck.py checks only queries present in the
+    // out dir's oracle_sql.json, so a filtered dump stays consistent)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // remove any stale result first: a leftover parquet from a previous
       // run would make the compare pass for a query that now throws
       rmTree(new java.io.File(s"$outDir/$name"))
@@ -44,7 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -114,4 +114,66 @@ object TextFunctions {
        SELECT doc_id, ${tokensSql("text")} AS l FROM $table),
        UNNEST(generate_series(1, len(l))) AS g(i) GROUP BY doc_id"""
       .replaceAll("\\s+", " ")
+
+  // ---------------------------------------------------------------------
+  // PII scrubbing (emails / IPv4 / phone numbers)
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, written in the common subset of Java regex (Spark's
+    * `regexp_replace`) and RE2 (DuckDB) so the oracle substitutes
+    * byte-identically: no backreferences, no lookaround, `\b`/`\d` and
+    * bounded repetition only. Substitution order is emails → IPv4 →
+    * phones; each later pattern runs on the already-redacted text, so a
+    * dotted host inside an email can't double-match as an address. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Sequential PII redaction: emails, then IPv4 literals, then
+    * international-format phone numbers, each replaced by a typed tag.
+    * Map-only codegen'd regexp chain — the shape of the scrubbing pass a
+    * training-data pipeline runs over every document before anything
+    * else sees the text. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "[EMAIL]"),
+        Ipv4Pat, "[IP]"),
+      PhonePat, "[PHONE]")
+
+  def redactPiiSql(text: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($text,
+        '$EmailPat', '[EMAIL]', 'g'), '$Ipv4Pat', '[IP]', 'g'),
+        '$PhonePat', '[PHONE]', 'g')""".replaceAll("\\s+", " ")
+
+  // ---------------------------------------------------------------------
+  // Hashed-linear quality classifier (fastText-style inference)
+  // ---------------------------------------------------------------------
+
+  /** Integer micro-unit weight of hashed-feature bucket `i` (a column
+    * expression over an int column): deterministic in [-1000, 1000],
+    * derived from the same cross-engine md5 hash as everything else —
+    * the oracle recomputes the identical "model". A real deployment
+    * swaps this for a broadcast weight array learned offline; the
+    * inference plan (hash → bucket → weight → sum) is unchanged. */
+  private def bucketWeight(idx: Column): Column =
+    expr_hash32(concat(lit("w:"), idx.cast("string"))) % 2001L - 1000L
+
+  /** Linear text-classifier inference over hashing-trick features
+    * (Weinberger et al. 2009; the fastText / CCNet quality-filter
+    * shape): each token hashes to one of `dim` buckets and the document
+    * score is the sum of bucket weights, in exact integer micro-units —
+    * order-independent, so the oracle matches bit-for-bit with no float
+    * drift. Map-only: the whole scoring pass is column algebra inside
+    * the row, no shuffle, no model join. */
+  def hashedLinearScoreU(toks: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    aggregate(toks, lit(0L), (acc, t) => acc + bucketWeight(expr_hash32(t) % dim))
+  }
+
+  /** DuckDB twin of [[hashedLinearScoreU]] over a token-list fragment. */
+  def hashedLinearScoreUSql(toksList: String, dim: Int): String = {
+    val w = s"(${hash32Sql(s"'w:' || ((${hash32Sql("t")}) % $dim)::VARCHAR")} % 2001 - 1000)"
+    s"CAST(coalesce(list_sum(list_transform($toksList, t -> $w)), 0) AS BIGINT)"
+  }
 }

@@ -440,6 +440,51 @@ object Dedup {
     duplicatedSpans(hits, n, idCol, "pos")
   }
 
+  /** Paragraph-level exact dedup (the Dolma/CCNet granularity between
+    * whole-document exact dedup and n-gram span trims): documents split
+    * into fixed-budget `paraTokens`-token paragraphs, and a paragraph
+    * survives only if it is the corpus-order-FIRST occurrence of its
+    * content — every later copy (in other docs or later in the same doc)
+    * drops. Returns one row per surviving input doc: total/kept
+    * paragraph counts plus the md5 and length of the re-assembled kept
+    * text (paragraph order preserved). Docs with zero tokens emit no
+    * paragraphs and drop — they carry no trainable text.
+    *
+    * Scale shape: paragraph construction is map-only in-row array
+    * algebra (slice over the token array — no explode-then-groupBy
+    * re-assembly of the paragraphs themselves); the ONLY corpus-wide
+    * exchange is the first-occurrence window keyed by the 128-bit
+    * content hash, whose partitions are copy-cluster-sized (bounded by
+    * copies of one paragraph, never by corpus size); the final groupBy
+    * re-assembles per doc with state bounded by document length. The
+    * shuffle carries (id, ord, 32-char hash) — never the text. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     paraTokens: Int): DataFrame = {
+    require(paraTokens > 0, "paraTokens must be positive")
+    val nParas = ((size(col("__toks")) + paraTokens - 1) / paraTokens).cast("int")
+    val paras = transform(sequence(lit(0), nParas - 1),
+      g => concat_ws(" ", slice(col("__toks"), g * paraTokens + 1, lit(paraTokens))))
+    val exploded = docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), posexplode(paras).as(Seq("__g", "__para")))
+      .withColumn("__ph", md5(col("__para").cast("binary")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ph").orderBy(col(idCol), col("__g"))
+    val keptText = concat_ws(" ", transform(array_sort(col("__kept")), x => x("__para")))
+    exploded
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+        collect_list(when(col("__keep"), struct(col("__g"), col("__para"))))
+          .as("__kept"))
+      .select(col(idCol), col("n_paras"), col("n_kept"),
+        md5(keptText.cast("binary")).as("kept_md5"),
+        length(keptText).cast("long").as("kept_len"))
+  }
+
   /** Two-phase benchmark decontamination for eval n-gram sets too large
     * to broadcast exactly: a Bloom filter over the eval shingle hashes
     * (~10 bits/item at 1% fpp — 10-60× smaller than the exact 64-bit

@@ -66,6 +66,41 @@ object Layout {
       .drop("__zkey")
   }
 
+  /** Deterministic training-order shuffle + sharding: every row gets a
+    * pseudo-random but SEED-REPRODUCIBLE position — `key = md5(seed:id)`,
+    * `shard = first32(key) mod numShards`, `pos` = rank of the key within
+    * its shard. Re-running with the same seed reproduces the exact epoch
+    * order (resumable training); a new seed is a fresh global shuffle
+    * with no RNG state to checkpoint.
+    *
+    * Scale shape: this is a distributed shuffle WRITE, not a global
+    * sort — one hash exchange on `shard` (numShards ≈ output file
+    * count), then each shard sorts only its own rows for the in-shard
+    * rank. No stage ever sees a global ordering, so the plan is flat in
+    * cluster width; the skew bound is |corpus| / numShards by the
+    * uniformity of md5. */
+  def trainOrder(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 seed: String, numShards: Int): org.apache.spark.sql.DataFrame = {
+    require(numShards >= 1, "numShards must be positive")
+    require(!seed.contains("'"), "seed must not contain quotes")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val shard = conv(substring(key, 1, 8), 16, 10).cast("long") % numShards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), key.as("shuffle_key"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** DuckDB twin of [[trainOrder]] over a table with `idCol`. */
+  def trainOrderSql(table: String, idCol: String, seed: String,
+                    numShards: Int): String =
+    s"""SELECT $idCol, k AS shuffle_key,
+        (('0x' || substr(k, 1, 8))::BIGINT % $numShards) AS shard,
+        CAST(row_number() OVER (PARTITION BY ('0x' || substr(k, 1, 8))::BIGINT % $numShards
+          ORDER BY k, $idCol) AS BIGINT) AS pos
+        FROM (SELECT $idCol, md5('$seed:' || ($idCol)::VARCHAR) AS k FROM $table)"""
+      .replaceAll("\\s+", " ")
+
   /** DuckDB twin of [[zorderKey]] — emitted from the same loop so the
     * oracle replays the identical bit placement. */
   def zorderKeySql(cols: Seq[String], bits: Int): String = {

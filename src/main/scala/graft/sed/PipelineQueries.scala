@@ -36,6 +36,10 @@ object PipelineQueries {
   private val IvfNprobe = 2
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
+  private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
+  private val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier)
+  private val TrainShards = 8 // q_train_order output shards
+  private val TrainSeed = "ep0" // q_train_order epoch seed
   private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
   private val TfidfTopK = 10 // salient terms kept per doc (q_tfidf)
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
@@ -1043,6 +1047,119 @@ object PipelineQueries {
       (s, d) => Pca.project(emb(s, d),
         Seq(col("vec_id"), col("label")), "embedding", pcaModelFor(s, d)),
       None),
+
+    // PII scrubbing: the redaction pass a pipeline runs before any other
+    // stage sees the text. The sf documents are synthetic word soup with
+    // no PII, so the entry plants deterministic emails / IPv4 / phone
+    // literals derived from doc_id (both engines build the identical
+    // input) and then redacts them — the md5 of the redacted text
+    // certifies every substitution byte-for-byte, and the per-kind
+    // counts vary 0..2 across docs so the oracle sees real variety.
+    // Map-only codegen'd regexp chain, no shuffle.
+    "q_pii_redact" -> QueryDef(
+      (s, d) => {
+        val raw = concat(col("text"),
+          when(col("doc_id") % 3 =!= 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" cc admin"),
+            col("doc_id").cast("string"), lit("@example.org"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, concat(lit(" from 10."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit(".9"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, concat(lit(" call +1-202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+        val afterEmail = regexp_replace(col("__raw"), TextFunctions.EmailPat, "[EMAIL]")
+        val afterIp = regexp_replace(col("__e"), TextFunctions.Ipv4Pat, "[IP]")
+        val red = regexp_replace(col("__i"), TextFunctions.PhonePat, "[PHONE]")
+        docs(s, d)
+          .withColumn("__raw", raw)
+          .withColumn("n_email", regexp_count(col("__raw"), lit(TextFunctions.EmailPat)).cast("long"))
+          .withColumn("__e", afterEmail)
+          .withColumn("n_ip", regexp_count(col("__e"), lit(TextFunctions.Ipv4Pat)).cast("long"))
+          .withColumn("__i", afterIp)
+          .withColumn("n_phone", regexp_count(col("__i"), lit(TextFunctions.PhonePat)).cast("long"))
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+            md5(red.cast("binary")).as("redacted_md5"),
+            length(red).cast("long").as("redacted_len"))
+      },
+      Some {
+        val rawSql = """text ||
+          CASE WHEN doc_id % 3 != 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' cc admin' || doc_id::VARCHAR || '@example.org' ELSE '' END ||
+          CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR || '.9' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 1 THEN ' call +1-202-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"""
+        val e = TextFunctions.EmailPat
+        val i = TextFunctions.Ipv4Pat
+        val p = TextFunctions.PhonePat
+        s"""WITH raw AS (SELECT doc_id, $rawSql AS t FROM documents),
+           s1 AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_email,
+             regexp_replace(t, '$e', '[EMAIL]', 'g') AS t FROM raw),
+           s2 AS (SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t, '$i')) AS BIGINT) AS n_ip,
+             regexp_replace(t, '$i', '[IP]', 'g') AS t FROM s1),
+           s3 AS (SELECT doc_id, n_email, n_ip,
+             CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phone,
+             regexp_replace(t, '$p', '[PHONE]', 'g') AS t FROM s2)
+           SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS redacted_md5,
+             CAST(length(t) AS BIGINT) AS redacted_len FROM s3"""
+          .replaceAll("\\s+", " ")
+      }),
+
+    // Paragraph-level exact dedup (the Dolma granularity between exact
+    // whole-doc dedup and n-gram span trims): 20-token paragraphs,
+    // corpus-order-first occurrence wins, every later copy drops; docs
+    // re-assembled from surviving paragraphs. The one corpus-wide
+    // exchange is keyed by the paragraph content hash.
+    "q_paragraph_dedup" -> QueryDef(
+      (s, d) => Dedup.paragraphDedup(docs(s, d), "doc_id", "text", ParaTokens),
+      Some {
+        val agg = "string_agg(para, ' ' ORDER BY g) FILTER (WHERE keep)"
+        s"""WITH t AS (SELECT doc_id, $toksSqlFrag AS l FROM documents
+             WHERE len($toksSqlFrag) > 0),
+           p AS (SELECT doc_id, g - 1 AS g,
+             array_to_string(l[((g - 1) * $ParaTokens + 1):(least(g * $ParaTokens, len(l)))], ' ') AS para
+             FROM t, UNNEST(generate_series(1, (len(l) + ${ParaTokens - 1}) // $ParaTokens)) AS u(g)),
+           k AS (SELECT doc_id, g, para,
+             (row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, g)) = 1 AS keep FROM p)
+           SELECT doc_id, COUNT(*) AS n_paras,
+             COUNT(*) FILTER (WHERE keep) AS n_kept,
+             md5(coalesce($agg, '')) AS kept_md5,
+             CAST(length(coalesce($agg, '')) AS BIGINT) AS kept_len
+           FROM k GROUP BY doc_id""".replaceAll("\\s+", " ")
+      }),
+
+    // Deterministic training-order shuffle: seed-reproducible global
+    // permutation sharded for a multi-host loader — md5(seed:id) is the
+    // sort key, shard = first32(key) mod 8, pos = in-shard rank. The
+    // plan is one hash exchange + per-shard sort (a shuffle WRITE, not a
+    // global sort).
+    "q_train_order" -> QueryDef(
+      (s, d) => graft.operators.Layout.trainOrder(
+        docs(s, d).select("doc_id"), "doc_id", TrainSeed, TrainShards),
+      Some(graft.operators.Layout.trainOrderSql(
+        "documents", "doc_id", TrainSeed, TrainShards))),
+
+    // Hashed-linear quality-classifier inference (the fastText/CCNet
+    // keep-drop filter shape): token -> hash bucket -> weight, document
+    // score = exact integer micro-unit sum (order-independent, so the
+    // oracle matches bit-for-bit). Weights are derived deterministically
+    // from the bucket index via the same cross-engine hash; a production
+    // run swaps in learned weights, the plan is identical. Map-only.
+    "q_quality_classifier" -> QueryDef(
+      (s, d) => docs(s, d)
+        .withColumn("__toks", tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tok"),
+          TextFunctions.hashedLinearScoreU(col("__toks"), ClsDim).as("score_u"))
+        .withColumn("keep", col("score_u") > 0),
+      Some {
+        val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
+        s"""SELECT doc_id, n_tok, score_u, score_u > 0 AS keep FROM (
+             SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, $score AS score_u
+             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))"""
+          .replaceAll("\\s+", " ")
+      }),
 
     // ---------------- multimodal ----------------
     "q_multimodal_meta" -> QueryDef(
