@@ -64,6 +64,13 @@ object Bench {
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id % 7)").collect()
     graft.sed.SedQueries.ensureConfs(spark)
     spark.read.parquet(s"$sfDir/events.parquet").limit(10).collect()
+    // contention telemetry (round 9): a loaded driver box faked up to
+    // 27.9x spreads in the round-8 driver run — record the 1-min load
+    // average and core count at run START so a contended artifact is
+    // diagnosable from the JSON alone, without a rerun.
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val hostCpus = Runtime.getRuntime.availableProcessors
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt)
     // warmup rounds: 1 by default; 0 for one-shot scale-stress runs where
     // a second full pass would double a very long job
@@ -111,8 +118,15 @@ object Bench {
       .filter { case (_, _, s) => s >= minSpread }
       .map { case (k, _, s) => s"${q(k)}:${rd(s, 100)}" }.mkString("{", ",", "}")
     val total = rd(results.map(_._2).filter(_ >= 0).sum, 10000)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"spread":${spmap(0.0)},"queries":${qmap(10000)}}"""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"spread":${spmap(1.3)},"queries":${qmap(1000)}}"""
+    // failed queries are BOTH -1.0 in `queries` (the driver's per-query
+    // contract) and an explicit name list, so a reader never has to infer
+    // failure from a sentinel or from absence in the spread map — and the
+    // `total` is marked non-comparable when any entry is missing from it
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val failedJson = failed.map(q).mkString("[", ",", "]")
+    val env = s""""load1":${rd(load1, 100)},"host_cpus":$hostCpus,"failed":$failedJson"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(0.0)},"queries":${qmap(10000)}}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(1.3)},"queries":${qmap(1000)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }

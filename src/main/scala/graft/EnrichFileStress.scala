@@ -30,8 +30,8 @@ object EnrichFileStress {
     graft.sed.SedQueries.ensureConfs(spark)
 
     val work = java.nio.file.Files.createTempDirectory("enrich_stress").toString
-    val base = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts div 1000 AS ts_us",
+    val base = graft.sed.Tables.events(spark, sfDir)
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us",
         "CAST(value AS DOUBLE) AS v")
     SedStreaming.stageFileStream(base, "ts_us", s"$work/events", chunks)
     SedStreaming.stageFileStream(

@@ -27,6 +27,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // a filtered dump must never masquerade as a full verification: it
+    // would overwrite oracle_sql.json with the subset while stale parquet
+    // dirs from a previous full run keep selfcheck quietly green
+    if (only.isDefined)
+      require(!Files.exists(Paths.get(s"$outDir/oracle_sql.json")),
+        s"refusing SPARK_GRAFT_ONLY dump into $outDir: it already holds an " +
+          "oracle_sql.json from a fuller run — use a fresh outDir")
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       // remove any stale result first: a leftover parquet from a previous
       // run would make the compare pass for a query that now throws

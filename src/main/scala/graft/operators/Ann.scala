@@ -435,16 +435,17 @@ object Ann {
   /** Two-phase probe-pruned search against a codes index: approximate
     * top-`rerank` per query from the (4x smaller) codes scan, exact
     * re-rank of that pool against the full-precision index. The
-    * candidate pool pulled to the driver between phases is bounded by
-    * queries x rerank ids — the same small-query-batch posture as
-    * [[collectQueries]], and guarded. */
+    * candidate (vec_id, query_id) pair set between phases stays
+    * distributed — it rides a broadcast hash join keyed on vec_id —
+    * and is bounded by queries x rerank pairs (16 bytes each), which
+    * the guard keeps inside a comfortable broadcast budget. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, pq: IvfPqIndex,
                        queries: Array[(Long, Array[Float])], k: Int,
                        nprobe: Int = 2, rerank0: Int = 0): DataFrame = {
     val rerank = if (rerank0 > 0) rerank0 else 4 * k
     require(queries.length.toLong * rerank <= 4000000L,
       s"searchIvfPqIndex: candidate pool ${queries.length} x $rerank exceeds the " +
-        "driver guard — shrink the query batch or the rerank budget")
+        "broadcast guard — shrink the query batch or the rerank budget")
     val cB = spark.sparkContext.broadcast(
       pq.centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
     def nearestCentroids(v: Array[Float], n: Int): Seq[Int] = {
@@ -500,40 +501,39 @@ object Ann {
     }
     val approxDf = spark.createDataFrame(approx, outSchema)
     val wA = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    val candRows = approxDf.withColumn("r", row_number().over(wA))
-      .filter(col("r") <= rerank).select("vec_id", "query_id").collect()
-    val candMap: Map[Long, Set[Long]] = candRows
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val candB = spark.sparkContext.broadcast(candMap)
-    val candIds = candMap.keys.toSeq.sorted
+    // the same (query, id) pair can surface from several partition-local
+    // heaps of the approximate phase — distinct, or the exact heap would
+    // enqueue one id twice and top-k could repeat it
+    val cand = approxDf.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= rerank).select("vec_id", "query_id").distinct()
 
-    // phase 2: exact re-rank — probed partitions of the full index, the
-    // candidate ids pushed down to the scan's row-group stats
+    // phase 2: exact re-rank — probed partitions of the full index,
+    // BROADCAST-joined to the phase-1 candidate pairs. The candidate set
+    // never round-trips through the driver and the plan carries no
+    // per-id literals (round 8 pushed a collected id list back as an
+    // `isin` filter — plan size grew linearly with rerank×queries); the
+    // scan keeps its partition pruning from the bucket filter, and the
+    // join drops non-candidates before the embedding column is touched.
     val fullScan = spark.read.parquet(pq.fullPath)
-      .filter(col("bucket").isin(probedBuckets: _*) &&
-        col("vec_id").isin(candIds: _*))
+      .filter(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id"), col("embedding"))
-    val exact = fullScan.rdd.mapPartitions { it =>
+    val paired = fullScan.join(broadcast(cand), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("query_id"))
+    val exact = paired.rdd.mapPartitions { it =>
       val qs = qB.value
       val qIdx = qs.map(_._1).zipWithIndex.toMap
-      val cands = candB.value
       val heaps = Array.fill(qs.length)(
         mutable.PriorityQueue.empty[(Double, Long)](betterOrd))
       it.foreach { row =>
         val id = row.getLong(0)
-        cands.get(id).foreach { qids =>
-          val v = row.getSeq[Float](1).toArray
-          val nv = math.sqrt(dot(v, v))
-          qids.foreach { qid =>
-            val q = qIdx(qid)
-            val (_, qv, qn, _) = qs(q)
-            val cos = dot(qv, v) / (qn * nv)
-            val h = heaps(q)
-            if (h.size < k) h.enqueue((cos, id))
-            else if (betterOrd.lt((cos, id), h.head)) { h.dequeue(); h.enqueue((cos, id)) }
-          }
-        }
+        val v = row.getSeq[Float](1).toArray
+        val q = qIdx(row.getLong(2))
+        val (_, qv, qn, _) = qs(q)
+        val nv = math.sqrt(dot(v, v))
+        val cos = dot(qv, v) / (qn * nv)
+        val h = heaps(q)
+        if (h.size < k) h.enqueue((cos, id))
+        else if (betterOrd.lt((cos, id), h.head)) { h.dequeue(); h.enqueue((cos, id)) }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
         h.iterator.map { case (cos, id) => Row(qs(q)._1, id, cos) }

@@ -91,15 +91,21 @@ object Layout {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
-  /** DuckDB twin of [[trainOrder]] over a table with `idCol`. */
+  /** DuckDB twin of [[trainOrder]] over a table with `idCol`. Enforces
+    * the same quote guard as the Spark side: the seed is interpolated
+    * into a SQL string literal, so an embedded quote would produce
+    * broken (or silently divergent) oracle SQL. */
   def trainOrderSql(table: String, idCol: String, seed: String,
-                    numShards: Int): String =
+                    numShards: Int): String = {
+    require(numShards >= 1, "numShards must be positive")
+    require(!seed.contains("'"), "seed must not contain quotes")
     s"""SELECT $idCol, k AS shuffle_key,
         (('0x' || substr(k, 1, 8))::BIGINT % $numShards) AS shard,
         CAST(row_number() OVER (PARTITION BY ('0x' || substr(k, 1, 8))::BIGINT % $numShards
           ORDER BY k, $idCol) AS BIGINT) AS pos
         FROM (SELECT $idCol, md5('$seed:' || ($idCol)::VARCHAR) AS k FROM $table)"""
       .replaceAll("\\s+", " ")
+  }
 
   /** DuckDB twin of [[zorderKey]] — emitted from the same loop so the
     * oracle replays the identical bit placement. */

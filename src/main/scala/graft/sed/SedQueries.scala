@@ -19,9 +19,12 @@ case class QueryDef(build: (SparkSession, String) => DataFrame, sql: Option[Stri
 object SedQueries {
 
   /** Confs queries need regardless of who built the session. The test
-    * `events.ts` column is parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads via the nanosAsLong legacy mode (as int64 nanoseconds — which
-    * is also the deterministic representation we want). */
+    * `events.ts` column has been generated both as parquet
+    * TIMESTAMP(NANOS) (read via the nanosAsLong legacy mode as int64
+    * nanoseconds) and as timestamp[us] (read as TIMESTAMP_NTZ); both are
+    * normalized to a single `ts_us` µs contract in [[Tables.events]],
+    * which needs the session zone pinned to UTC so the NTZ read matches
+    * DuckDB's `epoch_us`. */
   def ensureConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -71,11 +74,11 @@ object SedQueries {
   private val KnotTs = Seq(1.7040672e9, 1.704672e9, 1.7052768e9, 1.7058816e9, 1.7067456e9)
   private val KnotVal = Seq(20.0, 22.5, 19.0, 25.0, 21.0)
 
-  // Epoch seconds (double) from the int64-nanosecond ts column, truncated
-  // to µs first: DuckDB's TIMESTAMP_NS functions only carry µs precision,
-  // so both engines floor to the common µs grid before the divide.
+  // Epoch seconds (double) from the normalized ts_us column (Tables
+  // floors to the µs grid — the only precision DuckDB's timestamp
+  // functions carry — so both engines divide the same integer).
   private def esCol(df: DataFrame): Column =
-    expr("ts div 1000").cast("double") / lit(1.0e6)
+    col("ts_us").cast("double") / lit(1.0e6)
   private val esSql = "(CAST(epoch_us(ts) AS DOUBLE) / 1.0E6)"
 
   /** Deterministic demo deformation field: 9 landmarks on a 3×3 grid with
@@ -106,7 +109,7 @@ object SedQueries {
       Some("SELECT event_id, value, user_id FROM events WHERE value > 50.0 AND value < 400.0")),
 
     "q_drop_column" -> QueryDef(
-      (s, d) => DfOps.dropColumns(events(s, d), Seq("props", "ts")),
+      (s, d) => DfOps.dropColumns(events(s, d), Seq("props", "ts_us")),
       Some("SELECT event_id, user_id, event_type, value FROM events")),
 
     "q_jitter_uniform" -> QueryDef(
@@ -345,7 +348,7 @@ object SedQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val gapUs = 43200000000L // 12 h
-        val df = events(s, d).withColumn("us", expr("ts div 1000"))
+        val df = events(s, d).withColumn("us", col("ts_us"))
         val w = Window.partitionBy("user_id").orderBy("us", "event_id")
         df.withColumn("brk",
             when(col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
@@ -372,10 +375,10 @@ object SedQueries {
     "q_asof_join" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val ev = events(s, d).selectExpr("event_id", "ts div 1000 AS ts_us")
+        val ev = events(s, d).select("event_id", "ts_us")
         val w = Window.partitionBy("sts_us").orderBy(col("sensor_id").desc)
         val rd = events(s, d).filter(col("event_id") % 100 === 0)
-          .selectExpr("event_id AS sensor_id", "ts div 1000 AS sts_us",
+          .selectExpr("event_id AS sensor_id", "ts_us AS sts_us",
             "CAST(value AS DOUBLE) AS reading")
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         graft.operators.AsOf.asofJoin(ev, rd, "ts_us", "sts_us", Seq("sensor_id", "reading"))

@@ -160,7 +160,7 @@ object StreamingQueries {
     val s = streamSession(s0)
     val dir = tmp("graft_sess_feed")
     SedStreaming.stageFileStream(Tables.events(s0, d)
-      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts div 1000 AS ts_us"),
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts_us"),
       "ts_us", dir)
     runToMemory(s, sessionizeChain(SedStreaming.fileStream(s, dir, sessSchema)),
       "complete")
@@ -182,7 +182,7 @@ object StreamingQueries {
     // partitioned and shuffled.
     val s = streamSession(s0, StatePartitions / 2)
     val base = Tables.events(s0, d)
-      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts div 1000 AS ts_us",
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us",
         "CAST(value AS DOUBLE) AS v")
     val evDir = tmp("graft_enrich_ev")
     val snDir = tmp("graft_enrich_sn")
@@ -203,7 +203,7 @@ object StreamingQueries {
     val s = streamSession(s0)
     val dir = tmp("graft_hist_feed")
     SedStreaming.stageFileStream(Tables.events(s0, d)
-      .selectExpr("ts div 1000 AS ts_us", "CAST(value AS DOUBLE) AS value"),
+      .selectExpr("ts_us", "CAST(value AS DOUBLE) AS value"),
       "ts_us", dir)
     runToMemory(s, histChain(SedStreaming.fileStream(s, dir, histSchema)),
       "complete")
@@ -276,7 +276,7 @@ object StreamingQueries {
       val s = streamSession(s0)
       import s.implicits._
       val rows = Tables.events(s0, d)
-        .selectExpr("CAST(user_id AS BIGINT) AS u", "ts div 1000 AS ts_us")
+        .selectExpr("CAST(user_id AS BIGINT) AS u", "ts_us")
         .as[(Long, Long)].collect().sortBy(_._2).toSeq
       val ms = emptyStream[(Long, Long)](s)
       val cks = chunk3(rows)
@@ -289,7 +289,7 @@ object StreamingQueries {
       val s = streamSession(s0, StatePartitions / 2)
       import s.implicits._
       val base = Tables.events(s0, d)
-        .selectExpr("CAST(event_id AS BIGINT) AS id", "ts div 1000 AS ts_us",
+        .selectExpr("CAST(event_id AS BIGINT) AS id", "ts_us",
           "CAST(value AS DOUBLE) AS v")
         .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
       val sensorRows = base.filter(_._1 % 100 == 0)
@@ -310,7 +310,7 @@ object StreamingQueries {
       val s = streamSession(s0)
       import s.implicits._
       val rows = Tables.events(s0, d)
-        .selectExpr("ts div 1000 AS ts_us", "CAST(value AS DOUBLE) AS v")
+        .selectExpr("ts_us", "CAST(value AS DOUBLE) AS v")
         .as[(Long, Double)].collect().sortBy(_._1).toSeq
       val ms = emptyStream[(Long, Double)](s)
       val cks = chunk3(rows)

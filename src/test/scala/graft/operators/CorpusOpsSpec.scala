@@ -33,9 +33,10 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got(3L) == "mixed [EMAIL] at [IP] [PHONE]")
   }
 
-  test("redactPii leaves near-miss text untouched") {
-    // 3-octet version strings, @-less handles, un-prefixed digit runs:
-    // none match, so scrubbing is a no-op and nothing is over-redacted
+  test("redactPii near-miss handling: non-matches untouched, greedy IPv4 prefix redacts") {
+    // 3-octet version strings, @-less handles, un-prefixed digit runs
+    // don't match; a 5-octet dotted run DOES lose its 4-octet prefix
+    // (documented greedy-left semantics, asserted below)
     val text = "v1.2.3 of pkg @handle says 202-555-0147 and 1.2.3.4.5 is odd"
     val out = docsDf((0L, text))
       .select(TextFunctions.redactPii(col("text"))).head().getString(0)

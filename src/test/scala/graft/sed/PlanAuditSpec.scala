@@ -9,9 +9,15 @@ import graft.SparkSpecBase
   * plan a quadratic join. BroadcastNestedLoopJoin / CartesianProduct are
   * what Catalyst silently falls back to when a join loses its equality
   * key (e.g. a refactor breaks the bucketized range-join or LSH pair
-  * rewrites) — correct on test data, dead at 100 TB. Streaming entries
-  * are excluded (they execute a full streaming query at build time and
-  * their plans are asserted in SedStreamingSpec).
+  * rewrites) — correct on test data, dead at 100 TB.
+  *
+  * Round 9 adds the builds-gate up front: EVERY contract entry must at
+  * least BUILD (analysis included — streaming entries execute their
+  * feed at build time, so they are covered too). Round 8 ended with six
+  * entries failing ANALYSIS on a testdata type drift, discovered as six
+  * scattered exceptions across the driver artifacts; this test turns
+  * the same class of break into one failure that lists the broken
+  * entries by name. The shape audits then reuse the built plans.
   *
   * Exception: the mean-offset queries cross-join a broadcast 1-row
   * global aggregate (DfOps.offsetByOtherColumns) — a BNLJ whose build
@@ -21,13 +27,35 @@ import graft.SparkSpecBase
   * one side, so the allowance cannot mask a real lost-key regression. */
 class PlanAuditSpec extends SparkSpecBase {
 
-  private val skip =
-    Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist", "q_stream_dedup")
+  /** Streaming entries: they run their full (already-executed) feed at
+    * build time and return a sink read-back whose plan is a plain scan —
+    * the interesting plans are asserted in SedStreamingSpec. They still
+    * participate in the builds-gate below. */
+  private val streamEntries =
+    Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist",
+      "q_stream_dedup", "q_stream_neardup")
 
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
   private val oneRowBroadcastOk =
     Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score",
       "q_domain_mix")
+
+  /** Every contract entry built exactly once, failures captured. */
+  private lazy val built: Seq[(String, Either[Throwable, DataFrame])] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try Right(fn(spark, Sf)) catch { case e: Throwable => Left(e) })
+    }
+
+  private def builtOk: Seq[(String, DataFrame)] =
+    built.collect { case (n, Right(df)) => (n, df) }
+
+  test("every contract entry builds (analysis-clean) against the testdata") {
+    val broken = built.collect { case (n, Left(e)) =>
+      s"$n: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" / ")}"
+    }
+    assert(broken.isEmpty,
+      s"${broken.size} entries fail to build:\n  ${broken.mkString("\n  ")}")
+  }
 
   private def crossJoinsAreOneRowAggregates(df: DataFrame): Boolean = {
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
@@ -40,10 +68,9 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("no driver query plans BroadcastNestedLoopJoin or CartesianProduct") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if skip(name) => None
-      case (name, fn) =>
-        val df = fn(spark, Sf)
+    val offenders = builtOk.flatMap {
+      case (name, _) if streamEntries(name) => None
+      case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         val quadratic =
           plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct")
@@ -60,10 +87,10 @@ class PlanAuditSpec extends SparkSpecBase {
     * BloomMightContainLong), never a UDF. Gate every contract plan so a
     * convenience UDF can't creep back into a hot path. */
   test("no driver query plans a ScalaUDF") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if skip(name) => None
-      case (name, fn) =>
-        val plan = fn(spark, Sf).queryExecution.executedPlan
+    val offenders = builtOk.flatMap {
+      case (name, _) if streamEntries(name) => None
+      case (name, df) =>
+        val plan = df.queryExecution.executedPlan
         val hasUdf = plan.exists(_.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
         if (hasUdf) Some(name) else None

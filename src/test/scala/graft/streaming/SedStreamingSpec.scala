@@ -99,7 +99,7 @@ class SedStreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got.nonEmpty)
     val batch = graft.sed.Tables.events(spark, d)
-      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "timestamp_micros(ts div 1000) AS ts")
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "timestamp_micros(ts_us) AS ts")
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -115,9 +115,9 @@ class SedStreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     assert(got.nonEmpty)
     val ev = graft.sed.Tables.events(spark, d)
-      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts div 1000 AS ets_us")
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us AS ets_us")
     val sn = graft.sed.Tables.events(spark, d)
-      .selectExpr("CAST(event_id AS BIGINT) AS sensor_id", "ts div 1000 AS sts_us",
+      .selectExpr("CAST(event_id AS BIGINT) AS sensor_id", "ts_us AS sts_us",
         "CAST(value AS DOUBLE) AS reading")
       .filter(col("sensor_id") % 100 === 0)
     val batch = ev.join(sn,
@@ -132,7 +132,7 @@ class SedStreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got.nonEmpty)
     val batch = graft.sed.Tables.events(spark, d)
-      .selectExpr("timestamp_micros(ts div 1000) AS ts", "CAST(value AS DOUBLE) AS value")
+      .selectExpr("timestamp_micros(ts_us) AS ts", "CAST(value AS DOUBLE) AS value")
       .filter(col("value") >= 0.0 && col("value") <= 500.0)
       .select(col("ts"),
         least(floor(col("value") / 10.0), lit(49.0)).cast("long").as("value_bin"))
