@@ -598,4 +598,55 @@ object Ann {
   def collectQueries(df: DataFrame, idCol: String, vecCol: String): Array[(Long, Array[Float])] =
     df.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** Batch IVF search where the query set is a DATAFRAME, not a driver
+    * array — the durable shape for production query batches that don't
+    * fit a broadcast. Probe assignment stays a map-only pass against the
+    * broadcast centroid set (tiny by construction — the same array the
+    * index was built from), emitting one (query_id, bucket, qvec) row
+    * per probe; those rows then meet the bucket-partitioned index in ONE
+    * equi-join on `bucket`, cosine is the native codegen FloatVecDot
+    * expression, and top-k is a window over query_id. No query vector
+    * ever rides through the driver and the plan carries no per-id
+    * literals, so the same code covers 50 queries (AQE broadcasts the
+    * probe side) and 10M queries (both sides shuffle on bucket).
+    *
+    * Result-identical to [[searchIvfIndex]] on the same inputs: probe
+    * selection (cos DESC, cid), ranking (cos DESC, id) and the
+    * self-match exclusion use the same rules, and the column cosine is
+    * the same left-to-right double fold as the driver-side math (IEEE
+    * `*` and the fold order make them bit-equal), so the two paths — and
+    * the q_ann_ivf DuckDB oracle — agree exactly. */
+  def searchIvfJoin(index: IvfIndex, queriesDf: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = queriesDf.sparkSession
+    val cB = spark.sparkContext.broadcast(
+      index.centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
+    val probeSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("bucket", IntegerType),
+      StructField("qvec", ArrayType(FloatType))))
+    val probeRows = queriesDf.select(col(idCol).cast("long"), col(vecCol)).rdd
+      .mapPartitions { it =>
+        val cs = cB.value
+        it.flatMap { row =>
+          val qid = row.getLong(0)
+          val v = row.getSeq[Float](1).toArray
+          val nv = math.sqrt(dot(v, v))
+          cs.map { case (cid, cv, cn) => (dot(cv, v) / (cn * nv), cid) }
+            .sortBy { case (c, cid) => (-c, cid) }.take(nprobe)
+            .map { case (_, cid) => Row(qid, cid, v.toSeq) }
+        }
+      }
+    val probed = spark.createDataFrame(probeRows, probeSchema)
+    val corpus = spark.read.parquet(index.path)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val cos = graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    corpus.join(probed, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

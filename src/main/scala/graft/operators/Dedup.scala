@@ -274,7 +274,12 @@ object Dedup {
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 12, rowsPerBand: Int = 3, shingleN: Int = 3,
                     minJaccard: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    // reps feeds THREE consumers (candidate generation, pair verify, the
+    // final dedup) — materialize the exact-collapse once or its
+    // md5-groupBy lineage re-executes per consumer (measured ~3x5 s of
+    // the 100x wall before round 9)
     val reps = exactRepresentatives(docs, idCol, md5(col(textCol).cast("binary")))
+      .localCheckpoint(true)
     val cand = minhashCandidates(reps, idCol, textCol, numHashes, rowsPerBand,
       shingleN, maxBucket)
     val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)

@@ -77,6 +77,36 @@ object PipelineQueries {
       Ann.buildIvfIndex(emb(s, d), "vec_id", "embedding", path, strideCentroids(s, d))
     })
 
+  /** DuckDB replay of the IVF probe-and-rank semantics (stride
+    * centroids, nprobe probes with the cos-DESC/cid tie-break, cos-DESC/
+    * id ranking, self-match excluded) — shared verbatim by q_ann_ivf
+    * (driver-array query set) and q_ann_ivf_join (DataFrame query set):
+    * the two entries hashing equal against ONE oracle certifies the two
+    * execution paths agree exactly. */
+  private lazy val ivfOracleSql: String = {
+    val stride = IvfStride
+    val aCos = VectorFunctions.cosineSql("c.embedding", "e.embedding")
+    val pCos = VectorFunctions.cosineSql("c.embedding", "q.embedding")
+    val sCos = VectorFunctions.cosineSql("q.embedding", "e.embedding")
+    s"""WITH cent AS (SELECT CAST(vec_id // $stride AS INT) AS cid, embedding
+         FROM embeddings WHERE vec_id % $stride = 0),
+       assign AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $aCos DESC, c.cid) AS rn
+         FROM embeddings e, cent c) WHERE rn = 1),
+       probes AS (SELECT q_id, cid FROM (
+         SELECT q.vec_id AS q_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $pCos DESC, c.cid) AS rn
+         FROM embeddings q, cent c WHERE q.vec_id < $NumQueries) WHERE rn <= $IvfNprobe)
+       SELECT query_id, vec_id, cosine, rank FROM (
+         SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $sCos AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $sCos DESC, e.vec_id) AS rank
+         FROM embeddings q, embeddings e, assign a, probes p
+         WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+           AND a.vec_id = e.vec_id AND p.q_id = q.vec_id AND p.cid = a.cid)
+       WHERE rank <= $TopK""".replaceAll("\\s+", " ")
+  }
+
   /** Residual-int8 codes index over the persisted IVF index, built once
     * per JVM (the offline compression job of the index build). */
   private val pqIndexes = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfPqIndex]
@@ -377,29 +407,24 @@ object PipelineQueries {
         val queries = Ann.collectQueries(e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
         Ann.searchIvfIndex(s, ivfIndexFor(s, d), queries, TopK)
       },
-      Some {
-        val stride = IvfStride
-        val aCos = VectorFunctions.cosineSql("c.embedding", "e.embedding")
-        val pCos = VectorFunctions.cosineSql("c.embedding", "q.embedding")
-        val sCos = VectorFunctions.cosineSql("q.embedding", "e.embedding")
-        s"""WITH cent AS (SELECT CAST(vec_id // $stride AS INT) AS cid, embedding
-             FROM embeddings WHERE vec_id % $stride = 0),
-           assign AS (SELECT vec_id, cid FROM (
-             SELECT e.vec_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $aCos DESC, c.cid) AS rn
-             FROM embeddings e, cent c) WHERE rn = 1),
-           probes AS (SELECT q_id, cid FROM (
-             SELECT q.vec_id AS q_id, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $pCos DESC, c.cid) AS rn
-             FROM embeddings q, cent c WHERE q.vec_id < $NumQueries) WHERE rn <= $IvfNprobe)
-           SELECT query_id, vec_id, cosine, rank FROM (
-             SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $sCos AS cosine,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $sCos DESC, e.vec_id) AS rank
-             FROM embeddings q, embeddings e, assign a, probes p
-             WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
-               AND a.vec_id = e.vec_id AND p.q_id = q.vec_id AND p.cid = a.cid)
-           WHERE rank <= $TopK""".replaceAll("\\s+", " ")
-      }),
+      Some(ivfOracleSql)),
+
+    // The SAME probed-bucket search with the query set as a DATAFRAME
+    // (Ann.searchIvfJoin): probes meet the bucket-partitioned index in
+    // one equi-join, cosine is the codegen FloatVecDot column, top-k a
+    // window — no driver-collected query array, no per-id plan
+    // literals; the production shape for query batches too large to
+    // broadcast. Result-identical to q_ann_ivf by construction, so it
+    // shares the oracle verbatim — the hash match certifies the two
+    // execution paths agree bit-for-bit.
+    "q_ann_ivf_join" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d)
+        Ann.searchIvfJoin(ivfIndexFor(s, d),
+          e.filter(col("vec_id") < NumQueries), "vec_id", "embedding",
+          TopK, IvfNprobe)
+      },
+      Some(ivfOracleSql)),
 
     // IVF-PQ search over the residual-int8 codes index: approximate
     // candidates from the 4x-smaller codes scan, exact re-rank of the

@@ -140,6 +140,29 @@ class DedupAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("searchIvfJoin (DataFrame query batch) equals searchIvfIndex exactly") {
+    val centroids = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    val path = java.nio.file.Files.createTempDirectory("ivfjoinspec").toString
+    val idx = Ann.buildIvfIndex(embeddings, "vec_id", "embedding", path, centroids)
+    // a LARGE query batch (every 3rd corpus vector) — the regime the
+    // driver-array path can't serve; both paths must agree bit-for-bit
+    val queryDf = embeddings.filter($"vec_id" % 3 === 0)
+    val queries = Ann.collectQueries(queryDf, "vec_id", "embedding")
+    val viaArray = Ann.searchIvfIndex(spark, idx, queries, 5, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaJoin = Ann.searchIvfJoin(idx, queryDf, "vec_id", "embedding", 5, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaJoin == viaArray)
+    // plan shape: a real equi-join on bucket, no quadratic fallback and
+    // no per-id literal enumeration of the candidate set
+    val plan = Ann.searchIvfJoin(idx, queryDf, "vec_id", "embedding", 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert(!plan.contains("vec_id IN ("))
+  }
+
   test("appendToIvfIndex antiJoinExisting makes a retried append idempotent") {
     val centroids = embeddings.filter($"vec_id" % 50 === 0)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()

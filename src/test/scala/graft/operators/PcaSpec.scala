@@ -38,7 +38,7 @@ class PcaSpec extends SparkSpecBase {
     assert(m.eigenvalues(0) >= maxDiag - 1e-9)
   }
 
-  test("single-pass treeAggregate fit matches the explode-based moment pass") {
+  test("single-pass moment fit matches the explode-based moment pass") {
     // The round-7 accumulator (one pass, no explode) against the original
     // posexplode/groupBy computation: same moments up to double reduction
     // order, so means/eigenvalues/axes agree far below any physical
