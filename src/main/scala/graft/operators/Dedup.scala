@@ -518,4 +518,59 @@ object Dedup {
       .groupBy(docCol)
       .agg(countDistinct(col(hashCol)).as("n_contam"))
   }
+
+  /** Cross-source near-duplication matrix — the dataset-curation
+    * diagnostic "how much of source A duplicates source B": for every
+    * unordered source pair, the number of DOCUMENT pairs (one doc from
+    * each side, unordered, self-pairs excluded) whose texts are
+    * near-duplicates (identical, or shingle-Jaccard ≥ `minJaccard`).
+    *
+    * Never quadratic in the duplicate count: documents collapse to
+    * exact-content representatives first, LSH+verify runs over reps
+    * only, and the doc-pair counts are recovered ARITHMETICALLY from
+    * per-(content, source) copy counts — a verified rep pair (r1, r2)
+    * contributes c1(sa)·c2(sb) pairs per source combo, an exact cluster
+    * contributes c(sa)·c(sb) (or C(c,2) within one source). Copies of
+    * near-dup reps are near-dups of each other by construction
+    * (identical texts have the rep's Jaccard), so the expansion is
+    * exact, not an estimate. Shuffles: the md5 collapse, the banded
+    * LSH buckets, and a final groupBy over (source, source) — the
+    * per-rep source-count fanout is bounded by the source count. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, numHashes: Int = 12, rowsPerBand: Int = 3,
+                    shingleN: Int = 3, minJaccard: Double = 0.8,
+                    maxBucket: Int = 10000): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    // copy counts per (content hash, source): the multiplicities the
+    // rep-level pair counts expand through
+    val cnts = docs.select(h.as("__h"), col(srcCol).as("__src"))
+      .groupBy("__h", "__src").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    // reps feed signatures, verify, and the rep→hash map
+    val reps = exactRepresentatives(docs, idCol, h).localCheckpoint(true)
+    val cand = minhashCandidates(reps, idCol, textCol, numHashes, rowsPerBand,
+      shingleN, maxBucket)
+    val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
+      .filter(col("jaccard") >= minJaccard).select("a_id", "b_id")
+    val repH = reps.select(col(idCol).cast("long").as("__rid"), h.as("__h"))
+    val crossP = verified
+      .join(repH.select(col("__rid").as("a_id"), col("__h").as("__ha")), "a_id")
+      .join(repH.select(col("__rid").as("b_id"), col("__h").as("__hb")), "b_id")
+      .join(cnts.select(col("__h").as("__ha"), col("__src").as("__sa"),
+        col("__c").as("__ca")), "__ha")
+      .join(cnts.select(col("__h").as("__hb"), col("__src").as("__sb"),
+        col("__c").as("__cb")), "__hb")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        (col("__ca") * col("__cb")).as("__p"))
+    val withinP = cnts.select(col("__h"), col("__src").as("__sa"), col("__c").as("__ca"))
+      .join(cnts.select(col("__h"), col("__src").as("__sb"), col("__c").as("__cb")), "__h")
+      .filter(col("__sa") <= col("__sb"))
+      .select(col("__sa").as("source_a"), col("__sb").as("source_b"),
+        when(col("__sa") === col("__sb"), expr("__ca * (__ca - 1) div 2"))
+          .otherwise(col("__ca") * col("__cb")).as("__p"))
+    crossP.union(withinP)
+      .groupBy("source_a", "source_b").agg(sum("__p").as("dup_pairs"))
+      .filter(col("dup_pairs") > 0)
+  }
 }

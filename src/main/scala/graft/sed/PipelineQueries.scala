@@ -145,6 +145,43 @@ object PipelineQueries {
   private def bandKeySqlFrag(sigs: Seq[String]): String =
     sigs.reduce((a, b) => s"($a * 31 + $b)")
 
+  /** Shared CTE chain replaying exact-first + banded LSH + Jaccard
+    * verify over the documents table: `rep` (min-id per md5, with the
+    * content hash), `sig`/`banded`/`ok`/`cand` (bucket-capped candidate
+    * pairs over reps), `sh`, and `verified` (pairs with shingle-Jaccard
+    * ≥ `minJ`). Used by q_dedup_pipeline (plus its recursive CC walk)
+    * and q_source_overlap (plus multiplicity expansion), so the two
+    * oracles can never drift from each other. */
+  private def repVerifiedCtesSql(minJ: Double): String = {
+    import graft.functions.SedFunctions.d2s
+    val numBands = NumHashes / RowsPerBand
+    val bandSelects = (0 until numBands).map { b =>
+      val key = bandKeySqlFrag((0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}"))
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val shHash = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
+    s"""rep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY 1),
+       sig0 AS ($minhashSigSql),
+       sig AS (SELECT sig0.* FROM sig0 JOIN rep USING (doc_id)),
+       banded AS ($bandSelects),
+       ok AS (SELECT band, key FROM banded GROUP BY band, key
+              HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+       cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM banded a
+         JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         JOIN ok ON ok.band = a.band AND ok.key = a.key),
+       sh AS (SELECT doc_id, list_distinct($shHash) AS sh
+         FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents
+               JOIN rep USING (doc_id)
+               WHERE len($toksSqlFrag) >= $ShingleN)),
+       verified AS (SELECT a_id, b_id FROM (
+         SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+         FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)
+         WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= ${d2s(minJ)})"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---------------- dedup ----------------
@@ -238,33 +275,7 @@ object PipelineQueries {
       (s, d) => Dedup.dedupPipeline(docs(s, d), "doc_id", "text",
         NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket).select("doc_id"),
       Some {
-        import graft.functions.SedFunctions.d2s
-        val numBands = NumHashes / RowsPerBand
-        val bandSelects = (0 until numBands).map { b =>
-          val key = bandKeySqlFrag((0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}"))
-          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
-        }.mkString(" UNION ALL ")
-        val shHash = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
-        s"""WITH RECURSIVE rep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-           sig0 AS ($minhashSigSql),
-           sig AS (SELECT sig0.* FROM sig0 JOIN rep USING (doc_id)),
-           banded AS ($bandSelects),
-           ok AS (SELECT band, key FROM banded GROUP BY band, key
-                  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
-           cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             FROM banded a
-             JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-             JOIN ok ON ok.band = a.band AND ok.key = a.key),
-           sh AS (SELECT doc_id, list_distinct($shHash) AS sh
-             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents
-                   JOIN rep USING (doc_id)
-                   WHERE len($toksSqlFrag) >= $ShingleN)),
-           verified AS (SELECT a_id, b_id FROM (
-             SELECT c.a_id, c.b_id,
-               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-             FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)
-             WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= ${d2s(0.8)}),
+        s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
            edges AS (SELECT a_id AS src, b_id AS dst FROM verified
              UNION SELECT b_id AS src, a_id AS dst FROM verified),
            walk(id, label) AS (
@@ -281,6 +292,38 @@ object PipelineQueries {
     // (grouping on the vector column itself — no hash needed), so pair
     // expansion scales with near-dup width, not copies². The plane sign
     // bits are dots with ±1 literal hyperplanes (VectorFunctions.signPlane
+    // Cross-source near-duplication matrix: per unordered source pair,
+    // the number of DOCUMENT pairs that are near-duplicates (identical
+    // content, or rep shingle-Jaccard >= 0.8). Exact-first + LSH over
+    // reps, doc-pair counts recovered arithmetically from per-(content,
+    // source) copy counts — never quadratic in duplicates. The oracle
+    // shares q_dedup_pipeline's CTE chain and replays the multiplicity
+    // expansion (cross products per verified rep pair, c*(c-1)/2 within
+    // an exact cluster).
+    "q_source_overlap" -> QueryDef(
+      (s, d) => Dedup.sourceOverlap(docs(s, d), "doc_id", "text", "source",
+        NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket),
+      Some {
+        s"""WITH ${repVerifiedCtesSql(0.8)},
+           cnts AS (SELECT md5(text) AS h, source, COUNT(*) AS c
+             FROM documents GROUP BY 1, 2),
+           cross_p AS (SELECT LEAST(c1.source, c2.source) AS source_a,
+               GREATEST(c1.source, c2.source) AS source_b,
+               CAST(c1.c * c2.c AS BIGINT) AS p
+             FROM verified v
+             JOIN rep r1 ON r1.doc_id = v.a_id
+             JOIN rep r2 ON r2.doc_id = v.b_id
+             JOIN cnts c1 ON c1.h = r1.h
+             JOIN cnts c2 ON c2.h = r2.h),
+           within_p AS (SELECT c1.source AS source_a, c2.source AS source_b,
+               CAST(CASE WHEN c1.source = c2.source THEN (c1.c * (c1.c - 1)) // 2
+                    ELSE c1.c * c2.c END AS BIGINT) AS p
+             FROM cnts c1 JOIN cnts c2 ON c1.h = c2.h AND c1.source <= c2.source)
+           SELECT source_a, source_b, CAST(SUM(p) AS BIGINT) AS dup_pairs
+           FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within_p)
+           GROUP BY 1, 2 HAVING SUM(p) > 0""".replaceAll("\\s+", " ")
+      }),
+
     // — the SAME driver-side sequence feeds both emitters), so the oracle
     // replays the rep pass, bucketing, size guard, pair expansion, and
     // the cosine threshold exactly.

@@ -15,6 +15,30 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got == Set((1L, 3L), (3L, 1L)))
   }
 
+  test("sourceOverlap expands rep-level dups into exact doc-pair counts per source pair") {
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    val near = (0 until 29).map(i => s"t$i").mkString(" ") + " zz" // 28/30 shingles shared
+    val other = (0 until 30).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (0L, base, "A"), (1L, base, "B"), (2L, base, "B"), // exact cluster, A:1 B:2
+      (3L, near, "A"),                                   // near-dup of the cluster
+      (4L, other, "B"))                                  // unrelated
+      .toDF("doc_id", "text", "source")
+    // precondition: the near pair must survive LSH banding + verify
+    // (deterministic hashes — if this fails the fixture needs longer texts)
+    val cand = Dedup.minhashCandidates(
+      Dedup.exactRepresentatives(df, "doc_id", md5(col("text").cast("binary"))),
+      "doc_id", "text", 12, 3, 3, 10000)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 3L)), s"LSH missed the near pair: $cand")
+    val got = Dedup.sourceOverlap(df, "doc_id", "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    // exact cluster {0,1,2}: within A-B = 1x2, B-B = C(2,2) = 1
+    // near rep pair (0,3): rep0 counts {A:1, B:2} x rep3 {A:1}
+    //   -> (A,A) += 1, (A,B) += 2
+    assert(got == Set(("A", "A", 1L), ("A", "B", 4L), ("B", "B", 1L)))
+  }
+
   test("identical documents share the full MinHash signature") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
