@@ -469,6 +469,52 @@ object PipelineQueries {
       },
       Some(ivfOracleSql)),
 
+    // Streaming ANN index ingest: the embeddings table arrives as a
+    // FILE-SOURCE stream (chronological chunks, nothing through the
+    // driver); each micro-batch appends bucket-assigned vectors to the
+    // persisted IVF index via foreachBatch — the production shape for
+    // an index that stays queryable while the corpus grows. The entry
+    // returns the post-ingest search and shares ivfOracleSql: the
+    // stream-built index hash-matching the batch oracle certifies the
+    // whole ingest path (assignment, partitioned appends, sidecar)
+    // end to end. A real deployment adds periodic small-file
+    // compaction per bucket partition; content is append-order-
+    // independent either way.
+    "q_stream_index_ingest" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        val e = emb(s, d)
+        val centroids = strideCentroids(s, d)
+        val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+        // empty build writes the centroid sidecar; batches append data
+        val idx = Ann.buildIvfIndex(e.limit(0), "vec_id", "embedding", idxPath, centroids)
+        val feedDir = java.nio.file.Files.createTempDirectory("graft-ivf-feed").toString
+        graft.streaming.SedStreaming.stageFileStream(
+          e.selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding"),
+          "vec_id", feedDir)
+        val s2 = s.newSession()
+        SedQueries.ensureConfs(s2)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val stream = graft.streaming.SedStreaming.fileStream(s2, feedDir, schema)
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            Ann.appendToIvfIndex(idx, b, "vec_id", "embedding")
+          }
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val queries = Ann.collectQueries(
+          e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
+        Ann.searchIvfIndex(s, idx, queries, TopK, IvfNprobe)
+      },
+      Some(ivfOracleSql)),
+
     // IVF-PQ search over the residual-int8 codes index: approximate
     // candidates from the 4x-smaller codes scan, exact re-rank of the
     // top-4k pool against the full-precision index (probed partitions,

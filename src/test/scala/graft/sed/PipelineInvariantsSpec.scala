@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * both compute the *intended* thing). */
 class PipelineInvariantsSpec extends SparkSpecBase {
 
+  test("q_stream_index_ingest: the stream-built IVF index searches identically to the batch entry") {
+    import spark.implicits._
+    val viaStream = SparkEntry.queries("q_stream_index_ingest")(spark, Sf)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaBatch = SparkEntry.queries("q_ann_ivf")(spark, Sf)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaStream.nonEmpty && viaStream == viaBatch)
+  }
+
   test("q_pack_sequences: slices tile each document exactly and respect the pack budget") {
     import graft.functions.TextFunctions.tokens
     val packs = SparkEntry.queries("q_pack_sequences")(spark, Sf).cache()
