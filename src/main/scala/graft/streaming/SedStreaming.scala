@@ -199,6 +199,31 @@ object SedStreaming {
       .toDF("band", "dup_id", "keeper_id", "ts")
   }
 
+  /** Benchmark-decontamination flag AT INGEST: each arriving document is
+    * scored against a driver-built Bloom filter over the eval set's
+    * shingle hashes — `n_maybe_contam` = how many of the doc's distinct
+    * shingle hashes the filter might contain. Stateless map-only column
+    * algebra (append mode, no watermark, no join): the deployed shape
+    * for the cheap gate that runs on every arriving document, with the
+    * exact (semi-join) pass running offline over the flagged subset.
+    * Bloom filters have no false negatives, so a document the exact
+    * decontamination would flag ALWAYS has n_maybe_contam > 0 here —
+    * the flag is safe to route on (spec-pinned). */
+  def streamingDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                             bloom: org.apache.spark.broadcast.Broadcast[
+                               org.apache.spark.util.sketch.BloomFilter],
+                             shingleN: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= shingleN)
+      .withColumn("__hits", filter(
+        array_distinct(org.apache.spark.sql.graft.ShingleHashes(col("__toks"), shingleN)),
+        h => org.apache.spark.sql.graft.BloomMightContainLong(h, bloom)))
+      .select(col(idCol), size(col("__hits")).cast("long").as("n_maybe_contam"))
+      .filter(col("n_maybe_contam") > 0)
+  }
+
   /** Stage a batch table as an event-time-ordered FILE-SOURCE feed: rows
     * are range-partitioned on `tsCol` into `chunks` parquet files whose
     * modification times ascend in time order, so

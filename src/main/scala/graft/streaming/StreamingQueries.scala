@@ -239,6 +239,33 @@ object StreamingQueries {
     runToParquet(s, neardupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
   }
 
+  /** Decontamination flag at ingest: the documents table replayed as a
+    * file stream, each arriving doc scored map-only against a
+    * driver-built Bloom over the eval docs' (doc_id % 97 == 0) shingle
+    * hashes — stateless append-mode flagging, the cheap gate in front
+    * of the exact offline pass. Rows-only (Bloom bit decisions have no
+    * SQL twin); the no-false-negative guarantee vs exact decontam and
+    * the file/batch twin equality are spec-pinned. */
+  def streamDecontaminate(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val shingleN = 3
+    val evalHashes = Tables.documents(s0, d)
+      .filter(col("doc_id") % 97 === 0)
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(explode(org.apache.spark.sql.graft.ShingleHashes(
+        col("__toks"), shingleN)).as("h"))
+    val bf = evalHashes.stat.bloomFilter("h", 100000L, 0.01)
+    val bc = s.sparkContext.broadcast(bf)
+    val dir = tmp("graft_decontam_feed")
+    SedStreaming.stageFileStream(Tables.documents(s0, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"), "doc_id", dir)
+    runToParquet(s, SedStreaming.streamingDecontaminate(
+      SedStreaming.fileStream(s, dir, dedupSchema), "doc_id", "text", bc, shingleN))
+  }
+
   // ---- MemoryStream twins (spec evidence: feed-independence) ----------
 
   /** The same four chains fed from driver-side MemoryStream in event-time
@@ -351,5 +378,6 @@ object StreamingQueries {
     "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None),
     "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None),
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
-    "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None))
+    "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
+    "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None))
 }

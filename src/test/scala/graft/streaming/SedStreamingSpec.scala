@@ -143,6 +143,44 @@ class SedStreamingSpec extends SparkSpecBase {
     assert(got == batch)
   }
 
+  test("driver q_stream_decontam: batch-twin equal, no false negatives vs exact decontam") {
+    val d = "/root/testdata/sf0.001"
+    val got = StreamingQueries.streamDecontaminate(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // twin equality: the same map-only scoring run in batch
+    val shingleN = 3
+    val docsT = graft.sed.Tables.documents(spark, d)
+    val evalHashes = docsT.filter(col("doc_id") % 97 === 0)
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(explode(org.apache.spark.sql.graft.ShingleHashes(
+        col("__toks"), shingleN)).as("h"))
+    val bc = spark.sparkContext.broadcast(
+      evalHashes.stat.bloomFilter("h", 100000L, 0.01))
+    val batch = graft.streaming.SedStreaming.streamingDecontaminate(
+      docsT.filter(col("doc_id") % 97 =!= 0)
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"),
+      "doc_id", "text", bc, shingleN)
+      .as[(Long, Long)].collect().toMap
+    assert(got == batch, "file-stream flags must equal the batch twin")
+    // no false negatives: every doc the EXACT decontamination flags is
+    // flagged here, with at least as many maybe-hits as true hits
+    val sh = docsT
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("__toks")) >= shingleN)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(array_distinct(org.apache.spark.sql.graft.ShingleHashes(
+          col("__toks"), shingleN))).as("h"))
+    val exact = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(sh.filter(col("doc_id") % 97 === 0).select("h").distinct(), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, n) =>
+      assert(got.getOrElse(id, 0L) >= n, s"doc $id: exact $n not covered by flag")
+    }
+  }
+
   test("driver q_stream_dedup: first occurrences kept, re-emits only past the horizon") {
     val d = "/root/testdata/sf0.001"
     val got = StreamingQueries.streamDedup(spark, d)
