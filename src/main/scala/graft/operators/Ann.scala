@@ -599,6 +599,30 @@ object Ann {
     df.select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
+  /** Compact an IVF index into one file per bucket partition at a new
+    * path — the periodic maintenance job behind streaming ingest
+    * (foreachBatch appends write one file per bucket per micro-batch;
+    * scan cost grows with file count, not data). `repartition(bucket)`
+    * hash-exchanges so each bucket lands wholly in one task, and the
+    * partitionBy write then emits exactly one file per bucket. Content
+    * is untouched — search results are bit-identical (spec-pinned).
+    * Writes to a fresh path (an in-place rewrite would race readers);
+    * production swaps the path atomically (rename / view flip). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      index: IvfIndex, destPath: String): IvfIndex = {
+    spark.read.parquet(index.path)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(destPath)
+    val json = index.centroids.sortBy(_._1).map { case (cid, v) =>
+      s"""{"cid":$cid,"v":[${v.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(destPath, "_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    IvfIndex(destPath, index.centroids)
+  }
+
   /** Batch IVF search where the query set is a DATAFRAME, not a driver
     * array — the durable shape for production query batches that don't
     * fit a broadcast. Probe assignment stays a map-only pass against the

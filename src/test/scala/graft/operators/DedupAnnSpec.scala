@@ -187,6 +187,42 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(!plan.contains("vec_id IN ("))
   }
 
+  test("compactIvfIndex: one file per bucket, search bit-identical") {
+    val centroids = embeddings.filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) => ((id / 50).toInt, v) }.sortBy(_._1)
+    val path = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    // many-small-files state: empty build + 4 appends, as streaming
+    // ingest would leave it
+    val idx = Ann.buildIvfIndex(embeddings.filter($"vec_id" < 0),
+      "vec_id", "embedding", path, centroids)
+    (0 until 4).foreach { i =>
+      Ann.appendToIvfIndex(idx, embeddings.filter($"vec_id" % 4 === i),
+        "vec_id", "embedding")
+    }
+    def filesPerBucket(p: String): Map[String, Int] = {
+      val root = new java.io.File(p)
+      root.listFiles.filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.startsWith("part-"))).toMap
+    }
+    val before = filesPerBucket(path)
+    assert(before.values.max > 1, "fixture must start fragmented")
+    val dest = java.nio.file.Files.createTempDirectory("ivfcompact_out").toString
+    val compacted = Ann.compactIvfIndex(spark, idx, dest)
+    val after = filesPerBucket(dest)
+    assert(after.keySet == before.keySet && after.values.forall(_ == 1),
+      s"expected one file per bucket, got $after")
+    val queries = Ann.collectQueries(embeddings.filter($"vec_id" < 3),
+      "vec_id", "embedding")
+    val a = Ann.searchIvfIndex(spark, idx, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = Ann.searchIvfIndex(spark, compacted, queries, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b)
+    // the sidecar round-trips at the new path too
+    assert(Ann.loadIvfIndex(spark, dest).centroids.length == centroids.length)
+  }
+
   test("appendToIvfIndex antiJoinExisting makes a retried append idempotent") {
     val centroids = embeddings.filter($"vec_id" % 50 === 0)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
