@@ -52,4 +52,44 @@ object Mixture {
         % lit(1000000L) < col("rate_u"))
       .select(col(idCol), col(domainCol), col("rate_u"))
   }
+
+  /** Per-domain quality-floor filtering (the CCNet-style "keep each
+    * domain's top slice by classifier score" step): keep every document
+    * whose integer score reaches its domain's `frac`-quantile cutoff —
+    * cutoff = the smallest score whose cumulative count reaches
+    * frac·n(domain), i.e. the DISCRETE quantile, always an actual score
+    * value. Ties at the cutoff are all kept, so membership never hinges
+    * on float interpolation — with integer scores the whole decision is
+    * integer-exact and replays identically in any engine (the one
+    * double, frac·n, is the same product of the same literals on both
+    * sides).
+    *
+    * Scale shape: NO per-document sort. The quantile comes from the
+    * per-domain score HISTOGRAM — one groupBy(domain, score) with
+    * map-side partials (key cardinality = domains × distinct scores),
+    * a window over those histogram rows (per-domain group size =
+    * distinct scores, not documents), and a broadcast join of the
+    * per-domain cutoffs back onto the scan — the same
+    * hot-partition-free posture as [[waterfill]]. */
+  def qualityFloor(docs: DataFrame, idCol: String, domainCol: String,
+                   score: org.apache.spark.sql.Column, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac=$frac must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    // scored feeds the histogram AND the final join — materialize it
+    // once or the (possibly expensive) score derivation runs per
+    // consumer; the checkpoint holds only (id, domain, score)
+    val scored = docs.select(col(idCol), col(domainCol).as("domain"),
+      score.cast("long").as("score")).localCheckpoint(true)
+    val hist = scored.groupBy("domain", "score").agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("domain").orderBy("score")
+    val wAll = Window.partitionBy("domain")
+    val thr = hist
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+      .filter(col("__cum").cast("double") >= lit(frac) * col("__n").cast("double"))
+      .groupBy("domain").agg(min("score").as("__cutoff"))
+    scored.join(broadcast(thr), "domain")
+      .filter(col("score") >= col("__cutoff"))
+      .select(col(idCol), col("domain"), col("score"))
+  }
 }

@@ -1275,6 +1275,33 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
+    // Per-domain quality floor: keep each source's documents whose
+    // hashed-linear score reaches the source's 0.7 DISCRETE quantile
+    // (smallest score with cumulative count >= 0.7 n). Histogram-based —
+    // no per-document sort (Mixture.qualityFloor); integer-exact
+    // membership, so the oracle hash-matches with no rounding.
+    "q_quality_floor" -> QueryDef(
+      (s, d) => graft.operators.Mixture.qualityFloor(
+        docs(s, d).withColumn("__toks", tokens(col("text"))),
+        "doc_id", "source",
+        TextFunctions.hashedLinearScoreU(col("__toks"), ClsDim), 0.7),
+      Some {
+        import graft.functions.SedFunctions.d2s
+        val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
+        s"""WITH scored AS (SELECT doc_id, source AS domain, $score AS score
+             FROM (SELECT doc_id, source, $toksSqlFrag AS l FROM documents)),
+           hist AS (SELECT domain, score, COUNT(*) AS c FROM scored GROUP BY 1, 2),
+           cum AS (SELECT domain, score,
+               SUM(c) OVER (PARTITION BY domain ORDER BY score) AS cum,
+               SUM(c) OVER (PARTITION BY domain) AS n FROM hist),
+           thr AS (SELECT domain, MIN(score) AS cutoff FROM cum
+             WHERE CAST(cum AS DOUBLE) >= ${d2s(0.7)} * CAST(n AS DOUBLE)
+             GROUP BY domain)
+           SELECT s.doc_id, s.domain, s.score FROM scored s
+           JOIN thr t ON s.domain = t.domain WHERE s.score >= t.cutoff"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // ---------------- multimodal ----------------
     "q_multimodal_meta" -> QueryDef(
       (s, d) => Multimodal.decodeMeta(

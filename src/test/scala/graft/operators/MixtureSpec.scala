@@ -36,6 +36,26 @@ class MixtureSpec extends SparkSpecBase {
     assert(!got.select("dom").as[String].collect().contains("zzz"))
   }
 
+  test("qualityFloor keeps each domain's top slice at the discrete quantile, ties included") {
+    // domain A: scores 1..10 -> 0.7-cutoff = 7 (cum 7 >= 7), keep 7..10
+    // domain B: all equal    -> cutoff = the value, keep everything
+    // domain C: ties at cutoff -> cum(1)=5 < 7, cum(2)=10 >= 7, keep all five 2s
+    val rows = (1L to 10L).map(i => (i, "A", i)) ++
+      (11L to 14L).map(i => (i, "B", 5L)) ++
+      (21L to 25L).map(i => (i, 'C'.toString, 1L)) ++
+      (26L to 30L).map(i => (i, "C", 2L))
+    val df = rows.toDF("id", "dom", "s")
+    val got = Mixture.qualityFloor(df, "id", "dom", col("s"), 0.7)
+      .as[(Long, String, Long)].collect().toSet
+    val expect = ((7L to 10L).map(i => (i, "A", i)) ++
+      (11L to 14L).map(i => (i, "B", 5L)) ++
+      (26L to 30L).map(i => (i, "C", 2L))).toSet
+    assert(got == expect)
+    intercept[IllegalArgumentException] {
+      Mixture.qualityFloor(df, "id", "dom", col("s"), 1.0)
+    }
+  }
+
   test("waterfill refuses malformed weights") {
     val df = Seq((1L, "a")).toDF("id", "dom")
     intercept[IllegalArgumentException] {
