@@ -292,6 +292,35 @@ object PipelineQueries {
     // (grouping on the vector column itself — no hash needed), so pair
     // expansion scales with near-dup width, not copies². The plane sign
     // bits are dots with ±1 literal hyperplanes (VectorFunctions.signPlane
+    // LSH bucket-size histogram — the skew diagnostic behind the
+    // maxBucket guard: per band, how many buckets exist at each
+    // collision size (>= 2). This is what an operator reads before
+    // tuning banding parameters on a new corpus: a fat tail here means
+    // degenerate boilerplate that belongs to the exact-hash pass.
+    // Reuses the shared rep/sig/banded CTE chain; unreferenced CTEs
+    // (cand/sh/verified) are pruned by the engine.
+    "q_lsh_stats" -> QueryDef(
+      (s, d) => {
+        val reps = Dedup.exactRepresentatives(docs(s, d), "doc_id",
+          md5(col("text").cast("binary")))
+        val sig = Dedup.minhashSignatures(reps, "doc_id", "text", NumHashes, ShingleN)
+        val banded = Dedup.withBandKeys(sig, NumHashes, RowsPerBand)
+        val numBands = NumHashes / RowsPerBand
+        val long = (0 until numBands).map(b =>
+          banded.select(lit(b).cast("long").as("band"), col(s"b$b").as("key")))
+          .reduce(_ unionAll _)
+        long.groupBy("band", "key").agg(count(lit(1)).as("bucket_size"))
+          .filter(col("bucket_size") >= 2)
+          .groupBy("band", "bucket_size").agg(count(lit(1)).as("n_buckets"))
+      },
+      Some {
+        s"""WITH ${repVerifiedCtesSql(0.8)}
+           SELECT CAST(band AS BIGINT) AS band, bucket_size, COUNT(*) AS n_buckets
+           FROM (SELECT band, key, CAST(COUNT(*) AS BIGINT) AS bucket_size
+                 FROM banded GROUP BY 1, 2)
+           WHERE bucket_size >= 2 GROUP BY 1, 2""".replaceAll("\\s+", " ")
+      }),
+
     // Cross-source near-duplication matrix: per unordered source pair,
     // the number of DOCUMENT pairs that are near-duplicates (identical
     // content, or rep shingle-Jaccard >= 0.8). Exact-first + LSH over

@@ -239,6 +239,29 @@ object StreamingQueries {
     runToParquet(s, neardupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
   }
 
+  /** Streaming forward-fill over the events feed: every 10th event
+    * carries a sensor value, the rest fill forward per user in event-
+    * time order, with per-key state carrying the last value ACROSS
+    * micro-batches (SedStreaming.streamingForwardFill). ORACLE-ELIGIBLE
+    * (rare for streaming): the filled values pass through untouched, so
+    * the result equals DuckDB's LAST_VALUE(... IGNORE NULLS) window —
+    * chunking is provably irrelevant because the feed is staged in
+    * ts_us-ascending files and state carries the boundary. */
+  def streamForwardFill(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_ffill_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts_us",
+        "CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END AS v"),
+      "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("v", DoubleType)))
+    runToParquet(s, SedStreaming.streamingForwardFill(
+      SedStreaming.fileStream(s, dir, schema), "user_id", "ts_us", "v"))
+  }
+
   /** Decontamination flag at ingest: the documents table replayed as a
     * file stream, each arriving doc scored map-only against a
     * driver-built Bloom over the eval docs' (doc_id % 97 == 0) shingle
@@ -379,5 +402,11 @@ object StreamingQueries {
     "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None),
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
-    "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None))
+    "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
+    "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
+      Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
+          LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+          FROM events""".replaceAll("\\s+", " "))))
 }
