@@ -287,6 +287,118 @@ object Dedup {
     dedupCorpus(reps, idCol, verified)
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental (delta-vs-corpus) dedup over a persisted index
+  // ---------------------------------------------------------------------
+
+  /** Persist the dedup index of an already-ingested corpus: the artifact
+    * that makes ingestion-time dedup INCREMENTAL — a new batch is checked
+    * against these three tables and the corpus itself is never rescanned.
+    * Layout under `path`:
+    *  - `hashes/`   (content_hash, keeper): one row per distinct content;
+    *  - `bands/`    (band, key, keeper): LSH band keys of the exact
+    *    representatives, with over-`maxBucket` buckets dropped at build
+    *    time (the standard skew guard — degenerate boilerplate belongs to
+    *    the exact-hash pass, and a hot band key would otherwise fan every
+    *    future delta doc out against the whole bucket);
+    *  - `shingles/` (keeper, sh): each representative's sorted distinct
+    *    shingle-hash set, so candidate pairs Jaccard-verify against the
+    *    index alone — no join back to corpus text.
+    * Index size is O(distinct docs), not O(corpus bytes): the shuffle and
+    * the files carry hashes and band keys, never document text. */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      path: String,
+                      numHashes: Int = 12, rowsPerBand: Int = 3,
+                      shingleN: Int = 3, maxBucket: Int = 10000): Unit = {
+    corpus.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    val reps = exactRepresentatives(corpus, idCol, md5(col(textCol).cast("binary")))
+    val numBands = numHashes / rowsPerBand
+    val banded = withBandKeys(
+      minhashSignatures(reps, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand)
+    val bands = banded.select(col(idCol).as("keeper"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col("keeper"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(true) // feeds the guard AND the guarded write once
+    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("band", "key")
+    bands.join(ok, Seq("band", "key"), "left_semi")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    shingleSets(reps, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "keeper")
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Dedup an arriving delta batch against a [[buildDedupIndex]] index
+    * plus itself — the realistic ingestion shape at corpus scale, where
+    * re-running full-corpus dedup per batch is off the table. Each delta
+    * row is classified:
+    *  - `dup_corpus`: content hash already in the corpus (match_id = the
+    *    corpus keeper);
+    *  - `dup_delta`: exact copy of a smaller-id doc within the batch
+    *    (match_id = the batch keeper; near-dup WITHIN a batch is the
+    *    streaming LSH stage's job — see streamingLshCandidates);
+    *  - `near_corpus`: batch-unique content that collides with a corpus
+    *    representative in ≥ 1 LSH band AND verifies at shingle-Jaccard
+    *    ≥ `minJaccard` (match_id = the smallest verified corpus keeper,
+    *    n_near = how many corpus reps verified);
+    *  - `new`: everything else (match_id = -1).
+    * Scale shape: the delta is the SMALL side of every join — AQE
+    * broadcasts it against the index scans, so per-batch cost is
+    * O(|delta| + matched index rows), never O(corpus). Exact matches
+    * join on the 16-byte hash; band candidates join on (band, key) with
+    * the index's bucket cap already applied at build time. */
+  def incrementalDedup(spark: org.apache.spark.sql.SparkSession,
+                       delta: DataFrame, idCol: String, textCol: String,
+                       path: String,
+                       numHashes: Int = 12, rowsPerBand: Int = 3,
+                       shingleN: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val idxHashes = spark.read.parquet(s"$path/hashes")
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val idxSh = spark.read.parquet(s"$path/shingles")
+    val hashed = delta.select(col(idCol), col(textCol))
+      .withColumn("__h", md5(col(textCol).cast("binary")))
+    val dkeep = hashed.groupBy("__h").agg(min(col(idCol)).as("__dk"))
+    val tagged = hashed
+      .join(idxHashes.select(col("content_hash").as("__h"),
+        col("keeper").as("__ck")), Seq("__h"), "left")
+      .join(dkeep, "__h")
+    // near-dup candidates: batch-unique exact keepers only — copies are
+    // already classified, and a copy's near-matches equal its keeper's
+    val surv = tagged.filter(col("__ck").isNull && col(idCol) === col("__dk"))
+      .select(col(idCol), col(textCol))
+    val numBands = numHashes / rowsPerBand
+    val banded = withBandKeys(
+      minhashSignatures(surv, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand)
+    val dBands = banded.select(col(idCol),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = dBands.join(idxBands, Seq("band", "key"))
+      .select(col(idCol).as("a_id"), col("keeper").as("b_id")).distinct()
+    val joined = cand
+      .join(shingleSets(surv, idCol, textCol, shingleN)
+        .select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(idxSh.select(col("keeper").as("b_id"), col("sh").as("b_sh")), "b_id")
+    val near = jaccardOf(joined).filter(col("jaccard") >= minJaccard)
+      .groupBy(col("a_id").as(idCol))
+      .agg(min("b_id").as("__nk"), count(lit(1)).as("__nn"))
+    tagged.join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ck").isNotNull, lit("dup_corpus"))
+          .when(col(idCol) > col("__dk"), lit("dup_delta"))
+          .when(col("__nk").isNotNull, lit("near_corpus"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("__ck"),
+          when(col(idCol) > col("__dk"), col("__dk")),
+          col("__nk"), lit(-1L)).as("match_id"),
+        coalesce(col("__nn"), lit(0L)).as("n_near"))
+  }
+
   /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each; a pair is a
     * candidate if it collides in any table, and survives if cosine >=

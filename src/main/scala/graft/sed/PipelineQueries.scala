@@ -42,12 +42,32 @@ object PipelineQueries {
   private val TrainSeed = "ep0" // q_train_order epoch seed
   private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
   private val TfidfTopK = 10 // salient terms kept per doc (q_tfidf)
+  private val Bm25Terms = Seq("spark", "window", "merge") // q_bm25 query
+  private val Bm25K1 = 1.2 // BM25 tf saturation
+  private val Bm25B = 0.75 // BM25 length normalization
+  private val Bm25TopK = 20 // retrieved docs kept (q_bm25)
+  private val DsirBuckets = 512 // hashed-unigram feature space (q_dsir_weight)
+  private val DsirTargetLang = "en" // DSIR target domain
+  private val DeltaMod = 3 // q_incremental_dedup: doc_id % this == 0 -> delta batch
+  private val IncMinJ = 0.8 // q_incremental_dedup near-dup verify threshold
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
   // q_domain_mix target mixture (micro-units, sums to 1e6); zh deliberately
   // absent — out-of-mixture domains drop. With the sf tables' lang counts,
   // de binds the waterfill (keeps all its rows at rate_u = 1e6).
   private val MixMicroWeights =
     Seq("en" -> 500000L, "de" -> 200000L, "es" -> 200000L, "fr" -> 100000L)
+
+  /** Persisted corpus dedup index per sf dir, built once per JVM (the
+    * offline index of the incremental-ingestion loop): corpus = docs NOT
+    * in the q_incremental_dedup delta slice. */
+  private val dedupIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dedupIndexFor(s: SparkSession, d: String): String =
+    dedupIndexes.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
+      Dedup.buildDedupIndex(docs(s, d).filter(col("doc_id") % DeltaMod =!= 0),
+        "doc_id", "text", path, NumHashes, RowsPerBand, ShingleN, MaxBucket)
+      path
+    })
 
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
@@ -131,14 +151,27 @@ object PipelineQueries {
   }
   private def hash32Frag(x: String): String = TextFunctions.hash32Sql(x)
 
-  /** DuckDB twin of Dedup.minhashSignatures (shared by q_minhash_sig and
-    * the q_dedup_minhash bucket oracle). */
-  private lazy val minhashSigSql: String = {
+  /** DuckDB twin of Dedup.minhashSignatures over any doc-set relation
+    * with (doc_id, text) columns (shared by q_minhash_sig, the
+    * q_dedup_minhash bucket oracle, and the q_incremental_dedup corpus/
+    * delta replays). */
+  private def minhashSigSqlFor(table: String): String = {
     val sh = shinglesSqlFrag("l", ShingleN)
     val sigCols = (0 until NumHashes).map { j =>
       s"list_min(list_transform($sh, s -> (${minhashA(j)} * ${hash32Frag("s")} + ${minhashB(j)}) % $MinhashP)) AS s$j"
     }.mkString(", ")
-    s"SELECT doc_id, $sigCols FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents WHERE len($toksSqlFrag) >= $ShingleN)"
+    s"SELECT doc_id, $sigCols FROM (SELECT doc_id, $toksSqlFrag AS l FROM $table WHERE len($toksSqlFrag) >= $ShingleN)"
+  }
+  private lazy val minhashSigSql: String = minhashSigSqlFor("documents")
+
+  /** DuckDB twin of the band-key explode over a signature relation
+    * `sigTable` (columns doc_id, s0..s{k-1}). */
+  private def bandSelectsSqlFor(sigTable: String): String = {
+    val numBands = NumHashes / RowsPerBand
+    (0 until numBands).map { b =>
+      val key = bandKeySqlFrag((0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}"))
+      s"SELECT doc_id, $b AS band, $key AS key FROM $sigTable"
+    }.mkString(" UNION ALL ")
   }
 
   /** DuckDB twin of TextFunctions.bandKey (base-31 polynomial). */
@@ -1010,6 +1043,189 @@ object PipelineQueries {
           SELECT *, CAST(ROW_NUMBER() OVER (
             PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
           FROM scored) WHERE rk <= $TfidfTopK""".replaceAll("\\s+", " "))),
+
+    // BM25 retrieval scoring (Robertson–Spärck Jones; the standard
+    // retrieval ranking behind search-based decontamination and RAG
+    // corpus construction): score(d) = Σ_t idf_t · tf·(k1+1) /
+    // (tf + k1·(1−b+b·dl/avgdl)) over a fixed query term set. Shuffle
+    // shape at scale: tokens explode ONCE with an in-row term filter (the
+    // token stream entering the shuffle is |terms|-bounded per doc, not
+    // the corpus token count); df and the corpus stats (N, avgdl) are
+    // tiny aggregates broadcast onto the per-(doc,term) tf table; top-k
+    // plans as WindowGroupLimit. Per-term contributions land in integer
+    // micro-units BEFORE the per-doc sum, so the final score is
+    // reduction-order independent and hash-exact cross-engine.
+    "q_bm25" -> QueryDef(
+      (s, d) => {
+        val terms = Bm25Terms
+        val dl = docs(s, d).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val contrib = tf
+          .join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(stats))
+          .join(dl, "doc_id")
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5)))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("cu", floor(col("idf") *
+            (col("tf").cast("double") * (lit(Bm25K1) + 1.0)) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))) *
+            1000000 + 0.5).cast("long"))
+        val scored = contrib.groupBy("doc_id").agg(sum("cu").as("score_u"))
+        val w = Window.orderBy(col("score_u").desc, col("doc_id"))
+        scored.select(col("doc_id"), col("score_u"),
+            row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= Bm25TopK)
+      },
+      Some {
+        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        import graft.functions.SedFunctions.d2s
+        s"""WITH dl AS (SELECT doc_id, CAST(len($toksSqlFrag) AS BIGINT) AS dl FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST($toksSqlFrag) AS tok FROM documents)
+            WHERE tok IN ($termList) GROUP BY doc_id, tok),
+          dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+          contrib AS (SELECT tf.doc_id,
+            CAST(FLOOR(
+              LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+              (CAST(tf AS DOUBLE) * (${d2s(Bm25K1)} + 1.0)) /
+              (CAST(tf AS DOUBLE) + ${d2s(Bm25K1)} *
+                (1.0 - ${d2s(Bm25B)} + ${d2s(Bm25B)} * CAST(dl.dl AS DOUBLE) /
+                  (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+              1000000 + 0.5) AS BIGINT) AS cu
+            FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN stats
+            JOIN dl ON dl.doc_id = tf.doc_id),
+          scored AS (SELECT doc_id, CAST(SUM(cu) AS BIGINT) AS score_u
+            FROM contrib GROUP BY doc_id)
+          SELECT doc_id, score_u, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+              ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM scored)
+          WHERE rank <= $Bm25TopK""".replaceAll("\\s+", " ")
+      }),
+
+    // DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169): per
+    // document, the hashed-unigram log-likelihood ratio
+    // Σ_tok [ln p_target(b(tok)) − ln p_raw(b(tok))] between a target
+    // domain (lang='en' here) and the raw corpus, with add-1 smoothing
+    // over $DsirBuckets hash buckets — the standard "select pretraining
+    // data that looks like the target" resampling weight. Shuffle shape
+    // at scale: ONE explode→groupBy(bucket) pass builds both bucket
+    // histograms (conditional partial aggs, bucket-bounded shuffle); the
+    // per-bucket log-ratios land in integer micro-units and broadcast-
+    // join back onto the token stream, so doc weights are integer sums —
+    // reduction-order independent, hash-exact. Docs with no tokens keep
+    // weight 0 via the left join.
+    "q_dsir_weight" -> QueryDef(
+      (s, d) => {
+        val b = lit(DsirBuckets)
+        val tok = docs(s, d)
+          .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("bkt", expr_hash32(col("tok")) % b)
+        val cnt = tok.groupBy("bkt").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+        val tot = cnt.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+        val wts = cnt.crossJoin(broadcast(tot))
+          .withColumn("wu", floor(
+            (log((col("ct") + 1).cast("double") / (col("tt") + b).cast("double")) -
+              log((col("cr") + 1).cast("double") / (col("tr") + b).cast("double"))) *
+            1000000 + 0.5).cast("long"))
+          .select("bkt", "wu")
+        val scores = tok.join(broadcast(wts), "bkt")
+          .groupBy("doc_id").agg(sum("wu").as("weight_u"))
+        docs(s, d).select("doc_id", "lang")
+          .join(scores, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("weight_u"), lit(0L)).as("weight_u"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang,
+            (${hash32Frag("tok")}) % $DsirBuckets AS bkt
+          FROM (SELECT doc_id, lang, UNNEST($toksSqlFrag) AS tok FROM documents)),
+        cnt AS (SELECT bkt, COUNT(*) AS cr,
+            SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS ct
+          FROM tok GROUP BY bkt),
+        tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM cnt),
+        wts AS (SELECT bkt,
+            CAST(FLOOR((LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + $DsirBuckets AS DOUBLE)) -
+                        LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + $DsirBuckets AS DOUBLE))) *
+              1000000 + 0.5) AS BIGINT) AS wu
+          FROM cnt CROSS JOIN tot),
+        sc AS (SELECT doc_id, CAST(SUM(wu) AS BIGINT) AS weight_u
+          FROM tok JOIN wts USING (bkt) GROUP BY doc_id)
+        SELECT d.doc_id, d.lang, COALESCE(sc.weight_u, 0) AS weight_u
+        FROM documents d LEFT JOIN sc USING (doc_id)""".replaceAll("\\s+", " "))),
+
+    // Incremental dedup: an arriving delta batch (doc_id % DeltaMod == 0)
+    // classified against the PERSISTED corpus index (built once per JVM
+    // from the other docs — see Dedup.buildDedupIndex) plus itself:
+    // dup_corpus / dup_delta / near_corpus (LSH band hit + Jaccard >=
+    // IncMinJ against index shingle sets) / new. The ingestion shape at
+    // corpus scale: per-batch cost is O(|delta| + matched index rows) —
+    // the corpus is NEVER rescanned; the oracle replays index build +
+    // delta classification from scratch, certifying the persisted-index
+    // path against the direct computation.
+    "q_incremental_dedup" -> QueryDef(
+      (s, d) => Dedup.incrementalDedup(s,
+        docs(s, d).filter(col("doc_id") % DeltaMod === 0),
+        "doc_id", "text", dedupIndexFor(s, d),
+        NumHashes, RowsPerBand, ShingleN, IncMinJ),
+      Some {
+        import graft.functions.SedFunctions.d2s
+        val shHash = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
+        def shSetSql(table: String) =
+          s"""SELECT doc_id, list_distinct($shHash) AS sh
+             FROM (SELECT doc_id, $toksSqlFrag AS l FROM $table
+                   WHERE len($toksSqlFrag) >= $ShingleN)"""
+        s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % $DeltaMod <> 0),
+          delta AS (SELECT * FROM documents WHERE doc_id % $DeltaMod = 0),
+          chash AS (SELECT md5(text) AS h, MIN(doc_id) AS ck FROM corpus GROUP BY 1),
+          crepd AS (SELECT corpus.* FROM corpus
+            JOIN (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)) r USING (doc_id)),
+          csig AS (${minhashSigSqlFor("crepd")}),
+          cband0 AS (${bandSelectsSqlFor("csig")}),
+          cbok AS (SELECT band, key FROM cband0 GROUP BY band, key
+                   HAVING COUNT(*) <= $MaxBucket),
+          cband AS (SELECT cband0.* FROM cband0 JOIN cbok USING (band, key)),
+          csh AS (${shSetSql("crepd")}),
+          dhash AS (SELECT doc_id, md5(text) AS h FROM delta),
+          dkeep AS (SELECT h, MIN(doc_id) AS dk FROM dhash GROUP BY h),
+          tagged AS (SELECT dh.doc_id, chash.ck, dkeep.dk FROM dhash dh
+            LEFT JOIN chash USING (h) JOIN dkeep USING (h)),
+          surv AS (SELECT delta.* FROM delta JOIN tagged USING (doc_id)
+            WHERE ck IS NULL AND doc_id = dk),
+          dsig AS (${minhashSigSqlFor("surv")}),
+          dband AS (${bandSelectsSqlFor("dsig")}),
+          cand AS (SELECT DISTINCT db.doc_id AS a_id, cb.doc_id AS b_id
+            FROM dband db JOIN cband cb USING (band, key)),
+          dsh AS (${shSetSql("surv")}),
+          ver AS (SELECT a_id, b_id FROM (
+              SELECT c.a_id, c.b_id,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+              FROM cand c JOIN dsh a ON a.doc_id = c.a_id
+              JOIN csh b ON b.doc_id = c.b_id)
+            WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= ${d2s(IncMinJ)}),
+          near AS (SELECT a_id AS doc_id, MIN(b_id) AS nk, COUNT(*) AS nn
+            FROM ver GROUP BY a_id)
+          SELECT t.doc_id,
+            CASE WHEN t.ck IS NOT NULL THEN 'dup_corpus'
+                 WHEN t.doc_id > t.dk THEN 'dup_delta'
+                 WHEN n.nk IS NOT NULL THEN 'near_corpus'
+                 ELSE 'new' END AS status,
+            CAST(COALESCE(t.ck, CASE WHEN t.doc_id > t.dk THEN t.dk END,
+              n.nk, -1) AS BIGINT) AS match_id,
+            CAST(COALESCE(n.nn, 0) AS BIGINT) AS n_near
+          FROM tagged t LEFT JOIN near n USING (doc_id)""".replaceAll("\\s+", " ")
+      }),
 
     // Corpus-level stats per source: doc counts + exact char/token means
     // (integer sums, one divide — reduction-order independent).

@@ -337,6 +337,57 @@ object RelationalQueries {
           CAST(GROUPING(n_name) AS BIGINT) AS g_n
         FROM customer, nation, region
         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        GROUP BY ROLLUP(r_name, n_name)""".replaceAll("\\s+", " ")))
+        GROUP BY ROLLUP(r_name, n_name)""".replaceAll("\\s+", " "))),
+
+    // CUBE aggregate: all four grouping sets over (returnflag, linestatus)
+    // in ONE pass — Spark's Expand operator replicates each input row per
+    // grouping set BELOW the partial aggregation, so the shuffle carries
+    // partially-aggregated groups (|distinct| × 4 rows), never the 4×
+    // replicated fact table. Money in exact cents (see centsSum).
+    "q_cube" -> QueryDef(
+      (s, d) => {
+        t(s, d, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+          .createOrReplaceTempView("graft_cube_li")
+        // SQL form for the same DetectAmbiguousSelfJoin reason as q_rollup
+        s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+            ${centsSumSql("l_quantity")} AS sum_qty,
+            CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+          FROM graft_cube_li GROUP BY CUBE(l_returnflag, l_linestatus)""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+          ${centsSumSql("l_quantity")} AS sum_qty,
+          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
+        .replaceAll("\\s+", " "))),
+
+    // Event-time RANGE window frame: per user, the trailing-1-hour event
+    // count and value sum at every event — the standard rolling-feature
+    // shape. ONE shuffle on user_id + per-partition sort; Spark evaluates
+    // the bounded RANGE frame with a sliding two-pointer accumulator
+    // (add/evict), O(n) per partition, never O(n·frame). Values fold in
+    // exact integer micro-units so the running sums are reduction-order
+    // independent; ts ties share a frame (RANGE includes peers) so the
+    // result is deterministic under any sort-tie order.
+    "q_window_range" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("ts_us"), floor(col("value") * 1000000 + 0.5).cast("long").as("vu"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        ev.select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("vu")).over(w).as("sum_u_1h"))
+      },
+      Some("""SELECT event_id, user_id, ts_us,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+          CAST(SUM(vu) OVER w AS BIGINT) AS sum_u_1h
+        FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        .replaceAll("\\s+", " ")))
   )
 }

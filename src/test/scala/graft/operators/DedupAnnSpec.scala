@@ -567,4 +567,48 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(chain(e).exists(t =>
       Option(t.getMessage).exists(_.contains("underfits"))), s"got: $e")
   }
+
+  test("incrementalDedup classifies a delta batch against the persisted corpus index") {
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    val near = (0 until 29).map(i => s"t$i").mkString(" ") + " zz" // J ≈ 27/29
+    val other = (0 until 30).map(i => s"u$i").mkString(" ")
+    val fresh1 = (0 until 30).map(i => s"v$i").mkString(" ")
+    val fresh2 = (0 until 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((10L, base), (11L, base), (12L, other), (13L, "tiny doc here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, base),    // exact content already in corpus
+      (21L, fresh1),  // batch keeper of a within-batch exact pair
+      (24L, fresh1),  //   ...its copy
+      (22L, near),    // near-dup of corpus rep 10
+      (23L, fresh2),  // genuinely new
+      (25L, "a b"))   // < shingleN tokens: must classify (not crash) as new
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", path)
+    val got = Dedup.incrementalDedup(spark, delta, "doc_id", "text", path)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(20L) == (("dup_corpus", 10L, 0L)))
+    assert(got(21L) == (("new", -1L, 0L)))
+    assert(got(24L) == (("dup_delta", 21L, 0L)))
+    assert(got(22L) == (("near_corpus", 10L, 1L)))
+    assert(got(23L) == (("new", -1L, 0L)))
+    assert(got(25L) == (("new", -1L, 0L)))
+  }
+
+  test("incrementalDedup: an exact corpus copy beats a simultaneous within-batch copy") {
+    // both delta rows carry corpus content: BOTH are dup_corpus (the
+    // within-batch keeper rule only applies to corpus-unseen content)
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val delta = Seq((20L, base), (21L, base)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-incdedup2").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", path)
+    val got = Dedup.incrementalDedup(spark, delta, "doc_id", "text", path)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(20L) == (("dup_corpus", 10L)))
+    assert(got(21L) == (("dup_corpus", 10L)))
+  }
 }
