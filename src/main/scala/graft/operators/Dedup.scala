@@ -399,6 +399,59 @@ object Dedup {
         coalesce(col("__nn"), lit(0L)).as("n_near"))
   }
 
+  /** Admit a classified batch's NEW documents into the persisted index —
+    * the maintenance half of the incremental-ingestion loop (classify →
+    * admit keepers → next batch sees them), without any rebuild. `docs`
+    * rows whose id appears in `classified` with status `new` append
+    * their content hash, band keys and shingle set; dup_* rows are
+    * already represented and near_corpus rows are near-dups the corpus
+    * policy drops, so neither is admitted. Appends are plain parquet
+    * `append` writes sized O(admitted batch). A hot band key can grow
+    * past `maxBucket` across many appends — [[compactDedupIndex]]
+    * re-applies the cap; until then an over-cap bucket only costs extra
+    * verify candidates (correctness is unaffected: Jaccard still
+    * gates). */
+  def appendToDedupIndex(delta: DataFrame, classified: DataFrame,
+                         idCol: String, textCol: String, path: String,
+                         numHashes: Int = 12, rowsPerBand: Int = 3,
+                         shingleN: Int = 3): Unit = {
+    val admit = delta.join(
+      classified.filter(col("status") === "new").select(idCol), Seq(idCol), "left_semi")
+    admit.select(md5(col(textCol).cast("binary")).as("content_hash"),
+        col(idCol).as("keeper"))
+      .write.mode("append").parquet(s"$path/hashes")
+    val numBands = numHashes / rowsPerBand
+    withBandKeys(minhashSignatures(admit, idCol, textCol, numHashes, shingleN),
+        numHashes, rowsPerBand)
+      .select(col(idCol).as("keeper"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col("keeper"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .write.mode("append").parquet(s"$path/bands")
+    shingleSets(admit, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "keeper")
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Rewrite a dedup index compactly: coalesce the append-accumulated
+    * small files and re-apply the band bucket cap (appends admit rows
+    * uncapped — see [[appendToDedupIndex]]). One shuffle per table,
+    * sized by the index, run at maintenance cadence — never per
+    * batch. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, destPath: String,
+                        maxBucket: Int = 10000): Unit = {
+    spark.read.parquet(s"$path/hashes").repartition(col("content_hash"))
+      .write.mode("overwrite").parquet(s"$destPath/hashes")
+    val bands = spark.read.parquet(s"$path/bands")
+    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("band", "key")
+    bands.join(ok, Seq("band", "key"), "left_semi").repartition(col("key"))
+      .write.mode("overwrite").parquet(s"$destPath/bands")
+    spark.read.parquet(s"$path/shingles").repartition(col("keeper"))
+      .write.mode("overwrite").parquet(s"$destPath/shingles")
+  }
+
   /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each; a pair is a
     * candidate if it collides in any table, and survives if cosine >=

@@ -50,6 +50,8 @@ object PipelineQueries {
   private val DsirTargetLang = "en" // DSIR target domain
   private val DeltaMod = 3 // q_incremental_dedup: doc_id % this == 0 -> delta batch
   private val IncMinJ = 0.8 // q_incremental_dedup near-dup verify threshold
+  private val PmiMinPair = 5 // q_pmi_bigrams: min bigram occurrences scored
+  private val PmiTopK = 50 // q_pmi_bigrams: collocations kept
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
   // q_domain_mix target mixture (micro-units, sums to 1e6); zh deliberately
   // absent — out-of-mixture domains drop. With the sf tables' lang counts,
@@ -1163,6 +1165,69 @@ object PipelineQueries {
           FROM tok JOIN wts USING (bkt) GROUP BY doc_id)
         SELECT d.doc_id, d.lang, COALESCE(sc.weight_u, 0) AS weight_u
         FROM documents d LEFT JOIN sc USING (doc_id)""".replaceAll("\\s+", " "))),
+
+    // Collocation mining: corpus-level PMI of adjacent token pairs —
+    // ln(p(ab)/(p(a)p(b))) over bigrams seen ≥ PmiMinPair times, top-k.
+    // The phrase/multi-word-expression detector of a tokenizer-training
+    // or vocab-construction pipeline. Shuffle shape at scale: bigram and
+    // unigram counts are vocabulary-bounded groupBys with map-side
+    // partial aggs; the corpus totals come from a MAP-ONLY one-row doc
+    // aggregate (Σ size, Σ size−1 — never a second pass over exploded
+    // tokens); the min-count filter prunes the pair table BEFORE its two
+    // vocab joins; ranking is by the integer micro-unit PMI (1-ULP ln()
+    // drift absorbed by FLOOR + a discrete tie-break).
+    "q_pmi_bigrams" -> QueryDef(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val pairs = docs(s, d)
+          .withColumn("__toks", toks)
+          .filter(size(col("__toks")) >= 2)
+          .select(explode(TextFunctions.shingles(col("__toks"), 2)).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= PmiMinPair)
+        val uni = docs(s, d).select(explode(toks).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cu"))
+        val tot = docs(s, d).agg(
+          sum(size(toks)).cast("long").as("t1"),
+          sum(greatest(size(toks) - 1, lit(0))).cast("long").as("t2"))
+        val scored = pairs
+          .withColumn("ta", element_at(split(col("bigram"), " "), 1))
+          .withColumn("tb", element_at(split(col("bigram"), " "), 2))
+          .join(broadcast(uni.select(col("tok").as("ta"), col("cu").as("ca"))), "ta")
+          .join(broadcast(uni.select(col("tok").as("tb"), col("cu").as("cb"))), "tb")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi_u", floor(
+            (log(col("n_pair").cast("double") / col("t2").cast("double")) -
+              log(col("ca").cast("double") / col("t1").cast("double")) -
+              log(col("cb").cast("double") / col("t1").cast("double"))) *
+            1000000 + 0.5).cast("long"))
+        val w = Window.orderBy(col("pmi_u").desc, col("bigram"))
+        scored.select(col("bigram"), col("n_pair"), col("pmi_u"),
+            row_number().over(w).cast("long").as("rk"))
+          .filter(col("rk") <= PmiTopK)
+      },
+      Some(s"""WITH cp AS (SELECT bigram, COUNT(*) AS n_pair FROM (
+            SELECT UNNEST(${shinglesSqlFrag("l", 2)}) AS bigram
+            FROM (SELECT $toksSqlFrag AS l FROM documents
+                  WHERE len($toksSqlFrag) >= 2))
+          GROUP BY bigram HAVING COUNT(*) >= $PmiMinPair),
+        cu AS (SELECT tok, COUNT(*) AS cu
+          FROM (SELECT UNNEST($toksSqlFrag) AS tok FROM documents) GROUP BY tok),
+        tot AS (SELECT SUM(CAST(len($toksSqlFrag) AS BIGINT)) AS t1,
+            SUM(CAST(GREATEST(len($toksSqlFrag) - 1, 0) AS BIGINT)) AS t2
+          FROM documents),
+        scored AS (SELECT bigram, n_pair,
+            CAST(FLOOR((LN(CAST(n_pair AS DOUBLE) / CAST(t2 AS DOUBLE)) -
+                        LN(CAST(ca.cu AS DOUBLE) / CAST(t1 AS DOUBLE)) -
+                        LN(CAST(cb.cu AS DOUBLE) / CAST(t1 AS DOUBLE))) *
+              1000000 + 0.5) AS BIGINT) AS pmi_u
+          FROM cp JOIN cu ca ON ca.tok = split_part(bigram, ' ', 1)
+          JOIN cu cb ON cb.tok = split_part(bigram, ' ', 2)
+          CROSS JOIN tot)
+        SELECT bigram, n_pair, pmi_u, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY pmi_u DESC, bigram) AS BIGINT) AS rk FROM scored)
+        WHERE rk <= $PmiTopK""".replaceAll("\\s+", " "))),
 
     // Incremental dedup: an arriving delta batch (doc_id % DeltaMod == 0)
     // classified against the PERSISTED corpus index (built once per JVM

@@ -362,6 +362,32 @@ object RelationalQueries {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""
         .replaceAll("\\s+", " "))),
 
+    // Grouped sequence assembly: per user, the full event history in
+    // event-time order, fingerprinted — the "assemble per-entity ordered
+    // interaction history" shape behind SFT/conversation dataset
+    // construction. ONE shuffle on user_id; collect_list is bounded by
+    // per-user event counts (the unbounded-entity path is sessionize/
+    // window). The in-row struct sort on (ts_us, event_id, type) makes
+    // the sequence deterministic under any shuffle arrival order; the
+    // md5 keeps the compare row compact (no text payload rides the
+    // result).
+    "q_user_history" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        Tables.events(s, d).groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            md5(concat_ws("|",
+              transform(
+                array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+                  col("event_type")))),
+                e => concat_ws(":", e.getField("event_id").cast("string"),
+                  e.getField("event_type")))).cast("binary")).as("seq_md5"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+          md5(string_agg(CAST(event_id AS VARCHAR) || ':' || event_type, '|'
+            ORDER BY epoch_us(ts), event_id, event_type)) AS seq_md5
+        FROM events GROUP BY user_id""".replaceAll("\\s+", " "))),
+
     // Event-time RANGE window frame: per user, the trailing-1-hour event
     // count and value sum at every event — the standard rolling-feature
     // shape. ONE shuffle on user_id + per-partition sort; Spark evaluates

@@ -597,6 +597,42 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got(25L) == (("new", -1L, 0L)))
   }
 
+  test("appendToDedupIndex: classify-append-classify equals a from-scratch rebuild") {
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    val fresh = (0 until 30).map(i => s"v$i").mkString(" ")
+    val nearFresh = (0 until 29).map(i => s"v$i").mkString(" ") + " qq"
+    val corpus = Seq((10L, base)).toDF("doc_id", "text")
+    val batch1 = Seq((20L, fresh), (21L, base)).toDF("doc_id", "text")
+    // batch 2 exercises every admitted-content interaction: an exact copy
+    // of batch-1's new doc, a near-dup of it, and untouched content
+    val batch2 = Seq((30L, fresh), (31L, nearFresh), (32L, base))
+      .toDF("doc_id", "text")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-incapp1").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", p1)
+    val c1 = Dedup.incrementalDedup(spark, batch1, "doc_id", "text", p1)
+      .localCheckpoint(true) // consumed twice: append + assertion
+    Dedup.appendToDedupIndex(batch1, c1, "doc_id", "text", p1)
+    assert(c1.filter(col("status") === "new").as[(Long, String, Long, Long)]
+      .collect().map(_._1).toSet == Set(20L))
+    // reference: an index built directly from corpus + batch-1 survivors
+    val p2 = java.nio.file.Files.createTempDirectory("graft-incapp2").toString
+    Dedup.buildDedupIndex(corpus.union(Seq((20L, fresh)).toDF("doc_id", "text")),
+      "doc_id", "text", p2)
+    val viaAppend = Dedup.incrementalDedup(spark, batch2, "doc_id", "text", p1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaRebuild = Dedup.incrementalDedup(spark, batch2, "doc_id", "text", p2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend == Seq((30L, ("dup_corpus", 20L, 0L)), (31L, ("near_corpus", 20L, 1L)),
+      (32L, ("dup_corpus", 10L, 0L))).map(t => (t._1, t._2._1, t._2._2, t._2._3)))
+    // compaction preserves classification results
+    val p3 = java.nio.file.Files.createTempDirectory("graft-incapp3").toString
+    Dedup.compactDedupIndex(spark, p1, p3)
+    val viaCompact = Dedup.incrementalDedup(spark, batch2, "doc_id", "text", p3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaCompact == viaAppend)
+  }
+
   test("incrementalDedup: an exact corpus copy beats a simultaneous within-batch copy") {
     // both delta rows carry corpus content: BOTH are dup_corpus (the
     // within-batch keeper rule only applies to corpus-unseen content)
