@@ -1064,8 +1064,8 @@ object PipelineQueries {
           size(tokens(col("text"))).cast("long").as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
         val tf = docs(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .filter(col("tok").isin(terms: _*))
+          .select(col("doc_id"),
+            explode(filter(tokens(col("text")), t => t.isin(terms: _*))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val contrib = tf
