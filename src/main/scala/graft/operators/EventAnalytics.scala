@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: conversion funnels, cohort retention,
+  * transition matrices, and exact-arithmetic outlier detection.
+  *
+  * The reference (OpenCOMPES/sed) models per-event rows but ships no
+  * product-analytics layer; these are the standard large-scale event
+  * analytics a telemetry / training-data pipeline needs (brief §extras).
+  * Every shape here is shuffle-minimal and state-bounded:
+  *
+  *  - '''funnel''': one filtered min-aggregation per stage (event_type
+  *    predicate reaches the scan, map-side partial MIN), chained by an
+  *    equi-join on the previous stage's (user, t) set — distinct-user
+  *    sized, so AQE broadcasts it when small and shuffle-hash-joins when
+  *    not. No per-user event list is ever materialized.
+  *  - '''retention''': ONE shuffle — groupBy(user) carrying a
+  *    `collect_set` of active week indices (bounded by the calendar, not
+  *    the event count), then an in-row explode and a tiny second agg on
+  *    (cohort, offset) — thousands of cells at any data size.
+  *  - '''transitions''': ONE shuffle — a window lag over
+  *    (user, time-order); the transition matrix is |event_type|² rows.
+  *  - '''zscoreOutliers''': per-type moment aggregation in EXACT integer
+  *    cents (map-side partials), broadcast back; the outlier predicate
+  *    and z-score are derived from exact integer sums with IEEE +−×/√
+  *    only, so both engines of a cross-check compute bit-identical
+  *    doubles (no libm drift — the q1_agg cents discipline applied to
+  *    second moments).
+  *
+  * Week arithmetic is integral (`ts_us div $WeekUs`) — no timezone or
+  * calendar functions, so results are engine- and locale-independent.
+  */
+object EventAnalytics {
+
+  /** Microseconds per 7-day week. */
+  val WeekUs: Long = 7L * 24 * 3600 * 1000000L
+
+  /** Strict-order conversion funnel: stage k counts users whose first
+    * qualifying `stages(k)` event happened strictly AFTER their first
+    * qualifying `stages(k-1)` event. Returns one row per stage:
+    * (stage_idx, stage, n_users, pct_of_first).
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts_us"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // chain of per-stage first-qualifying-time sets, each |users| rows
+    val stageSets: Seq[DataFrame] = stages.zipWithIndex.tail.scanLeft(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(userCol).agg(min(tsCol).as("t"))
+    ) { case (prev, (st, _)) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("t").as("__pt")), Seq(userCol))
+        .filter(col(tsCol) > col("__pt"))
+        .groupBy(userCol).agg(min(tsCol).as("t"))
+    }
+    val counts = stageSets.zip(stages.zipWithIndex).map { case (df, (st, i)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _)
+    // stage rows are a handful — the unpartitioned window is plot-sized
+    val w = Window.orderBy("stage_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.withColumn("pct_of_first",
+      round(col("n_users").cast("double") / first("n_users").over(w), 6))
+  }
+
+  /** DuckDB oracle for [[funnel]] on the `events` table. */
+  def funnelSql(stages: Seq[String]): String = {
+    require(stages.nonEmpty)
+    stages.foreach(s => require(!s.contains("'"), "stage must not contain quotes"))
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"""s$i AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+            JOIN s${i - 1} p USING (user_id)
+            WHERE e.event_type = '$st' AND epoch_us(e.ts) > p.t
+            GROUP BY e.user_id)"""
+    }.mkString(", ")
+    val unions = stages.zipWithIndex.map { case (st, i) =>
+      s"SELECT $i AS stage_idx, '$st' AS stage, (SELECT COUNT(*) FROM s$i) AS n_users"
+    }.mkString(" UNION ALL ")
+    s"""WITH $ctes, c AS ($unions)
+       SELECT stage_idx, stage, n_users,
+         ROUND(CAST(n_users AS DOUBLE) /
+           (SELECT n_users FROM c WHERE stage_idx = 0), 6) AS pct_of_first
+       FROM c""".replaceAll("\\s+", " ")
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active epoch-week;
+    * one output row per (cohort_week, week_offset) with the count of
+    * cohort users active that week. ONE wide shuffle (per-user week set).
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts_us"): DataFrame = {
+    val perUser = events
+      .select(col(userCol), expr(s"$tsCol div $WeekUs").as("w"))
+      .groupBy(userCol).agg(collect_set(col("w")).as("ws"))
+    perUser
+      .select(array_min(col("ws")).as("cw"), explode(col("ws")).as("w"))
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** DuckDB oracle for [[retention]] on the `events` table. */
+  val retentionSql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS w FROM events),
+       f AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id)
+       SELECT cw AS cohort_week, w - cw AS week_offset, COUNT(*) AS n_users
+       FROM uw JOIN f USING (user_id) GROUP BY 1, 2""".replaceAll("\\s+", " ")
+
+  /** First-order transition matrix over per-user time-ordered event
+    * types: (prev_type, next_type, n_transitions, p) where p is the
+    * row-normalized transition probability. ONE shuffle (the window
+    * lag); the matrix itself is |event_type|² rows.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts_us",
+                  idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val c = events
+      .select(col(typeCol).as("next_type"), lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n_transitions"))
+    val rowW = Window.partitionBy("prev_type")
+    c.withColumn("p",
+      round(col("n_transitions").cast("double") / sum("n_transitions").over(rowW), 6))
+      .select("prev_type", "next_type", "n_transitions", "p")
+  }
+
+  /** DuckDB oracle for [[transitions]] on the `events` table. */
+  val transitionsSql: String =
+    """WITH t AS (SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+         FROM events),
+       c AS (SELECT prev_type, next_type, COUNT(*) AS n_transitions
+         FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n_transitions,
+         ROUND(CAST(n_transitions AS DOUBLE) /
+           CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+       FROM c""".replaceAll("\\s+", " ")
+
+  /** Per-type z-score outliers (|z| > k) on a 2-decimal value column.
+    * Moments fold in exact integer cents, so mean/variance — and the
+    * outlier predicate — are bit-identical across engines; only rows
+    * with (v−μ)² > k²·σ² (strict) survive. Returns
+    * (event_id, event_type, value, z) with z rounded to 6 dp.
+    *
+    * Scale: the moment table is |event_type| rows (broadcast back);
+    * int64 second moments hold to ~9e18 / (max_cents²) rows per type —
+    * ~9·10¹⁰ rows at cents ≤ 10⁴, beyond which widen to decimal.
+    */
+  def zscoreOutliers(events: DataFrame, k: Int = 2,
+                     idCol: String = "event_id", typeCol: String = "event_type",
+                     valCol: String = "value"): DataFrame = {
+    val ev = events.select(col(idCol), col(typeCol), col(valCol),
+      floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
+    val st = ev.groupBy(typeCol).agg(
+      count(lit(1)).as("__n"), sum("__vc").as("__s"),
+      sum(col("__vc") * col("__vc")).as("__ss"))
+    val m = col("__s").cast("double") / col("__n")
+    val j = ev.join(broadcast(st), typeCol)
+      .withColumn("__m", m)
+      .withColumn("__v", col("__ss").cast("double") / col("__n") - m * m)
+      .withColumn("__d", col("__vc").cast("double") - col("__m"))
+    j.filter(col("__v") > 0 && col("__d") * col("__d") > lit(k * k).cast("double") * col("__v"))
+      .select(col(idCol), col(typeCol), col(valCol),
+        round(col("__d") / sqrt(col("__v")), 6).as("z"))
+  }
+
+  /** DuckDB oracle for [[zscoreOutliers]] on the `events` table. */
+  def zscoreOutliersSql(k: Int = 2): String =
+    s"""WITH ev AS (SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       st AS (SELECT event_type, COUNT(*) AS n, SUM(vc) AS s, SUM(vc * vc) AS ss
+         FROM ev GROUP BY event_type),
+       j AS (SELECT event_id, ev.event_type, value,
+         CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / n AS d,
+         CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS v
+         FROM ev JOIN st USING (event_type))
+       SELECT event_id, event_type, value, ROUND(d / SQRT(v), 6) AS z
+       FROM j WHERE v > 0 AND d * d > CAST(${k * k} AS DOUBLE) * v"""
+      .replaceAll("\\s+", " ")
+}

@@ -37,6 +37,11 @@ object RelationalQueries {
   private val revSumSql =
     "CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0"
 
+  /** The funnel stage sequence for q_funnel: the generator's event types
+    * in product-journey order. (Declared before `defs`, which evaluates
+    * it eagerly at object init.) */
+  private val FunnelStages = Seq("view", "click", "signup", "purchase")
+
   val defs: Map[String, QueryDef] = Map(
 
     // TPC-H Q1-style pricing summary.
@@ -414,6 +419,60 @@ object RelationalQueries {
                 CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
-        .replaceAll("\\s+", " ")))
+        .replaceAll("\\s+", " "))),
+
+    // Strict-order conversion funnel over the event stream: stage k
+    // counts users whose first stage-k event came strictly after their
+    // first stage-(k-1) event. Each stage is a filtered min-agg (the
+    // event_type predicate reaches the scan; MIN has map-side partials)
+    // chained by an equi-join on the previous distinct-user-sized stage
+    // set — AQE broadcasts small stages, shuffle-hash-joins huge ones.
+    // No per-user event list is ever collected. The final window runs
+    // over |stages| rows.
+    "q_funnel" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.funnel(Tables.events(s, d), FunnelStages)
+      },
+      Some(graft.operators.EventAnalytics.funnelSql(FunnelStages))),
+
+    // Weekly cohort retention: cohort = first active epoch-week per
+    // user; cells count cohort users active at each week offset. ONE
+    // wide shuffle — groupBy(user) carries a collect_set of week
+    // indices (bounded by the calendar, not event count); the cell agg
+    // is thousands of rows at any scale. Week math is pure integer
+    // division on ts_us — no calendar/timezone functions to drift
+    // across engines.
+    "q_retention" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.retention(Tables.events(s, d))
+      },
+      Some(graft.operators.EventAnalytics.retentionSql)),
+
+    // First-order event-type transition matrix (Markov chain fit) over
+    // per-user time-ordered sequences: ONE shuffle (window lag keyed on
+    // user), |event_type|^2 output rows with row-normalized transition
+    // probabilities. Tie-break on event_id makes the sequence — and so
+    // the matrix — deterministic under repeated timestamps.
+    "q_transitions" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.transitions(Tables.events(s, d))
+      },
+      Some(graft.operators.EventAnalytics.transitionsSql)),
+
+    // Per-type z-score outlier detection with EXACT integer-cents
+    // moments: the per-type (n, sum, sum-of-squares) table folds in
+    // int64 (map-side partials, |event_type| rows, broadcast back), and
+    // mean/variance/z derive from those exact sums with IEEE +-*/ and
+    // sqrt only — bit-identical across engines, no libm drift. Strict
+    // (v-mean)^2 > k^2*var keeps the boundary unambiguous.
+    "q_zscore_outliers" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.zscoreOutliers(Tables.events(s, d))
+      },
+      Some(graft.operators.EventAnalytics.zscoreOutliersSql()))
   )
 }
