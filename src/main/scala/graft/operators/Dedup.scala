@@ -173,6 +173,48 @@ object Dedup {
     jaccardOf(a.join(b, pairCond(a, b)))
   }
 
+  /** n-gram CONTAINMENT for near-superset detection: for every pair
+    * admitted by `pairCond`, the fraction of the SMALLER shingle set
+    * contained in the other — |A∩B| / min(|A|,|B|). Jaccard punishes a
+    * short document embedded verbatim in a long one (tiny union ratio);
+    * containment is the metric that catches quote-expansion, boilerplate
+    * wrapping, and chunk-of-a-longer-doc duplicates (Broder's
+    * resemblance vs containment split). Same hashed-sorted-set engine
+    * as [[ngramJaccard]]: the intersect runs as one merge-scan over long
+    * arrays, and the ratio is a division of exact integers — engine-
+    * bit-identical. Returns (a_id, b_id, inter, n_a, n_b, containment).
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                       pairCond: (DataFrame, DataFrame) => Column): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    containmentOf(a.join(b, pairCond(a, b)))
+  }
+
+  /** [[ngramContainment]] for an explicit candidate-pair list (the LSH
+    * output) — the production shape: containment evaluated ONLY on
+    * bucket candidates, like [[jaccardForPairs]]. */
+  def containmentForPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                          pairs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, n)
+    containmentOf(pairs
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id"))
+  }
+
+  private def containmentOf(joined: DataFrame): DataFrame =
+    joined
+      .select(col("a_id"), col("b_id"),
+        // NoPushBarrier: callers filter on containment — keep the
+        // merge-scan from being re-run inside a pushed-down Filter
+        org.apache.spark.sql.graft.NoPushBarrier(
+          org.apache.spark.sql.graft.SortedIntersectCount(col("a_sh"), col("b_sh"))).as("inter"),
+        size(col("a_sh")).cast("long").as("n_a"),
+        size(col("b_sh")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+
   /** Jaccard for an explicit candidate-pair list (the LSH output) — two
     * id→shingle-set joins, similarity evaluated ONLY on candidates. */
   def jaccardForPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,

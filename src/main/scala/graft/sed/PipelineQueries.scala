@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{Ann, Dedup, Multimodal, Pca}
+import graft.operators.{Ann, Dedup, Multimodal, Pca, Tokenizer}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 "LLM-data-pipeline"):
   * dedup, similarity search, text analysis, multimodal plumbing — over the
@@ -292,6 +292,46 @@ object PipelineQueries {
                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
              FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50)"""
           .replaceAll("\\s+", " ")}),
+
+    // n-gram CONTAINMENT over the LSH candidate pairs: |A∩B| /
+    // min(|A|,|B|) — the near-SUPERSET metric (Broder's containment
+    // split): a short doc embedded verbatim in a long one scores ~1.0
+    // here while its Jaccard stays tiny, so this is the verify metric
+    // for quote-expansion / boilerplate-wrapping dedup. Exact-first +
+    // bucket-capped candidates (the production pair source), same
+    // hashed sorted-set merge-scan as the Jaccard verify; the ratio
+    // divides exact integers so the 0.5 cut is engine-bit-identical.
+    // Oracle reuses the shared rep/sig/banded/cand CTE chain (the
+    // unreferenced `verified` CTE is pruned by the engine).
+    "q_containment" -> QueryDef(
+      (s, d) => {
+        val reps = Dedup.exactRepresentatives(docs(s, d), "doc_id",
+          md5(col("text").cast("binary")))
+        Dedup.containmentForPairs(reps, "doc_id", "text", ShingleN,
+          Dedup.minhashCandidates(reps, "doc_id", "text",
+            NumHashes, RowsPerBand, ShingleN, MaxBucket))
+          .filter(col("containment") >= 0.5)
+      },
+      Some {
+        s"""WITH ${repVerifiedCtesSql(0.8)}
+           SELECT * FROM (
+             SELECT a_id, b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(LEAST(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+             FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)
+           WHERE containment >= 0.5E0""".replaceAll("\\s+", " ")
+      }),
+
+    // BPE merge-step pair statistics (tokenizer fitting): frequency-
+    // weighted adjacent char-pair counts computed over the DISTINCT
+    // word vocabulary (the classic BPE trick — pair work scales with
+    // |vocab|·word-length, not corpus size); top-20 by the total
+    // (cnt DESC, pair ASC) order, planned as TakeOrdered.
+    "q_bpe_merge" -> QueryDef(
+      (s, d) => Tokenizer.bpePairCounts(docs(s, d), "text", 20),
+      Some(Tokenizer.bpePairCountsSql("documents", "text", 20))),
 
     // End-to-end near-dup removal, EXACT-FIRST (round 8): md5 exact-dedup
     // collapses identical copies to their min-id representative BEFORE

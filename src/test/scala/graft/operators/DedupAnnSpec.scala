@@ -76,6 +76,32 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(j((1L, 3L)) == 0.0)
   }
 
+  test("ngramContainment: embedded doc scores 1.0 where jaccard stays small") {
+    // doc 2 is a verbatim chunk of doc 1: every 3-gram of 2 appears in 1
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (10 to 14).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val c = Dedup.ngramContainment(df, "doc_id", "text", 3, (a, b) => a("a_id") < b("b_id"))
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(c((1L, 2L)) == 1.0)
+    assert(c((1L, 3L)) == 0.0)
+    // the same pair under jaccard: 3 shared of 28 union
+    val j = Dedup.ngramJaccard(df, "doc_id", "text", 3, (a, b) => a("a_id") < b("b_id"))
+      .filter($"a_id" === 1 && $"b_id" === 2).select("jaccard").as[Double].head()
+    assert(j < 0.2)
+  }
+
+  test("ngramContainment: partial overlap is inter/min exactly") {
+    // A: 4 tokens -> 2 tri-grams; B shares exactly one tri-gram
+    val df = Seq((1L, "a b c d"), (2L, "b c d x y")).toDF("doc_id", "text")
+    val r = Dedup.ngramContainment(df, "doc_id", "text", 3, (a, b) => a("a_id") < b("b_id"))
+      .select("inter", "n_a", "n_b", "containment")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((1L, 2L, 3L, 0.5)))
+  }
+
   test("FloatVecDot equals a driver-side loop, and dotLit applies literal planes") {
     val vecs = embeddings.limit(20).select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
     val got = embeddings.limit(20)
