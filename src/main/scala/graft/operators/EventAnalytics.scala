@@ -38,6 +38,11 @@ object EventAnalytics {
   /** Microseconds per 7-day week. */
   val WeekUs: Long = 7L * 24 * 3600 * 1000000L
 
+  /** The canonical funnel stage sequence over the test generator's
+    * event types, in product-journey order — shared by q_funnel and
+    * q_stream_funnel so batch, streaming, and oracle stay aligned. */
+  val DefaultStages: Seq[String] = Seq("view", "click", "signup", "purchase")
+
   /** Strict-order conversion funnel: stage k counts users whose first
     * qualifying `stages(k)` event happened strictly AFTER their first
     * qualifying `stages(k-1)` event. Returns one row per stage:

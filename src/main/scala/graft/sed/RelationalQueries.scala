@@ -37,10 +37,7 @@ object RelationalQueries {
   private val revSumSql =
     "CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)/10000.0"
 
-  /** The funnel stage sequence for q_funnel: the generator's event types
-    * in product-journey order. (Declared before `defs`, which evaluates
-    * it eagerly at object init.) */
-  private val FunnelStages = Seq("view", "click", "signup", "purchase")
+  private val FunnelStages = graft.operators.EventAnalytics.DefaultStages
 
   val defs: Map[String, QueryDef] = Map(
 

@@ -111,6 +111,52 @@ object SedStreaming {
       .toDF(keyCol, orderCol, valueCol)
   }
 
+  /** Streaming conversion funnel: per-user greedy stage progression over
+    * an event-time-ordered feed, the online twin of
+    * `operators.EventAnalytics.funnel`. State per user is (depth,
+    * t_last) — two scalars, never an event list. A row is emitted ONLY
+    * on a stage advance (user_id, stage_idx, t), each advance exactly
+    * once over the stream's lifetime (progression is monotone), so
+    * append mode is exact and the sink holds one row per (user, reached
+    * stage).
+    *
+    * Greedy-equals-batch: processing events in ascending event time,
+    * "advance when type == stages(depth) and ts > t_last" finds exactly
+    * the batch chain's first-qualifying time per stage. Equal-timestamp
+    * order is irrelevant: a same-ts event can never advance past the
+    * stage that just consumed that timestamp (strict >), so any tie
+    * order yields the same final depth. Within a micro-batch the group
+    * iterator is sorted by ts (bounded by batch size); across batches
+    * the caller must stage the feed time-ordered (stageFileStream).
+    */
+  def streamingFunnel(events: DataFrame, stages: Seq[String],
+                      userCol: String = "user_id", typeCol: String = "event_type",
+                      tsCol: String = "ts_us"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx: Map[String, Int] = stages.zipWithIndex.toMap
+    events
+      .selectExpr(s"CAST($userCol AS BIGINT) AS u", s"CAST($tsCol AS BIGINT) AS o",
+        s"CAST($typeCol AS STRING) AS t")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[(Int, Long)]) =>
+          var (depth, tLast) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = Seq.newBuilder[(Long, Int, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, tp) =>
+            if (depth < stages.length && stageIdx.get(tp).contains(depth) && ts > tLast) {
+              out += ((key, depth, ts))
+              depth += 1; tLast = ts
+            }
+          }
+          state.update((depth, tLast))
+          out.result().iterator
+      }
+      .toDF(userCol, "stage_idx", "t")
+  }
+
   /** Streaming MinHash-LSH NEAR-duplicate candidate detection at ingest —
     * the incremental twin of the batch `Dedup.minhashCandidates` stage.
     * Each arriving document is signed and banded with the same codegen

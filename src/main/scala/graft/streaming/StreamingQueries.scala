@@ -262,6 +262,42 @@ object StreamingQueries {
       SedStreaming.fileStream(s, dir, schema), "user_id", "ts_us", "v"))
   }
 
+  /** Streaming conversion funnel: the events table replayed as an
+    * event-time-ordered file stream, per-user (depth, t_last) state,
+    * stage advances emitted append-mode exactly once — then folded to
+    * the q_funnel contract rows. ORACLE-ELIGIBLE: greedy in-order
+    * progression equals the batch first-qualifying-time chain (see
+    * SedStreaming.streamingFunnel), so this shares q_funnel's DuckDB
+    * oracle VERBATIM — batch and online funnels hash-matching one
+    * oracle certifies both execution paths. */
+  def streamFunnel(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val stages = graft.operators.EventAnalytics.DefaultStages
+    val dir = tmp("graft_funnel_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts_us", "event_type"),
+      "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_type", StringType)))
+    val advances = runToParquet(s, SedStreaming.streamingFunnel(
+      SedStreaming.fileStream(s, dir, schema), stages))
+    // fold the advance log to the q_funnel row contract; stages nobody
+    // reached must still appear with n_users = 0
+    import s.implicits._
+    val stageDf = stages.zipWithIndex.map { case (st, i) => (i, st) }
+      .toDF("stage_idx", "stage")
+    val counts = advances.groupBy("stage_idx").agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("stage_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    stageDf.join(counts, Seq("stage_idx"), "left")
+      .na.fill(0L, Seq("n_users"))
+      .withColumn("pct_of_first",
+        round(col("n_users").cast("double") / first("n_users").over(w), 6))
+  }
+
   /** Decontamination flag at ingest: the documents table replayed as a
     * file stream, each arriving doc scored map-only against a
     * driver-built Bloom over the eval docs' (doc_id % 97 == 0) shingle
@@ -403,6 +439,9 @@ object StreamingQueries {
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
+    "q_stream_funnel" -> QueryDef((s, d) => streamFunnel(s, d),
+      Some(graft.operators.EventAnalytics.funnelSql(
+        graft.operators.EventAnalytics.DefaultStages))),
     "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
       Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)

@@ -93,6 +93,40 @@ class SedStreamingSpec extends SparkSpecBase {
       assert(rows((2L, 3L)).contains(5.0))
     } finally q.stop()
   }
+  test("streamingFunnel advances exactly once per reached stage, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("user_id", "ts_us", "event_type")
+    val fn = SedStreaming.streamingFunnel(df, Seq("a", "b", "c"))
+    val q = fn.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 reaches a; u2 sees b first (no advance)
+      input.addData((1L, 10L, "a"), (2L, 10L, "b"))
+      q.processAllAvailable()
+      // batch 2: u1 advances b (ts > 10), then an equal-ts c must NOT
+      // advance; u2 starts a
+      input.addData((1L, 20L, "b"), (1L, 20L, "c"), (2L, 20L, "a"))
+      q.processAllAvailable()
+      // batch 3: u1 finishes c; a repeated b must not re-emit
+      input.addData((1L, 30L, "c"), (1L, 31L, "b"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[(Long, Int, Long)].collect().toSet
+      assert(rows == Set((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L), (2L, 0, 20L)))
+    } finally q.stop()
+  }
+
+  test("driver q_stream_funnel equals the batch funnel on the sf feed") {
+    val got = graft.streaming.StreamingQueries.streamFunnel(spark, Sf)
+      .select("stage_idx", "stage", "n_users", "pct_of_first")
+      .as[(Int, String, Long, Double)].collect().toSet
+    val want = graft.operators.EventAnalytics.funnel(
+      events, graft.operators.EventAnalytics.DefaultStages)
+      .select("stage_idx", "stage", "n_users", "pct_of_first")
+      .as[(Int, String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("driver q_stream_sessionize equals the batch session_window aggregation") {
     val d = "/root/testdata/sf0.001"
     val got = StreamingQueries.streamSessionize(spark, d)
