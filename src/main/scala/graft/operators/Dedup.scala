@@ -329,6 +329,29 @@ object Dedup {
     dedupCorpus(reps, idCol, verified)
   }
 
+  /** Near-dup cluster-size histogram — the dedup DIAGNOSTIC an operator
+    * reads before and after tuning: (cluster_size, n_clusters) over the
+    * connected components of the verified near-dup graph (exact-first
+    * reps, bucket-capped LSH candidates, Jaccard ≥ `minJaccard`). A fat
+    * tail here means wide boilerplate cliques — the signal to move that
+    * content to the exact-hash pass or tighten banding. Cost is the
+    * dedup pipeline's own candidate/verify stages plus a cluster-sized
+    * double aggregation; all clusters have size ≥ 2 by construction
+    * (only edge-touched reps are labeled). */
+  def nearDupClusterSizes(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 12, rowsPerBand: Int = 3, shingleN: Int = 3,
+                          minJaccard: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    val reps = exactRepresentatives(docs, idCol, md5(col(textCol).cast("binary")))
+      .localCheckpoint(true)
+    val cand = minhashCandidates(reps, idCol, textCol, numHashes, rowsPerBand,
+      shingleN, maxBucket)
+    val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
+      .filter(col("jaccard") >= minJaccard)
+    connectedComponents(verified.select("a_id", "b_id"))
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+  }
+
   // ---------------------------------------------------------------------
   // Incremental (delta-vs-corpus) dedup over a persisted index
   // ---------------------------------------------------------------------

@@ -362,6 +362,29 @@ object PipelineQueries {
              WHERE label <> id)""".replaceAll("\\s+", " ")
       }),
 
+    // Near-dup cluster-size histogram — the dedup diagnostic read
+    // before/after tuning: connected components of the verified pair
+    // graph, then (cluster_size, n_clusters). A fat tail = wide
+    // boilerplate cliques that belong to the exact-hash pass. Oracle
+    // shares the rep/verified CTE chain + the recursive reachability
+    // walk with q_dedup_pipeline, then histograms the labels.
+    "q_dedup_clusters" -> QueryDef(
+      (s, d) => Dedup.nearDupClusterSizes(docs(s, d), "doc_id", "text",
+        NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket),
+      Some {
+        s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
+           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+             UNION SELECT b_id AS src, a_id AS dst FROM verified),
+           walk(id, label) AS (
+             SELECT src AS id, src AS label FROM edges
+             UNION
+             SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id),
+           lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+           cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
+           SELECT cluster_size, COUNT(*) AS n_clusters FROM cs
+           GROUP BY cluster_size""".replaceAll("\\s+", " ")
+      }),
+
     // Sign-plane LSH near-dups, EXACT-FIRST (round 8): bit-identical
     // vectors collapse to their min-id representative before bucketing
     // (grouping on the vector column itself — no hash needed), so pair

@@ -39,6 +39,28 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got == Set(("A", "A", 1L), ("A", "B", 4L), ("B", "B", 1L)))
   }
 
+  test("nearDupClusterSizes histograms verified components, exact copies collapse first") {
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    val near = (0 until 29).map(i => s"t$i").mkString(" ") + " zz"
+    val near2 = "zz " + (1 until 30).map(i => s"t$i").mkString(" ")
+    val other = (0 until 30).map(i => s"u$i").mkString(" ")
+    val otherNear = (0 until 29).map(i => s"u$i").mkString(" ") + " qq"
+    val df = Seq(
+      (0L, base), (1L, base),   // exact copies -> one rep, no near cluster on their own
+      (2L, near), (3L, near2),  // chain 0-2, 0-3 -> one component of size 3
+      (4L, other), (5L, otherNear), // component of size 2
+      (6L, "lone words only"))      // singleton, never labeled
+      .toDF("doc_id", "text")
+    // precondition: all four near pairs survive banding (deterministic hashes)
+    val cand = Dedup.minhashCandidates(
+      Dedup.exactRepresentatives(df, "doc_id", md5(col("text").cast("binary"))),
+      "doc_id", "text", 12, 3, 3, 10000).as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 2L)) && cand.contains((4L, 5L)), s"LSH missed: $cand")
+    val got = Dedup.nearDupClusterSizes(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L), (2L, 1L)))
+  }
+
   test("identical documents share the full MinHash signature") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
