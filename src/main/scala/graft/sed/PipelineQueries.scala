@@ -1229,6 +1229,65 @@ object PipelineQueries {
         SELECT d.doc_id, d.lang, COALESCE(sc.weight_u, 0) AS weight_u
         FROM documents d LEFT JOIN sc USING (doc_id)""".replaceAll("\\s+", " "))),
 
+    // Corpus drift monitor: per source, the KL divergence
+    // KL(P_source || P_corpus) over the same add-1-smoothed hashed-
+    // unigram bucket space as q_dsir_weight — the production telemetry
+    // that flags a source whose token distribution has drifted from the
+    // corpus (scraper regressions, injected boilerplate, language mix
+    // shifts). ONE explode→groupBy(source, bucket) pass; per-source and
+    // per-bucket marginals derive from that table (bucket-bounded
+    // shuffles); the full source×bucket grid (zero-count buckets
+    // INCLUDED — they carry probability mass under smoothing) is an
+    // in-row sequence explode over |sources| rows. Per-bucket terms land
+    // in integer micro-units (FLOOR absorbs the engines' 1-ULP ln
+    // drift, the q_dsir_weight discipline), so per-source sums are
+    // reduction-order independent and hash-exact.
+    "q_source_kl" -> QueryDef(
+      (s, d) => {
+        val b = lit(DsirBuckets)
+        val sb = docs(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .withColumn("bkt", expr_hash32(col("tok")) % b)
+          .groupBy("source", "bkt").agg(count(lit(1)).as("c"))
+        val ps = sb.groupBy("source").agg(sum("c").as("ns"))
+        val pb = sb.groupBy("bkt").agg(sum("c").as("cb"))
+        val tot = sb.agg(sum("c").as("n"))
+        val grid = ps.select(col("source"), col("ns"),
+          explode(sequence(lit(0L), lit(DsirBuckets - 1L))).as("bkt"))
+        val pSrc = (col("c") + 1).cast("double") / (col("ns") + b).cast("double")
+        val pCorp = (col("cb") + 1).cast("double") / (col("n") + b).cast("double")
+        grid
+          .join(sb, Seq("source", "bkt"), "left").na.fill(0L, Seq("c"))
+          .join(broadcast(pb), Seq("bkt"), "left").na.fill(0L, Seq("cb"))
+          .crossJoin(broadcast(tot))
+          .withColumn("tu",
+            floor(pSrc * (log(pSrc) - log(pCorp)) * 1000000 + 0.5).cast("long"))
+          .groupBy("source").agg(max("ns").as("n_tokens"), sum("tu").as("kl_u"))
+          .withColumn("kl", col("kl_u").cast("double") / 1e6)
+      },
+      Some {
+        val pS = s"CAST(c + 1 AS DOUBLE) / CAST(ns + $DsirBuckets AS DOUBLE)"
+        val pC = s"CAST(cb + 1 AS DOUBLE) / CAST(n + $DsirBuckets AS DOUBLE)"
+        s"""WITH tok AS (SELECT source, (${hash32Frag("tok")}) % $DsirBuckets AS bkt
+             FROM (SELECT source, UNNEST($toksSqlFrag) AS tok FROM documents)),
+           sb AS (SELECT source, bkt, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+           ps AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sb GROUP BY 1),
+           pb AS (SELECT bkt, SUM(c) AS cb FROM sb GROUP BY 1),
+           tot AS (SELECT SUM(c) AS n FROM sb),
+           grid AS (SELECT source, ns, UNNEST(range(0, $DsirBuckets)) AS bkt FROM ps),
+           f AS (SELECT g.source, g.ns, g.bkt, COALESCE(sb.c, 0) AS c,
+               COALESCE(pb.cb, 0) AS cb
+             FROM grid g
+             LEFT JOIN sb ON sb.source = g.source AND sb.bkt = g.bkt
+             LEFT JOIN pb ON pb.bkt = g.bkt),
+           terms AS (SELECT source, ns,
+               CAST(FLOOR(($pS) * (LN($pS) - LN($pC)) * 1000000 + 0.5) AS BIGINT) AS tu
+             FROM f CROSS JOIN tot)
+           SELECT source, MAX(ns) AS n_tokens, CAST(SUM(tu) AS BIGINT) AS kl_u,
+             CAST(CAST(SUM(tu) AS BIGINT) AS DOUBLE) / 1000000.0E0 AS kl
+           FROM terms GROUP BY source""".replaceAll("\\s+", " ")
+      }),
+
     // Collocation mining: corpus-level PMI of adjacent token pairs —
     // ln(p(ab)/(p(a)p(b))) over bigrams seen ≥ PmiMinPair times, top-k.
     // The phrase/multi-word-expression detector of a tokenizer-training

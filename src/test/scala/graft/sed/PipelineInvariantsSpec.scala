@@ -17,6 +17,22 @@ class PipelineInvariantsSpec extends SparkSpecBase {
     assert(viaStream.nonEmpty && viaStream == viaBatch)
   }
 
+  test("q_source_kl: Gibbs bound holds (KL >= 0 up to per-bucket quantization)") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_source_kl")(spark, Sf)
+      .select("source", "n_tokens", "kl_u").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // each of the 512 floored micro-unit terms loses < 1 micro, so a
+    // true-zero KL can dip no lower than -512 micro
+    rows.foreach { case (src, n, klU) =>
+      assert(klU >= -512L, s"$src: kl_u $klU below the quantization floor")
+      assert(n > 0L)
+    }
+    // sources are genuinely distinguishable on this corpus: at least one
+    // diverges measurably
+    assert(rows.map(_._3).max > 1000L)
+  }
+
   test("q_pack_sequences: slices tile each document exactly and respect the pack budget") {
     import graft.functions.TextFunctions.tokens
     val packs = SparkEntry.queries("q_pack_sequences")(spark, Sf).cache()
