@@ -149,6 +149,55 @@ object EventAnalytics {
            CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
        FROM c""".replaceAll("\\s+", " ")
 
+  /** Per-type winsorization: clamp a 2-decimal value column to its
+    * [pLo, pHi] DISCRETE quantile band (smallest value whose cumulative
+    * count reaches p·n — ties share a cumulative rank, so the cut is
+    * unambiguous). The robust-clipping cleaning step that tames heavy
+    * tails without dropping rows. No per-row sort: thresholds come from
+    * a (type, cents)-HISTOGRAM cumulative window (distinct-value-
+    * bounded, the `Mixture.qualityFloor` shape) and broadcast back.
+    * Returns (idCol, typeCol, valCol, w_value). */
+  def winsorize(events: DataFrame, pLo: Double, pHi: Double,
+                idCol: String = "event_id", typeCol: String = "event_type",
+                valCol: String = "value"): DataFrame = {
+    require(0.0 < pLo && pLo < pHi && pHi < 1.0, s"need 0 < $pLo < $pHi < 1")
+    val ev = events.select(col(idCol), col(typeCol), col(valCol),
+      floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
+    val hist = ev.groupBy(typeCol, "__vc").agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(typeCol).orderBy("__vc")
+    val wAll = Window.partitionBy(typeCol)
+    val cum = hist
+      .withColumn("__cm", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+    val thr = cum.groupBy(typeCol).agg(
+      min(when(col("__cm").cast("double") >= lit(pLo) * col("__n").cast("double"),
+        col("__vc"))).as("__lo"),
+      min(when(col("__cm").cast("double") >= lit(pHi) * col("__n").cast("double"),
+        col("__vc"))).as("__hi"))
+    ev.join(broadcast(thr), typeCol)
+      .select(col(idCol), col(typeCol), col(valCol),
+        (least(greatest(col("__vc"), col("__lo")), col("__hi")).cast("double") /
+          lit(100.0)).as("w_value"))
+  }
+
+  /** DuckDB oracle for [[winsorize]] on the `events` table. */
+  def winsorizeSql(pLo: Double, pHi: Double): String = {
+    import graft.functions.SedFunctions.d2s
+    s"""WITH ev AS (SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       h AS (SELECT event_type, vc, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+       cum AS (SELECT event_type, vc,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY vc) AS BIGINT) AS cm,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+       thr AS (SELECT event_type,
+         MIN(CASE WHEN CAST(cm AS DOUBLE) >= ${d2s(pLo)} * CAST(n AS DOUBLE) THEN vc END) AS lo,
+         MIN(CASE WHEN CAST(cm AS DOUBLE) >= ${d2s(pHi)} * CAST(n AS DOUBLE) THEN vc END) AS hi
+         FROM cum GROUP BY 1)
+       SELECT event_id, ev.event_type, value,
+         CAST(LEAST(GREATEST(vc, lo), hi) AS DOUBLE) / 100.0E0 AS w_value
+       FROM ev JOIN thr USING (event_type)""".replaceAll("\\s+", " ")
+  }
+
   /** Per-type z-score outliers (|z| > k) on a 2-decimal value column.
     * Moments fold in exact integer cents, so mean/variance — and the
     * outlier predicate — are bit-identical across engines; only rows

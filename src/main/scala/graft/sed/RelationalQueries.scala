@@ -459,6 +459,18 @@ object RelationalQueries {
       },
       Some(graft.operators.EventAnalytics.transitionsSql)),
 
+    // Per-type winsorization at the discrete [5%, 95%] quantile band:
+    // robust clipping that tames heavy tails without dropping rows. No
+    // per-row sort — thresholds come from a (type, cents)-histogram
+    // cumulative window (distinct-value-bounded, the qualityFloor
+    // shape), broadcast back; the clamp itself is map-only.
+    "q_winsorize" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.winsorize(Tables.events(s, d), 0.05, 0.95)
+      },
+      Some(graft.operators.EventAnalytics.winsorizeSql(0.05, 0.95))),
+
     // Per-type z-score outlier detection with EXACT integer-cents
     // moments: the per-type (n, sum, sum-of-squares) table folds in
     // int64 (map-side partials, |event_type| rows, broadcast back), and

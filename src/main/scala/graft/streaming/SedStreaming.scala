@@ -157,6 +157,38 @@ object SedStreaming {
       .toDF(userCol, "stage_idx", "t")
   }
 
+  /** Streaming first-order transition extraction: per-user last-event-
+    * type state (one string per user); every arriving event with a
+    * predecessor emits (user, prev_type, next_type) exactly once, in
+    * append mode — the online twin of
+    * `operators.EventAnalytics.transitions`, whose lag the in-order
+    * replay reproduces exactly (same (ts, event_id) tie-break). The
+    * caller folds the emitted edge log to the transition matrix. */
+  def streamingTransitions(events: DataFrame, userCol: String = "user_id",
+                           typeCol: String = "event_type", tsCol: String = "ts_us",
+                           idCol: String = "event_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($userCol AS BIGINT) AS u", s"CAST($tsCol AS BIGINT) AS o",
+        s"CAST($idCol AS BIGINT) AS i", s"CAST($typeCol AS STRING) AS t")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (Long, String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[String]) =>
+          var last: Option[String] = state.getOption
+          val out = Seq.newBuilder[(Long, String, String)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, tp) =>
+            last.foreach(p => out += ((key, p, tp)))
+            last = Some(tp)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF(userCol, "prev_type", "next_type")
+  }
+
   /** Streaming MinHash-LSH NEAR-duplicate candidate detection at ingest —
     * the incremental twin of the batch `Dedup.minhashCandidates` stage.
     * Each arriving document is signed and banded with the same codegen

@@ -298,6 +298,33 @@ object StreamingQueries {
         round(col("n_users").cast("double") / first("n_users").over(w), 6))
   }
 
+  /** Streaming transition-matrix fit: the events table replayed as an
+    * event-time-ordered file stream, per-user last-type state (one
+    * string per user), (prev, next) edges emitted append-mode exactly
+    * once, folded to the q_transitions contract rows. ORACLE-ELIGIBLE:
+    * in-order replay reproduces the batch window lag exactly, so this
+    * shares q_transitions' DuckDB oracle VERBATIM. */
+  def streamTransitions(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_trans_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts_us",
+        "CAST(event_id AS BIGINT) AS event_id", "event_type"),
+      "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val edges = runToParquet(s, SedStreaming.streamingTransitions(
+      SedStreaming.fileStream(s, dir, schema)))
+    val c = edges.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val rowW = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    c.withColumn("p", round(col("n_transitions").cast("double") /
+        sum("n_transitions").over(rowW), 6))
+      .select("prev_type", "next_type", "n_transitions", "p")
+  }
+
   /** Decontamination flag at ingest: the documents table replayed as a
     * file stream, each arriving doc scored map-only against a
     * driver-built Bloom over the eval docs' (doc_id % 97 == 0) shingle
@@ -439,6 +466,8 @@ object StreamingQueries {
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
+    "q_stream_transitions" -> QueryDef((s, d) => streamTransitions(s, d),
+      Some(graft.operators.EventAnalytics.transitionsSql)),
     "q_stream_funnel" -> QueryDef((s, d) => streamFunnel(s, d),
       Some(graft.operators.EventAnalytics.funnelSql(
         graft.operators.EventAnalytics.DefaultStages))),

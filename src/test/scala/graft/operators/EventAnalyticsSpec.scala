@@ -88,6 +88,27 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(math.abs(got.head._2 - zExp) < 1e-9)
   }
 
+  test("winsorize clamps to the discrete quantile band, interior untouched") {
+    // type t: cents 1..100 (values 0.01..1.00); pLo=0.05 -> lo = 5 (cum 5 >= 5),
+    // pHi=0.95 -> hi = 95 (cum 95 >= 95)
+    val rows = (1L to 100L).map(i => (i, 1L, "t", i, i / 100.0))
+    val got = EventAnalytics.winsorize(ev(rows: _*), 0.05, 0.95)
+      .select("event_id", "w_value").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.05 && got(4L) == 0.05)   // below lo -> clamped up
+    assert(got(5L) == 0.05 && got(50L) == 0.50)  // band interior unchanged
+    assert(got(95L) == 0.95 && got(99L) == 0.95) // above hi -> clamped down
+    assert(got.size == 100)
+  }
+
+  test("winsorize: per-type thresholds are independent") {
+    val rows = (1L to 10L).map(i => (i, 1L, "a", i, i * 1.0)) ++
+      (11L to 20L).map(i => (i, 1L, "b", i, 1000 + i * 1.0))
+    val got = EventAnalytics.winsorize(ev(rows: _*), 0.2, 0.8)
+      .select("event_id", "w_value").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 2.0 && got(10L) == 8.0)       // type a band [2, 8]
+    assert(got(11L) == 1012.0 && got(20L) == 1018.0) // type b band [1012, 1018]
+  }
+
   test("zscoreOutliers: zero-variance type emits nothing") {
     val df = ev((1, 1, "t", 1, 5.0), (2, 1, "t", 2, 5.0))
     assert(EventAnalytics.zscoreOutliers(df).count() == 0)

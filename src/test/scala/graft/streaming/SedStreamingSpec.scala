@@ -116,6 +116,33 @@ class SedStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingTransitions carries last type across batches, ties by event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("user_id", "ts_us", "event_id", "event_type")
+    val tr = SedStreaming.streamingTransitions(df)
+    val q = tr.writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10L, 1L, "a"))
+      q.processAllAvailable()
+      // equal ts resolved by event_id: b (id 2) before c (id 3)
+      input.addData((1L, 20L, 3L, "c"), (1L, 20L, 2L, "b"))
+      q.processAllAvailable()
+      val rows = spark.table("trans_out")
+        .as[(Long, String, String)].collect().toSeq.sorted
+      assert(rows == Seq((1L, "a", "b"), (1L, "b", "c")))
+    } finally q.stop()
+  }
+
+  test("driver q_stream_transitions equals the batch transition matrix on the sf feed") {
+    val got = graft.streaming.StreamingQueries.streamTransitions(spark, Sf)
+      .as[(String, String, Long, Double)].collect().toSet
+    val want = graft.operators.EventAnalytics.transitions(events)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("driver q_stream_funnel equals the batch funnel on the sf feed") {
     val got = graft.streaming.StreamingQueries.streamFunnel(spark, Sf)
       .select("stage_idx", "stage", "n_users", "pct_of_first")
