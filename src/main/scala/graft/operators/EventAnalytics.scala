@@ -226,6 +226,61 @@ object EventAnalytics {
         round(col("__d") / sqrt(col("__v")), 6).as("z"))
   }
 
+  /** Two-arm A/B comparison per event type: arm = user-hash parity (a
+    * deterministic 50/50 split), per (type, arm) moments folded in
+    * EXACT integer cents (one groupBy(type) with conditional partial
+    * aggs — |type| output rows), Welch's t derived from the exact sums
+    * with IEEE +−×/√ only, so the statistic is engine-bit-identical
+    * (rounded to 6 dp for reporting). Returns one row per event type:
+    * (typeCol, n_a, n_b, mean_a, mean_b, diff, t). */
+  def abTest(events: DataFrame, userCol: String = "user_id",
+             typeCol: String = "event_type", valCol: String = "value"): DataFrame = {
+    val ev = events.select(col(typeCol), (col(userCol) % 2).as("__arm"),
+      floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
+    val a = col("__arm") === 0
+    val st = ev.groupBy(typeCol).agg(
+      sum(when(a, 1L).otherwise(0L)).as("__na"),
+      sum(when(a, col("__vc"))).as("__sa"),
+      sum(when(a, col("__vc") * col("__vc"))).as("__ssa"),
+      sum(when(!a, 1L).otherwise(0L)).as("__nb"),
+      sum(when(!a, col("__vc"))).as("__sb"),
+      sum(when(!a, col("__vc") * col("__vc"))).as("__ssb"))
+    val na = col("__na").cast("double"); val nb = col("__nb").cast("double")
+    val ma = col("__sa").cast("double") / na / 100.0
+    val mb = col("__sb").cast("double") / nb / 100.0
+    // sample variances in cents^2, from exact sums
+    val va = (col("__ssa").cast("double") - col("__sa").cast("double") * col("__sa").cast("double") / na) / (na - 1)
+    val vb = (col("__ssb").cast("double") - col("__sb").cast("double") * col("__sb").cast("double") / nb) / (nb - 1)
+    st.filter(col("__na") >= 2 && col("__nb") >= 2)
+      .select(col(typeCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round(ma - mb, 6).as("diff"),
+        round((ma - mb) * 100.0 / sqrt(va / na + vb / nb), 6).as("t"))
+  }
+
+  /** DuckDB oracle for [[abTest]] on the `events` table. */
+  val abTestSql: String =
+    """WITH ev AS (SELECT event_type, user_id % 2 AS arm,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+       st AS (SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN arm = 0 THEN vc END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN arm = 0 THEN vc * vc END) AS BIGINT) AS ssa,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN arm = 1 THEN vc END) AS BIGINT) AS sb,
+         CAST(SUM(CASE WHEN arm = 1 THEN vc * vc END) AS BIGINT) AS ssb
+         FROM ev GROUP BY event_type)
+       SELECT event_type, na AS n_a, nb AS n_b,
+         ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0E0, 6) AS mean_a,
+         ROUND(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0E0, 6) AS mean_b,
+         ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0E0 -
+               CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0E0, 6) AS diff,
+         ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0E0 -
+                CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0E0) * 100.0E0 /
+           SQRT(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)) / CAST(na AS DOUBLE) +
+                ((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)) / CAST(nb AS DOUBLE)), 6) AS t
+       FROM st WHERE na >= 2 AND nb >= 2""".replaceAll("\\s+", " ")
+
   /** DuckDB oracle for [[zscoreOutliers]] on the `events` table. */
   def zscoreOutliersSql(k: Int = 2): String =
     s"""WITH ev AS (SELECT event_id, event_type, value,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{Ann, Dedup, Multimodal, Pca, Tokenizer}
+import graft.operators.{Ann, Dedup, Graph, Multimodal, Pca, Tokenizer}
 
 /** LLM-training-data pipeline queries (SURVEY.md §2 "LLM-data-pipeline"):
   * dedup, similarity search, text analysis, multimodal plumbing — over the
@@ -50,6 +50,7 @@ object PipelineQueries {
   private val DsirTargetLang = "en" // DSIR target domain
   private val DeltaMod = 3 // q_incremental_dedup: doc_id % this == 0 -> delta batch
   private val IncMinJ = 0.8 // q_incremental_dedup near-dup verify threshold
+  private val PrIters = 8 // q_pagerank rounds (near-dup cliques are small/dense)
   private val PmiMinPair = 5 // q_pmi_bigrams: min bigram occurrences scored
   private val PmiTopK = 50 // q_pmi_bigrams: collocations kept
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
@@ -383,6 +384,31 @@ object PipelineQueries {
            cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
            SELECT cluster_size, COUNT(*) AS n_clusters FROM cs
            GROUP BY cluster_size""".replaceAll("\\s+", " ")
+      }),
+
+    // PageRank over the verified near-dup graph — rank mass identifies
+    // HUB documents (a template hundreds of near-copies orbit) where
+    // component size can't rank members of one clique. Integer micro-
+    // unit recurrence (contributions and teleport via 64-bit integer
+    // div), so every iteration is engine-exact; the oracle unrolls the
+    // same recurrence as chained CTEs over the shared verified-pair
+    // chain. One join + one groupBy per round, |V|-row state,
+    // localCheckpointed lineage.
+    "q_pagerank" -> QueryDef(
+      (s, d) => {
+        val reps = Dedup.exactRepresentatives(docs(s, d), "doc_id",
+          md5(col("text").cast("binary"))).localCheckpoint(true)
+        val cand = Dedup.minhashCandidates(reps, "doc_id", "text",
+          NumHashes, RowsPerBand, ShingleN, MaxBucket)
+        val verified = Dedup.jaccardForPairs(reps, "doc_id", "text", ShingleN, cand)
+          .filter(col("jaccard") >= 0.8)
+        Graph.pagerank(verified.select("a_id", "b_id"), PrIters)
+      },
+      Some {
+        s"""WITH ${repVerifiedCtesSql(0.8)},
+           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+             UNION SELECT b_id AS src, a_id AS dst FROM verified),
+           ${Graph.pagerankSqlTail(PrIters)}""".replaceAll("\\s+", " ")
       }),
 
     // Sign-plane LSH near-dups, EXACT-FIRST (round 8): bit-identical

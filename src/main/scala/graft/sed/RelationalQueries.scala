@@ -459,6 +459,17 @@ object RelationalQueries {
       },
       Some(graft.operators.EventAnalytics.transitionsSql)),
 
+    // Two-arm A/B comparison per event type (arm = user parity): moments
+    // fold in exact integer cents through ONE conditional groupBy(type)
+    // (|type| output rows); Welch's t derives from the exact sums with
+    // IEEE arithmetic only — engine-bit-identical, rounded for report.
+    "q_ab_test" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.abTest(Tables.events(s, d))
+      },
+      Some(graft.operators.EventAnalytics.abTestSql)),
+
     // Per-type winsorization at the discrete [5%, 95%] quantile band:
     // robust clipping that tames heavy tails without dropping rows. No
     // per-row sort — thresholds come from a (type, cents)-histogram

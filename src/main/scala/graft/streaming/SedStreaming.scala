@@ -189,6 +189,38 @@ object SedStreaming {
       .toDF(userCol, "prev_type", "next_type")
   }
 
+  /** Streaming active-week extraction for cohort retention: per-user
+    * state is the SET of epoch-week indices seen (calendar-bounded — a
+    * few dozen longs per user, never an event list); a (user, week) row
+    * is emitted exactly once, on first sight, so append mode is exact.
+    * The caller folds the sink to retention cells (cohort = min emitted
+    * week per user) — correct under ANY arrival order, since the
+    * emitted set is order-independent and the cohort is computed at
+    * fold time. Online twin of `EventAnalytics.retention`. */
+  def streamingRetention(events: DataFrame, userCol: String = "user_id",
+                         tsCol: String = "ts_us"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val weekUs = graft.operators.EventAnalytics.WeekUs
+    events
+      .selectExpr(s"CAST($userCol AS BIGINT) AS u", s"CAST($tsCol AS BIGINT) AS o")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Seq.empty[Long]).toSet
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.foreach { case (_, ts) =>
+            val w = Math.floorDiv(ts, weekUs)
+            if (!seen(w)) { seen += w; out += ((key, w)) }
+          }
+          state.update(seen.toSeq)
+          out.result().iterator
+      }
+      .toDF(userCol, "w")
+  }
+
   /** Streaming MinHash-LSH NEAR-duplicate candidate detection at ingest —
     * the incremental twin of the batch `Dedup.minhashCandidates` stage.
     * Each arriving document is signed and banded with the same codegen

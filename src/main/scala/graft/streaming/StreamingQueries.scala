@@ -298,6 +298,28 @@ object StreamingQueries {
         round(col("n_users").cast("double") / first("n_users").over(w), 6))
   }
 
+  /** Streaming cohort retention: the events feed through per-user
+    * week-set state (calendar-bounded), (user, week) emitted exactly
+    * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
+    * the emitted set is arrival-order independent and the cohort is
+    * computed at fold time, so this shares q_retention's DuckDB oracle
+    * VERBATIM. */
+  def streamRetention(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_retention_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id", "ts_us"), "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    val weeks = runToParquet(s, SedStreaming.streamingRetention(
+      SedStreaming.fileStream(s, dir, schema)))
+    val f = weeks.groupBy("user_id").agg(min("w").as("cw"))
+    weeks.join(f, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Streaming transition-matrix fit: the events table replayed as an
     * event-time-ordered file stream, per-user last-type state (one
     * string per user), (prev, next) edges emitted append-mode exactly
@@ -466,6 +488,8 @@ object StreamingQueries {
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
+    "q_stream_retention" -> QueryDef((s, d) => streamRetention(s, d),
+      Some(graft.operators.EventAnalytics.retentionSql)),
     "q_stream_transitions" -> QueryDef((s, d) => streamTransitions(s, d),
       Some(graft.operators.EventAnalytics.transitionsSql)),
     "q_stream_funnel" -> QueryDef((s, d) => streamFunnel(s, d),

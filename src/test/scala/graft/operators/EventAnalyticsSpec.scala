@@ -109,6 +109,26 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got(11L) == 1012.0 && got(20L) == 1018.0) // type b band [1012, 1018]
   }
 
+  test("abTest: exact moments give the textbook Welch t") {
+    // arm A (even users): values 10, 12; arm B (odd): 20, 26
+    val df = ev(
+      (1, 2, "t", 1, 10.0), (2, 4, "t", 2, 12.0),
+      (3, 1, "t", 3, 20.0), (4, 3, "t", 4, 26.0))
+    val r = EventAnalytics.abTest(df)
+      .select("n_a", "n_b", "mean_a", "mean_b", "diff", "t")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert((r._1, r._2, r._3, r._4, r._5) == ((2L, 2L, 11.0, 23.0, -12.0)))
+    // var_a = 2 (cents^2: 20000), var_b = 18 (180000);
+    // t = -1200 / sqrt(10000 + 90000) cents
+    val tExp = math.rint(-1200.0 / math.sqrt(10000.0 + 90000.0) * 1e6) / 1e6
+    assert(math.abs(r._6 - tExp) < 1e-9)
+  }
+
+  test("abTest: single-observation arms are excluded") {
+    val df = ev((1, 2, "t", 1, 10.0), (2, 1, "t", 2, 20.0), (3, 1, "t", 3, 22.0))
+    assert(EventAnalytics.abTest(df).count() == 0)
+  }
+
   test("zscoreOutliers: zero-variance type emits nothing") {
     val df = ev((1, 1, "t", 1, 5.0), (2, 1, "t", 2, 5.0))
     assert(EventAnalytics.zscoreOutliers(df).count() == 0)

@@ -143,6 +143,32 @@ class SedStreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streamingRetention emits each (user, week) once, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val W = graft.operators.EventAnalytics.WeekUs
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("user_id", "ts_us")
+    val rt = SedStreaming.streamingRetention(df)
+    val q = rt.writeStream.format("memory").queryName("ret_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 5 * W + 1), (1L, 5 * W + 2))
+      q.processAllAvailable()
+      input.addData((1L, 5 * W + 3), (1L, 6 * W), (2L, 9 * W))
+      q.processAllAvailable()
+      val rows = spark.table("ret_out").as[(Long, Long)].collect().toSeq
+      assert(rows.sorted == Seq((1L, 5L), (1L, 6L), (2L, 9L)))
+    } finally q.stop()
+  }
+
+  test("driver q_stream_retention equals the batch retention on the sf feed") {
+    val got = graft.streaming.StreamingQueries.streamRetention(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.EventAnalytics.retention(events)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("driver q_stream_funnel equals the batch funnel on the sf feed") {
     val got = graft.streaming.StreamingQueries.streamFunnel(spark, Sf)
       .select("stage_idx", "stage", "n_users", "pct_of_first")
