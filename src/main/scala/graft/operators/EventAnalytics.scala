@@ -51,17 +51,7 @@ object EventAnalytics {
   def funnel(events: DataFrame, stages: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts_us"): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    // chain of per-stage first-qualifying-time sets, each |users| rows
-    val stageSets: Seq[DataFrame] = stages.zipWithIndex.tail.scanLeft(
-      events.filter(col(typeCol) === stages.head)
-        .groupBy(userCol).agg(min(tsCol).as("t"))
-    ) { case (prev, (st, _)) =>
-      events.filter(col(typeCol) === st)
-        .join(prev.select(col(userCol), col("t").as("__pt")), Seq(userCol))
-        .filter(col(tsCol) > col("__pt"))
-        .groupBy(userCol).agg(min(tsCol).as("t"))
-    }
+    val stageSets = stageTimes(events, stages, userCol, typeCol, tsCol)
     val counts = stageSets.zip(stages.zipWithIndex).map { case (df, (st, i)) =>
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i).as("stage_idx"), lit(st).as("stage"), col("n_users"))
@@ -71,6 +61,69 @@ object EventAnalytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.withColumn("pct_of_first",
       round(col("n_users").cast("double") / first("n_users").over(w), 6))
+  }
+
+  /** The per-stage first-qualifying-time sets (user, t) behind
+    * [[funnel]] / [[funnelTiming]] — each |users| rows, chained by an
+    * equi-join on the previous stage. */
+  private def stageTimes(events: DataFrame, stages: Seq[String], userCol: String,
+                         typeCol: String, tsCol: String): Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    stages.zipWithIndex.tail.scanLeft(
+      events.filter(col(typeCol) === stages.head)
+        .groupBy(userCol).agg(min(tsCol).as("t"))
+    ) { case (prev, (st, _)) =>
+      events.filter(col(typeCol) === st)
+        .join(prev.select(col(userCol), col("t").as("__pt")), Seq(userCol))
+        .filter(col(tsCol) > col("__pt"))
+        .groupBy(userCol).agg(min(tsCol).as("t"))
+    }
+  }
+
+  /** Time-to-convert per funnel transition: for each stage k ≥ 1, the
+    * count of converting users and their mean (exact integer-µs sums)
+    * delay from the previous stage's first-qualifying time. Same
+    * stage-set chain as [[funnel]]; each timing row is a |users|-sized
+    * equi-join (every stage-k user is a stage-(k−1) user by
+    * construction). Returns (stage_idx, stage, n_users, avg_delay_us).
+    */
+  def funnelTiming(events: DataFrame, stages: Seq[String],
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts_us"): DataFrame = {
+    require(stages.length >= 2, "funnelTiming needs at least two stages")
+    val sets = stageTimes(events, stages, userCol, typeCol, tsCol)
+    sets.zip(sets.tail).zip(stages.zipWithIndex.tail).map {
+      case ((prev, cur), (st, i)) =>
+        cur.join(prev.select(col(userCol), col("t").as("__pt")), Seq(userCol))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("t") - col("__pt")).as("__d"))
+          .select(lit(i).as("stage_idx"), lit(st).as("stage"), col("n_users"),
+            (col("__d").cast("double") / col("n_users")).as("avg_delay_us"))
+    }.reduce(_ unionAll _)
+      .filter(col("n_users") > 0)
+  }
+
+  /** DuckDB oracle for [[funnelTiming]] on the `events` table. */
+  def funnelTimingSql(stages: Seq[String]): String = {
+    require(stages.length >= 2)
+    stages.foreach(s => require(!s.contains("'"), "stage must not contain quotes"))
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = '$st' GROUP BY user_id)"
+      else
+        s"""s$i AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t FROM events e
+            JOIN s${i - 1} p USING (user_id)
+            WHERE e.event_type = '$st' AND epoch_us(e.ts) > p.t
+            GROUP BY e.user_id)"""
+    }.mkString(", ")
+    val unions = stages.zipWithIndex.tail.map { case (st, i) =>
+      s"""SELECT $i AS stage_idx, '$st' AS stage,
+          CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(CAST(SUM(c.t - p.t) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_delay_us
+          FROM s$i c JOIN s${i - 1} p USING (user_id)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $ctes SELECT * FROM ($unions) WHERE n_users > 0"""
+      .replaceAll("\\s+", " ")
   }
 
   /** DuckDB oracle for [[funnel]] on the `events` table. */
@@ -210,14 +263,34 @@ object EventAnalytics {
     */
   def zscoreOutliers(events: DataFrame, k: Int = 2,
                      idCol: String = "event_id", typeCol: String = "event_type",
-                     valCol: String = "value"): DataFrame = {
-    val ev = events.select(col(idCol), col(typeCol), col(valCol),
+                     valCol: String = "value"): DataFrame =
+    flagOutliers(withCents(events, idCol, typeCol, valCol)
+      .join(broadcast(momentStats(events, typeCol, valCol)), typeCol),
+      k, idCol, typeCol, valCol)
+
+  /** (idCol, typeCol, valCol, __vc) — the exact-cents projection the
+    * scoring runs on; shared by the batch and streaming paths. */
+  private[graft] def withCents(events: DataFrame, idCol: String,
+                               typeCol: String, valCol: String): DataFrame =
+    events.select(col(idCol), col(typeCol), col(valCol),
       floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
-    val st = ev.groupBy(typeCol).agg(
-      count(lit(1)).as("__n"), sum("__vc").as("__s"),
-      sum(col("__vc") * col("__vc")).as("__ss"))
+
+  /** Per-type exact-cents moment table (typeCol, __n, __s, __ss) — the
+    * OFFLINE model of the two-phase anomaly-detection deployment; the
+    * streaming path broadcasts it against live events. */
+  def momentStats(events: DataFrame, typeCol: String = "event_type",
+                  valCol: String = "value"): DataFrame =
+    events.select(col(typeCol), floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
+      .groupBy(typeCol).agg(
+        count(lit(1)).as("__n"), sum("__vc").as("__s"),
+        sum(col("__vc") * col("__vc")).as("__ss"))
+
+  /** The shared scoring step: expects the [[withCents]] columns joined
+    * with a [[momentStats]] row per event type. */
+  private[graft] def flagOutliers(joined: DataFrame, k: Int, idCol: String,
+                                  typeCol: String, valCol: String): DataFrame = {
     val m = col("__s").cast("double") / col("__n")
-    val j = ev.join(broadcast(st), typeCol)
+    val j = joined
       .withColumn("__m", m)
       .withColumn("__v", col("__ss").cast("double") / col("__n") - m * m)
       .withColumn("__d", col("__vc").cast("double") - col("__m"))

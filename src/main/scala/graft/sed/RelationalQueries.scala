@@ -459,6 +459,16 @@ object RelationalQueries {
       },
       Some(graft.operators.EventAnalytics.transitionsSql)),
 
+    // Time-to-convert per funnel transition: the funnel's stage-set
+    // chain joined pairwise (every stage-k user is stage-(k-1) by
+    // construction), mean delay from exact integer-microsecond sums.
+    "q_funnel_timing" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.funnelTiming(Tables.events(s, d), FunnelStages)
+      },
+      Some(graft.operators.EventAnalytics.funnelTimingSql(FunnelStages))),
+
     // Two-arm A/B comparison per event type (arm = user parity): moments
     // fold in exact integer cents through ONE conditional groupBy(type)
     // (|type| output rows); Welch's t derives from the exact sums with

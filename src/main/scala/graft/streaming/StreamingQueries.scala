@@ -298,6 +298,35 @@ object StreamingQueries {
         round(col("n_users").cast("double") / first("n_users").over(w), 6))
   }
 
+  /** Online anomaly scoring with an OFFLINE model — the two-phase
+    * deployment (like q_stream_decontam's Bloom): per-type exact-cents
+    * moments fit on the batch table, broadcast against the live feed in
+    * a stream-static join, each arriving event flagged map-only
+    * (stateless, append mode, no watermark). ORACLE-ELIGIBLE: scoring
+    * with full-corpus moments makes the replayed stream equal the batch
+    * operator, so this shares q_zscore_outliers' oracle VERBATIM. */
+  def streamZscore(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    import graft.operators.EventAnalytics
+    val dir = tmp("graft_zscore_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us",
+        "event_type", "value"), "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    // offline model: the moment table from the batch view of the data
+    // (|event_type| rows), broadcast into the stream-static join
+    val stats = EventAnalytics.momentStats(Tables.events(s, d))
+    val live = SedStreaming.fileStream(s, dir, schema)
+    val scored = EventAnalytics.flagOutliers(
+      EventAnalytics.withCents(live, "event_id", "event_type", "value")
+        .join(broadcast(stats), "event_type"),
+      k = 2, "event_id", "event_type", "value")
+    runToParquet(s, scored)
+  }
+
   /** Streaming cohort retention: the events feed through per-user
     * week-set state (calendar-bounded), (user, week) emitted exactly
     * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
@@ -488,6 +517,8 @@ object StreamingQueries {
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
+    "q_stream_zscore" -> QueryDef((s, d) => streamZscore(s, d),
+      Some(graft.operators.EventAnalytics.zscoreOutliersSql())),
     "q_stream_retention" -> QueryDef((s, d) => streamRetention(s, d),
       Some(graft.operators.EventAnalytics.retentionSql)),
     "q_stream_transitions" -> QueryDef((s, d) => streamTransitions(s, d),

@@ -109,6 +109,25 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got(11L) == 1012.0 && got(20L) == 1018.0) // type b band [1012, 1018]
   }
 
+  test("funnelTiming: mean delay from exact first-qualifying times") {
+    // u1: a@100 -> b@300 (200); u2: a@100 -> b@200 (100); u3 stalls at a
+    val df = ev(
+      (1, 1, "a", 100, 0), (2, 1, "b", 300, 0),
+      (3, 2, "a", 100, 0), (4, 2, "b", 200, 0),
+      (5, 3, "a", 100, 0))
+    val got = EventAnalytics.funnelTiming(df, Seq("a", "b"))
+      .select("stage_idx", "stage", "n_users", "avg_delay_us")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq((1, "b", 2L, 150.0)))
+  }
+
+  test("funnelTiming: transitions nobody completes are dropped") {
+    val df = ev((1, 1, "a", 100, 0), (2, 1, "b", 200, 0))
+    val got = EventAnalytics.funnelTiming(df, Seq("a", "b", "c"))
+      .select("stage").as[String].collect().toSeq
+    assert(got == Seq("b"))
+  }
+
   test("abTest: exact moments give the textbook Welch t") {
     // arm A (even users): values 10, 12; arm B (odd): 20, 26
     val df = ev(

@@ -169,6 +169,14 @@ class SedStreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty && got == want)
   }
 
+  test("driver q_stream_zscore equals the batch z-score outliers on the sf feed") {
+    val got = graft.streaming.StreamingQueries.streamZscore(spark, Sf)
+      .as[(Long, String, Double, Double)].collect().toSet
+    val want = graft.operators.EventAnalytics.zscoreOutliers(events)
+      .as[(Long, String, Double, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("driver q_stream_funnel equals the batch funnel on the sf feed") {
     val got = graft.streaming.StreamingQueries.streamFunnel(spark, Sf)
       .select("stage_idx", "stage", "n_users", "pct_of_first")
