@@ -171,6 +171,42 @@ object EventAnalytics {
        SELECT cw AS cohort_week, w - cw AS week_offset, COUNT(*) AS n_users
        FROM uw JOIN f USING (user_id) GROUP BY 1, 2""".replaceAll("\\s+", " ")
 
+  /** Microseconds per day. */
+  val DayUs: Long = 24L * 3600 * 1000000L
+
+  /** Rolling active users: per active day, DAU plus trailing-7-day WAU
+    * and trailing-30-day MAU. The standard engagement dashboard, in the
+    * compressed (user, day) domain: ONE distinct collapses the event
+    * stream (shuffle ∝ user-days, not events); each rolling count
+    * explodes a user-day into its covered target days IN-ROW (≤ 30
+    * rows) and re-distincts — work bounded by user-days × window, never
+    * by raw event count. Day math is integral `ts_us div`, engine- and
+    * timezone-independent. Returns (day, dau, wau, mau) for days with
+    * ≥ 1 active user. */
+  def activeUsers(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts_us"): DataFrame = {
+    val ud = events.select(col(userCol), expr(s"$tsCol div $DayUs").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    def rolling(n: Int, name: String): DataFrame = ud
+      .select(col(userCol), explode(sequence(col("day"), col("day") + (n - 1))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(name))
+    dau.join(rolling(7, "wau"), "day").join(rolling(30, "mau"), "day")
+  }
+
+  /** DuckDB oracle for [[activeUsers]] on the `events` table. */
+  val activeUsersSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+       w AS (SELECT day, COUNT(*) AS wau FROM (
+         SELECT DISTINCT user_id, day + o AS day FROM ud, UNNEST(range(0, 7)) AS t(o))
+         GROUP BY day),
+       m AS (SELECT day, COUNT(*) AS mau FROM (
+         SELECT DISTINCT user_id, day + o AS day FROM ud, UNNEST(range(0, 30)) AS t(o))
+         GROUP BY day)
+       SELECT day, dau, wau, mau
+       FROM dau JOIN w USING (day) JOIN m USING (day)""".replaceAll("\\s+", " ")
+
   /** First-order transition matrix over per-user time-ordered event
     * types: (prev_type, next_type, n_transitions, p) where p is the
     * row-normalized transition probability. ONE shuffle (the window

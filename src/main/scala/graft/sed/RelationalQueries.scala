@@ -447,6 +447,18 @@ object RelationalQueries {
       },
       Some(graft.operators.EventAnalytics.retentionSql)),
 
+    // Rolling active users (DAU / trailing-7d WAU / trailing-30d MAU)
+    // in the compressed (user, day) domain: one distinct collapses the
+    // event stream, rolling counts explode user-days in-row (<= 30
+    // rows) and re-distinct — bounded by user-days x window, never raw
+    // event count.
+    "q_active_users" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        graft.operators.EventAnalytics.activeUsers(Tables.events(s, d))
+      },
+      Some(graft.operators.EventAnalytics.activeUsersSql)),
+
     // First-order event-type transition matrix (Markov chain fit) over
     // per-user time-ordered sequences: ONE shuffle (window lag keyed on
     // user), |event_type|^2 output rows with row-normalized transition

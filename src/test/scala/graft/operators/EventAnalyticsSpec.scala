@@ -109,6 +109,32 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got(11L) == 1012.0 && got(20L) == 1018.0) // type b band [1012, 1018]
   }
 
+  test("activeUsers: DAU/WAU/MAU windows cover exactly the trailing days") {
+    val D = EventAnalytics.DayUs
+    // u1 active day 0 and day 8; u2 active day 8.
+    val df = ev(
+      (1, 1, "x", 0 * D + 5, 0), (2, 1, "x", 8 * D + 1, 0),
+      (3, 2, "x", 8 * D + 2, 0))
+    val got = EventAnalytics.activeUsers(df)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // day 0: dau 1 (u1), wau 1, mau 1
+    assert(got(0L) == ((1L, 1L, 1L)))
+    // day 8: dau 2; wau = users active in days 2..8 = {u1, u2} minus u1's
+    // day-0 activity (outside 7d) -> u1 IS active day 8 itself, so wau 2;
+    // mau covers day 0 too -> 2
+    assert(got(8L) == ((2L, 2L, 2L)))
+    assert(got.size == 2)
+  }
+
+  test("activeUsers: a user inactive on the day still counts toward WAU within 7 days") {
+    val D = EventAnalytics.DayUs
+    // u1 active day 0 only; u2 active day 3 -> day 3 has dau 1 but wau 2
+    val df = ev((1, 1, "x", 0 * D, 0), (2, 2, "x", 3 * D, 0))
+    val got = EventAnalytics.activeUsers(df)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(3L) == ((1L, 2L, 2L)))
+  }
+
   test("funnelTiming: mean delay from exact first-qualifying times") {
     // u1: a@100 -> b@300 (200); u2: a@100 -> b@200 (100); u3 stalls at a
     val df = ev(
