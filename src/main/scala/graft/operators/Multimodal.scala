@@ -319,6 +319,79 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String, payloadCol: String): DataFrame =
     docs.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
 
+  /** Attach a VALID binary P5 (grayscale PGM) payload synthesized from
+    * text — the deterministic blob-store stand-in that still exercises
+    * the REAL decode path: gray values are the text's bytes cycled to
+    * w×h (`rpad` with the text itself as pad), so identical text ⇒
+    * identical image and near-identical text ⇒ near-identical image. */
+  def withPgmPayload(docs: DataFrame, textCol: String, payloadCol: String,
+                     w: Int = 32, h: Int = 32): DataFrame =
+    docs.withColumn(payloadCol, encode(concat(
+      lit(s"P5\n$w $h\n255\n"),
+      expr(s"rpad(concat($textCol, 'x'), ${w * h}, concat($textCol, 'x'))")),
+      "ISO-8859-1"))
+
+  /** 8×8 average-hash (aHash) of any decodable image: nearest-neighbour
+    * downsample to an 8×8 gray grid, then one bit per cell — 1 iff the
+    * cell is STRICTLY above the integer mean (the deterministic tie
+    * rule). Uniform brightness shifts move the mean with the cells, so
+    * the hash is robust to them; undecodable payloads return None. */
+  def aHash8(bytes: Array[Byte]): Option[Long] = decodeImage(bytes).map {
+    case (w, h, c, px) =>
+      val g = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val sx = math.min(w - 1, gx * w / 8)
+          val sy = math.min(h - 1, gy * h / 8)
+          val base = (sy * w + sx) * c
+          var s = 0
+          var ch = 0
+          while (ch < c) { s += px(base + ch) & 0xff; ch += 1 }
+          g(i) = s / c; sum += g(i); i += 1; gx += 1
+        }
+        gy += 1
+      }
+      val mean = sum / 64
+      var hash = 0L
+      var b = 0
+      while (b < 64) { if (g(b) > mean) hash |= 1L << b; b += 1 }
+      hash
+  }
+
+  val dupGroupSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("phash", LongType)))
+
+  /** Perceptual-hash image dedup groups: batched decode → [[aHash8]] per
+    * payload (undecodable blobs fall back to their 32-bit content md5,
+    * so the pass is total and byte-exact for non-images), then one
+    * hash-key shuffle folds the corpus to (phash, n_images, keeper_id) —
+    * keeper = min doc id, the dedup decision table. The standard
+    * near-dup image collapse (aHash buckets) at corpus scale: work is
+    * one decode pass + a |distinct hash|-sized aggregation. */
+  def imageDupGroups(docs: DataFrame, idCol: String, payloadCol: String,
+                     batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = nonNull(docs, idCol, payloadCol).rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val hash = aHash8(bytes).getOrElse(dimsAndFingerprint(bytes)._4)
+            Row(id, hash)
+          }
+        }
+      }
+    spark.createDataFrame(rows, dupGroupSchema)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_id"))
+  }
+
   /** Rows with a NULL payload carry nothing to decode — drop them before
     * the batch pass (a null would NPE inside the per-batch dereference). */
   private def nonNull(docs: DataFrame, idCol: String, payloadCol: String): DataFrame =

@@ -1761,6 +1761,16 @@ object PipelineQueries {
       }),
 
     // ---------------- multimodal ----------------
+    // Perceptual-hash image dedup: REAL P5 images synthesized from text
+    // (rpad-cycled gray bytes — identical text => identical image),
+    // batched decode -> 8x8 aHash -> ONE hash-key shuffle to the
+    // (phash, n_images, keeper) decision table. Rows-only (pixel decode
+    // has no SQL twin); MultimodalSpec pins hash invariances + grouping.
+    "q_image_dedup" -> QueryDef(
+      (s, d) => Multimodal.imageDupGroups(
+        Multimodal.withPgmPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
+      None),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => Multimodal.decodeMeta(
         Multimodal.withPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),

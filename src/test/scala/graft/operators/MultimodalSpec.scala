@@ -21,6 +21,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r2.getLong(1) == 1000L && r2.getLong(2) == 361L && r2.getLong(3) == 41L)
   }
 
+  test("aHash8: equal images equal, brightness-shift invariant, inversion flips") {
+    def pgm(px: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("ISO-8859-1") ++ px
+    val base = Array.tabulate(256)(i => ((i / 16) * 15).toByte) // 16x16 gradient
+    val h1 = Multimodal.aHash8(pgm(base, 16, 16)).get
+    assert(Multimodal.aHash8(pgm(base.clone(), 16, 16)).get == h1)
+    // +20 uniform brightness (clamped range avoided): mean shifts with cells
+    val brighter = base.map(b => ((b & 0xff) + 20).toByte)
+    assert(Multimodal.aHash8(pgm(brighter, 16, 16)).get == h1)
+    // inversion flips the above/below-mean relation
+    val inverted = base.map(b => (255 - (b & 0xff)).toByte)
+    assert(Multimodal.aHash8(pgm(inverted, 16, 16)).get != h1)
+    // undecodable -> None
+    assert(Multimodal.aHash8("not an image".getBytes).isEmpty)
+  }
+
+  test("imageDupGroups: identical text collapses, keeper is min id, total over non-images") {
+    val docs = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 5 -> keeper 2
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val got = Multimodal.imageDupGroups(
+      Multimodal.withPgmPayload(docs, "text", "payload"), "doc_id", "payload")
+      .as[(Long, Long, Long)].collect().map(r => r._3 -> (r._2)).toMap
+    assert(got(2L) == 2L) // group of {2, 5}, keeper = 2
+    assert(got(3L) == 1L) // singleton
+    assert(got.size == 2)
+  }
+
+  test("withPgmPayload synthesizes REAL decodable P5 images from text") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val payload = Multimodal.withPgmPayload(docs, "text", "payload", 8, 4)
+      .select("payload").as[Array[Byte]].head()
+    val Some((w, h, c, px)) = Multimodal.decodePnm(payload)
+    assert((w, h, c) == ((8, 4, 1)))
+    assert(px.length == 32)
+    // gray values are the text bytes (+ sentinel) cycled
+    assert(new String(px, "ISO-8859-1") == "abcx" * 8)
+  }
+
   test("resize emits fixed-size pixel buffers") {
     val docs = Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.resize(
