@@ -393,6 +393,44 @@ object SedQueries {
               FROM events WHERE event_id % 100 = 0) WHERE rn = 1) r
           ON e.ts_us >= r.sts_us""".replaceAll("\\s+", " "))),
 
+    // NEAREST as-of: each event takes the temporally closest reading,
+    // ties backward. Two linear range-shuffle passes (prev via forward
+    // fill, next via backward fill) + a map-only CASE — still no
+    // candidate-pair expansion. Oracle: both DuckDB ASOF directions
+    // joined, the same CASE choosing the closer.
+    "q_asof_nearest" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select("event_id", "ts_us")
+        val w = Window.partitionBy("sts_us").orderBy(col("sensor_id").desc)
+        val rd = events(s, d).filter(col("event_id") % 100 === 0)
+          .selectExpr("event_id AS sensor_id", "ts_us AS sts_us",
+            "CAST(value AS DOUBLE) AS reading")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        graft.operators.AsOf.asofNearest(ev, rd, "ts_us", "sts_us",
+          Seq("sensor_id", "reading"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+          r AS (SELECT sensor_id, sts_us, reading FROM (
+            SELECT event_id AS sensor_id, epoch_us(ts) AS sts_us,
+              CAST(value AS DOUBLE) AS reading,
+              ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 100 = 0) WHERE rn = 1),
+          b AS (SELECT e.event_id, e.ts_us, r.sensor_id AS p_id, r.reading AS p_rd,
+              r.sts_us AS pts
+            FROM e ASOF LEFT JOIN r ON e.ts_us >= r.sts_us),
+          f AS (SELECT e.event_id, r.sensor_id AS n_id, r.reading AS n_rd,
+              r.sts_us AS nts
+            FROM e ASOF LEFT JOIN r ON e.ts_us <= r.sts_us)
+          SELECT b.event_id, b.ts_us,
+            CASE WHEN nts IS NULL OR (pts IS NOT NULL AND (b.ts_us - pts) <= (nts - b.ts_us))
+              THEN p_id ELSE n_id END AS sensor_id,
+            CASE WHEN nts IS NULL OR (pts IS NOT NULL AND (b.ts_us - pts) <= (nts - b.ts_us))
+              THEN p_rd ELSE n_rd END AS reading,
+            CASE WHEN nts IS NULL OR (pts IS NOT NULL AND (b.ts_us - pts) <= (nts - b.ts_us))
+              THEN pts ELSE nts END AS matched_ts
+          FROM b JOIN f USING (event_id)""".replaceAll("\\s+", " "))),
+
     // ---------------- binning ----------------
     "q_hist1d" -> QueryDef(
       (s, d) => Binning.histogram(events(s, d), Seq(AxValue)),
