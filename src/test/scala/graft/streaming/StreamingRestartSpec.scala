@@ -62,4 +62,49 @@ class StreamingRestartSpec extends SparkSpecBase {
     assert(counts() == Map(1L -> 5L, 2L -> 1L),
       "restart must resume aggregation state and skip processed files")
   }
+
+  test("funnel (depth, t_last) state survives a stop/restart on one checkpoint") {
+    val s = spark.newSession()
+    graft.sed.SedQueries.ensureConfs(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val dir = Files.createTempDirectory("graft_restart_funnel").toString
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    def feed(rows: Seq[(Long, Long, String)]): Unit = {
+      import s.implicits._
+      rows.toDF("user_id", "ts_us", "event_type")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    // append-mode recovery needs a replayable sink — memory can't
+    // recover in append mode, a parquet sink can
+    val outDir = s"$dir/out"
+    def start() = {
+      val src = s.readStream
+        .schema(StructType.fromDDL("user_id BIGINT, ts_us BIGINT, event_type STRING"))
+        .parquet(srcDir)
+      SedStreaming.streamingFunnel(src, Seq("a", "b", "c"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .start()
+    }
+    def advances(): Set[(Long, Int, Long)] = s.read.parquet(outDir)
+      .as[(Long, Int, Long)].collect().toSet
+
+    // epoch 1: u1 reaches stage a then b
+    feed(Seq((1L, 10L, "a"), (1L, 20L, "b")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(advances() == Set((1L, 0, 10L), (1L, 1, 20L)))
+
+    // stopped: u1's c arrives (must advance from RESUMED depth 2, not
+    // restart at 0), plus a stale b that must NOT re-emit
+    feed(Seq((1L, 30L, "c"), (1L, 31L, "b")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(advances() == Set((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L)),
+      "restart must resume per-user funnel state and not re-ingest or re-emit")
+  }
 }
