@@ -107,4 +107,41 @@ class StreamingRestartSpec extends SparkSpecBase {
     assert(advances() == Set((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L)),
       "restart must resume per-user funnel state and not re-ingest or re-emit")
   }
+
+  test("retention week-set state survives a stop/restart on one checkpoint") {
+    val s = spark.newSession()
+    graft.sed.SedQueries.ensureConfs(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val W = graft.operators.EventAnalytics.WeekUs
+    val dir = Files.createTempDirectory("graft_restart_ret").toString
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def feed(rows: Seq[(Long, Long)]): Unit = {
+      import s.implicits._
+      rows.toDF("user_id", "ts_us").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val outDir = s"$dir/out"
+    def start() = {
+      val src = s.readStream
+        .schema(StructType.fromDDL("user_id BIGINT, ts_us BIGINT")).parquet(srcDir)
+      SedStreaming.streamingRetention(src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    }
+    def weeks(): Seq[(Long, Long)] =
+      s.read.parquet(outDir).as[(Long, Long)].collect().toSeq
+
+    feed(Seq((1L, 5 * W + 1), (1L, 5 * W + 2)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(weeks().sorted == Seq((1L, 5L)))
+
+    // stopped: a repeat of week 5 (must NOT re-emit — the seen-set must
+    // be recovered, not reset) and a new week
+    feed(Seq((1L, 5 * W + 9), (1L, 7 * W)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(weeks().sorted == Seq((1L, 5L), (1L, 7L)),
+      "restart must recover the per-user week set exactly once per week")
+  }
 }
