@@ -276,26 +276,41 @@ object EventAnalytics {
     * Returns (idCol, typeCol, valCol, w_value). */
   def winsorize(events: DataFrame, pLo: Double, pHi: Double,
                 idCol: String = "event_id", typeCol: String = "event_type",
-                valCol: String = "value"): DataFrame = {
+                valCol: String = "value"): DataFrame =
+    clampWithThresholds(
+      withCents(events, idCol, typeCol, valCol)
+        .join(broadcast(winsorizeThresholds(events, pLo, pHi, typeCol, valCol)), typeCol),
+      idCol, typeCol, valCol)
+
+  /** The per-type (lo, hi) clamp band at the discrete [pLo, pHi]
+    * quantiles — the OFFLINE model of the two-phase deployment (the
+    * streaming path broadcasts it against live events). */
+  def winsorizeThresholds(events: DataFrame, pLo: Double, pHi: Double,
+                          typeCol: String = "event_type",
+                          valCol: String = "value"): DataFrame = {
     require(0.0 < pLo && pLo < pHi && pHi < 1.0, s"need 0 < $pLo < $pHi < 1")
-    val ev = events.select(col(idCol), col(typeCol), col(valCol),
-      floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
-    val hist = ev.groupBy(typeCol, "__vc").agg(count(lit(1)).as("__c"))
+    val hist = events
+      .select(col(typeCol), floor(col(valCol) * 100 + 0.5).cast("long").as("__vc"))
+      .groupBy(typeCol, "__vc").agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(typeCol).orderBy("__vc")
     val wAll = Window.partitionBy(typeCol)
-    val cum = hist
+    hist
       .withColumn("__cm", sum("__c").over(wCum))
       .withColumn("__n", sum("__c").over(wAll))
-    val thr = cum.groupBy(typeCol).agg(
-      min(when(col("__cm").cast("double") >= lit(pLo) * col("__n").cast("double"),
-        col("__vc"))).as("__lo"),
-      min(when(col("__cm").cast("double") >= lit(pHi) * col("__n").cast("double"),
-        col("__vc"))).as("__hi"))
-    ev.join(broadcast(thr), typeCol)
-      .select(col(idCol), col(typeCol), col(valCol),
-        (least(greatest(col("__vc"), col("__lo")), col("__hi")).cast("double") /
-          lit(100.0)).as("w_value"))
+      .groupBy(typeCol).agg(
+        min(when(col("__cm").cast("double") >= lit(pLo) * col("__n").cast("double"),
+          col("__vc"))).as("__lo"),
+        min(when(col("__cm").cast("double") >= lit(pHi) * col("__n").cast("double"),
+          col("__vc"))).as("__hi"))
   }
+
+  /** The shared clamp step: expects [[withCents]] columns joined with a
+    * [[winsorizeThresholds]] row per type. */
+  private[graft] def clampWithThresholds(joined: DataFrame, idCol: String,
+                                         typeCol: String, valCol: String): DataFrame =
+    joined.select(col(idCol), col(typeCol), col(valCol),
+      (least(greatest(col("__vc"), col("__lo")), col("__hi")).cast("double") /
+        lit(100.0)).as("w_value"))
 
   /** DuckDB oracle for [[winsorize]] on the `events` table. */
   def winsorizeSql(pLo: Double, pHi: Double): String = {

@@ -134,6 +134,11 @@ object SedStreaming {
                       tsCol: String = "ts_us"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // the type→index map cannot represent a stage sequence that repeats
+    // a type (the batch chain CAN — e.g. a,b,a); refuse rather than
+    // silently diverge from the batch operator
+    require(stages.distinct == stages,
+      s"streamingFunnel requires distinct stage types, got $stages")
     val stageIdx: Map[String, Int] = stages.zipWithIndex.toMap
     events
       .selectExpr(s"CAST($userCol AS BIGINT) AS u", s"CAST($tsCol AS BIGINT) AS o",

@@ -331,6 +331,34 @@ object StreamingQueries {
     runToParquet(s, scored)
   }
 
+  /** Online winsorization with OFFLINE thresholds — the second two-phase
+    * deployment next to q_stream_zscore: the per-type discrete-quantile
+    * clamp band fits on the batch table (histogram cumulative window,
+    * |type| rows, MATERIALIZED once — the stream-static re-evaluation
+    * lesson), broadcast into the live feed, each arriving event clamped
+    * map-only. ORACLE-ELIGIBLE: full-corpus thresholds make the
+    * replayed stream equal the batch operator — shares q_winsorize's
+    * oracle VERBATIM. */
+  def streamWinsorize(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    import graft.operators.EventAnalytics
+    val dir = tmp("graft_winsor_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us",
+        "event_type", "value"), "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val thr = EventAnalytics.winsorizeThresholds(Tables.events(s, d), 0.05, 0.95)
+      .localCheckpoint(true)
+    val live = SedStreaming.fileStream(s, dir, schema)
+    runToParquet(s, EventAnalytics.clampWithThresholds(
+      EventAnalytics.withCents(live, "event_id", "event_type", "value")
+        .join(broadcast(thr), "event_type"),
+      "event_id", "event_type", "value"))
+  }
+
   /** Streaming cohort retention: the events feed through per-user
     * week-set state (calendar-bounded), (user, week) emitted exactly
     * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
@@ -521,6 +549,8 @@ object StreamingQueries {
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
+    "q_stream_winsorize" -> QueryDef((s, d) => streamWinsorize(s, d),
+      Some(graft.operators.EventAnalytics.winsorizeSql(0.05, 0.95))),
     "q_stream_zscore" -> QueryDef((s, d) => streamZscore(s, d),
       Some(graft.operators.EventAnalytics.zscoreOutliersSql())),
     "q_stream_retention" -> QueryDef((s, d) => streamRetention(s, d),

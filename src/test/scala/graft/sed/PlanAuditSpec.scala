@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpecBase {
     Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist",
       "q_stream_dedup", "q_stream_neardup", "q_stream_decontam",
       "q_stream_ffill", "q_stream_funnel", "q_stream_transitions",
-      "q_stream_retention", "q_stream_zscore")
+      "q_stream_retention", "q_stream_zscore", "q_stream_winsorize")
 
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
   private val oneRowBroadcastOk =

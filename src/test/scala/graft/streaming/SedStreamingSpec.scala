@@ -169,6 +169,14 @@ class SedStreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty && got == want)
   }
 
+  test("driver q_stream_winsorize equals the batch winsorize on the sf feed") {
+    val got = graft.streaming.StreamingQueries.streamWinsorize(spark, Sf)
+      .as[(Long, String, Double, Double)].collect().toSet
+    val want = graft.operators.EventAnalytics.winsorize(events, 0.05, 0.95)
+      .as[(Long, String, Double, Double)].collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("driver q_stream_zscore equals the batch z-score outliers on the sf feed") {
     val got = graft.streaming.StreamingQueries.streamZscore(spark, Sf)
       .as[(Long, String, Double, Double)].collect().toSet
