@@ -36,6 +36,8 @@ object Graph {
       .distinct().localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od")).localCheckpoint(true)
     val n = deg.count() // scalar driver aggregate, never row data
+    if (n == 0) // empty graph: no nodes, no rank — not a division by zero
+      return deg.select(col("src").as("id"), col("od").as("pr_u"))
     val base = (1000000L * (dampDen - dampNum)) / (dampDen * n)
     var ranks = deg.select(col("src").as("id"), lit(1000000L / n).as("pr"))
     for (_ <- 1 to iters) {

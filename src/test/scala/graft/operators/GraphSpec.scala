@@ -31,6 +31,11 @@ class GraphSpec extends SparkSpecBase {
     for (k <- Seq(1, 3, 8)) assert(pr(pairs, k) == replay(pairs, k))
   }
 
+  test("pagerank on an empty pair list returns an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Graph.pagerank(empty, 3).count() == 0)
+  }
+
   test("pagerank ranks the hub above leaves and symmetric pairs equally") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
     val r = pr(pairs, 8)
