@@ -144,4 +144,42 @@ class StreamingRestartSpec extends SparkSpecBase {
     assert(weeks().sorted == Seq((1L, 5L), (1L, 7L)),
       "restart must recover the per-user week set exactly once per week")
   }
+
+  test("transitions last-type state survives a stop/restart on one checkpoint") {
+    val s = spark.newSession()
+    graft.sed.SedQueries.ensureConfs(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val dir = Files.createTempDirectory("graft_restart_trans").toString
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def feed(rows: Seq[(Long, Long, Long, String)]): Unit = {
+      import s.implicits._
+      rows.toDF("user_id", "ts_us", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val outDir = s"$dir/out"
+    def start() = {
+      val src = s.readStream.schema(StructType.fromDDL(
+        "user_id BIGINT, ts_us BIGINT, event_id BIGINT, event_type STRING"))
+        .parquet(srcDir)
+      SedStreaming.streamingTransitions(src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    }
+    def edges(): Seq[(Long, String, String)] =
+      s.read.parquet(outDir).as[(Long, String, String)].collect().toSeq
+
+    feed(Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(edges().sorted == Seq((1L, "a", "b")))
+
+    // stopped: next event must chain off the RECOVERED last type ("b"),
+    // not restart the sequence
+    feed(Seq((1L, 30L, 3L, "c")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(edges().sorted == Seq((1L, "a", "b"), (1L, "b", "c")),
+      "restart must chain off the recovered last type without re-ingesting")
+  }
 }
