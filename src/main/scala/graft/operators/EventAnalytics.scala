@@ -59,8 +59,11 @@ object EventAnalytics {
     // stage rows are a handful — the unpartitioned window is plot-sized
     val w = Window.orderBy("stage_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL (not Infinity / NaN) when the first stage matched nobody —
+    // mirrors the oracle's NULLIF so both engines agree on empty corpora.
     counts.withColumn("pct_of_first",
-      round(col("n_users").cast("double") / first("n_users").over(w), 6))
+      when(first("n_users").over(w) > 0,
+        round(col("n_users").cast("double") / first("n_users").over(w), 6)))
   }
 
   /** The per-stage first-qualifying-time sets (user, t) behind
@@ -145,7 +148,8 @@ object EventAnalytics {
     s"""WITH $ctes, c AS ($unions)
        SELECT stage_idx, stage, n_users,
          ROUND(CAST(n_users AS DOUBLE) /
-           (SELECT n_users FROM c WHERE stage_idx = 0), 6) AS pct_of_first
+           NULLIF((SELECT n_users FROM c WHERE stage_idx = 0), 0), 6)
+           AS pct_of_first
        FROM c""".replaceAll("\\s+", " ")
   }
 
@@ -234,11 +238,15 @@ object EventAnalytics {
     // (measured 176 s → 75 s at 1e8 events). The dim table is
     // a tiny partial-agg distinct, broadcast both ways; names re-attach
     // at the |types|²-row matrix level.
-    val dim = events.select(col(typeCol).as("__t")).distinct()
+    // NULL types are dropped EXPLICITLY (not silently via the inner
+    // dictionary join) so the contract matches the oracle's WHERE clause
+    // by construction: a NULL event row contributes no transition pair.
+    val nonNull = events.filter(col(typeCol).isNotNull)
+    val dim = nonNull.select(col(typeCol).as("__t")).distinct()
       .withColumn("__tid",
         row_number().over(Window.orderBy("__t")).cast("int"))
-    val enc = events
-      .join(broadcast(dim), events(typeCol) === dim("__t"))
+    val enc = nonNull
+      .join(broadcast(dim), nonNull(typeCol) === dim("__t"))
       .select(col(userCol), col(tsCol), col(idCol), col("__tid"))
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val c = enc
@@ -258,7 +266,7 @@ object EventAnalytics {
   val transitionsSql: String =
     """WITH t AS (SELECT event_type AS next_type,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
-         FROM events),
+         FROM events WHERE event_type IS NOT NULL),
        c AS (SELECT prev_type, next_type, COUNT(*) AS n_transitions
          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
        SELECT prev_type, next_type, n_transitions,

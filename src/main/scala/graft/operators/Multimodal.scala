@@ -364,15 +364,20 @@ object Multimodal {
 
   val dupGroupSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("is_image", BooleanType),
     StructField("phash", LongType)))
 
   /** Perceptual-hash image dedup groups: batched decode → [[aHash8]] per
     * payload (undecodable blobs fall back to their 32-bit content md5,
     * so the pass is total and byte-exact for non-images), then one
-    * hash-key shuffle folds the corpus to (phash, n_images, keeper_id) —
-    * keeper = min doc id, the dedup decision table. The standard
-    * near-dup image collapse (aHash buckets) at corpus scale: work is
-    * one decode pass + a |distinct hash|-sized aggregation. */
+    * hash-key shuffle folds the corpus to
+    * (is_image, phash, n_images, keeper_id) — keeper = min doc id, the
+    * dedup decision table. `is_image` is part of the GROUP KEY: the
+    * 64-bit aHash domain and the 32-bit md5-fallback domain can never be
+    * merged into one group, so an image whose aHash lands below 2^32
+    * cannot share a keeper with a non-image blob. The standard near-dup
+    * image collapse (aHash buckets) at corpus scale: work is one decode
+    * pass + a |distinct hash|-sized aggregation. */
   def imageDupGroups(docs: DataFrame, idCol: String, payloadCol: String,
                      batchSize: Int = 64): DataFrame = {
     val spark = docs.sparkSession
@@ -382,13 +387,16 @@ object Multimodal {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val hash = aHash8(bytes).getOrElse(dimsAndFingerprint(bytes)._4)
-            Row(id, hash)
+            val (isImage, hash) = aHash8(bytes) match {
+              case Some(h) => (true, h)
+              case None    => (false, dimsAndFingerprint(bytes)._4)
+            }
+            Row(id, isImage, hash)
           }
         }
       }
     spark.createDataFrame(rows, dupGroupSchema)
-      .groupBy("phash")
+      .groupBy("is_image", "phash")
       .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_id"))
   }
 

@@ -271,27 +271,31 @@ object PipelineQueries {
            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3"""
           .replaceAll("\\s+", " ")}),
 
-    // Blocked all-pairs Jaccard verify, EXACT-FIRST (round 8): identical
-    // copies collapse to their min-id representative before the verify —
-    // a pair of exact copies has jaccard 1 by construction, so verifying
-    // it is pure waste that grows quadratically in copies on a
-    // duplicate-saturated corpus. The oracle replays the rep restriction.
+    // n-gram Jaccard scoring over the PRODUCTION pair source (round 10 —
+    // the round-9 entry carried an `a_id % 50 === b_id % 50` all-pairs
+    // demo policy, quadratic in group size; that form lives on as a
+    // DedupSpec fixture only): exact-first rep collapse → bucket-capped
+    // banded-LSH candidates → jaccardForPairs, emitting EVERY scored
+    // candidate pair (no threshold — this is the verify stage's raw
+    // score table). Pair work is candidate-bounded at any corpus size.
+    // Oracle reuses the shared rep/sig/banded/cand/sh CTE chain (the
+    // unreferenced `verified` CTE is pruned by the engine).
     "q_ngram_jaccard" -> QueryDef(
-      (s, d) => Dedup.ngramJaccard(
-        Dedup.exactRepresentatives(docs(s, d), "doc_id", md5(col("text").cast("binary"))),
-        "doc_id", "text", ShingleN,
-        (a, b) => a("a_id") < b("b_id") && a("a_id") % 50 === b("b_id") % 50),
+      (s, d) => {
+        val reps = Dedup.exactRepresentatives(docs(s, d), "doc_id",
+          md5(col("text").cast("binary")))
+        Dedup.jaccardForPairs(reps, "doc_id", "text", ShingleN,
+          Dedup.minhashCandidates(reps, "doc_id", "text",
+            NumHashes, RowsPerBand, ShingleN, MaxBucket))
+      },
       Some {
-        val sh = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
-        // the len >= n filter mirrors Dedup.shingleSets dropping docs
-        // with no n-grams
-        s"""WITH rep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-           s AS (SELECT doc_id, list_distinct($sh) AS sh FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents JOIN rep USING (doc_id) WHERE len($toksSqlFrag) >= $ShingleN))
-           SELECT a_id, b_id, inter, uni, CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM (
-             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        s"""WITH ${repVerifiedCtesSql(0.8)}
+           SELECT a_id, b_id, inter, uni,
+             CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard FROM (
+             SELECT c.a_id, c.b_id,
                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
                CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-             FROM s a, s b WHERE a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50)"""
+             FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)"""
           .replaceAll("\\s+", " ")}),
 
     // n-gram CONTAINMENT over the LSH candidate pairs: |A∩B| /

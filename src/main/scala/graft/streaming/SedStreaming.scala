@@ -174,7 +174,10 @@ object SedStreaming {
                            idCol: String = "event_id"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // NULL types contribute no transition pair — same explicit drop as
+    // the batch operator and its oracle's WHERE clause.
     events
+      .filter(col(typeCol).isNotNull)
       .selectExpr(s"CAST($userCol AS BIGINT) AS u", s"CAST($tsCol AS BIGINT) AS o",
         s"CAST($idCol AS BIGINT) AS i", s"CAST($typeCol AS STRING) AS t")
       .as[(Long, Long, Long, String)]
@@ -217,7 +220,10 @@ object SedStreaming {
           var seen = state.getOption.getOrElse(Seq.empty[Long]).toSet
           val out = Seq.newBuilder[(Long, Long)]
           rows.foreach { case (_, ts) =>
-            val w = Math.floorDiv(ts, weekUs)
+            // Truncating division (Java `/`) matches the batch operator's
+            // Spark `div` and the DuckDB oracle's `//` for negative ts_us;
+            // Math.floorDiv would diverge on pre-epoch timestamps.
+            val w = ts / weekUs
             if (!seen(w)) { seen += w; out += ((key, w)) }
           }
           state.update(seen.toSeq)

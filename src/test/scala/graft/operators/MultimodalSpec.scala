@@ -44,10 +44,23 @@ class MultimodalSpec extends SparkSpecBase {
       (3L, "completely different content here")).toDF("doc_id", "text")
     val got = Multimodal.imageDupGroups(
       Multimodal.withPgmPayload(docs, "text", "payload"), "doc_id", "payload")
-      .as[(Long, Long, Long)].collect().map(r => r._3 -> (r._2)).toMap
+      .as[(Boolean, Long, Long, Long)].collect().map(r => r._4 -> r._3).toMap
     assert(got(2L) == 2L) // group of {2, 5}, keeper = 2
     assert(got(3L) == 1L) // singleton
     assert(got.size == 2)
+  }
+
+  test("imageDupGroups: aHash and md5-fallback domains never merge") {
+    // one decodable P5 image and one raw (undecodable) blob: even if the
+    // hash VALUES collided, is_image in the group key keeps them apart
+    val img = (1L, ("P5\n8 4\n255\n" + "abcx" * 8).getBytes("ISO-8859-1"))
+    val blob = (2L, "not an image".getBytes("UTF-8"))
+    val docs = Seq(img, blob).toDF("doc_id", "payload")
+    val rows = Multimodal.imageDupGroups(docs, "doc_id", "payload")
+      .as[(Boolean, Long, Long, Long)].collect()
+    assert(rows.length == 2)
+    assert(rows.map(_._1).toSet == Set(true, false))
+    assert(rows.forall(_._3 == 1L)) // each is its own singleton group
   }
 
   test("withPgmPayload synthesizes REAL decodable P5 images from text") {
