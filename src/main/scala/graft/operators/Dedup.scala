@@ -636,18 +636,30 @@ object Dedup {
     * share ONE sort partitioned by document — state is bounded by doc
     * length, never corpus size. */
   def duplicatedSpans(hits: DataFrame, n: Int, docCol: String = "doc_id",
-                      posCol: String = "pos"): DataFrame = {
+                      posCol: String = "pos"): DataFrame =
+    mergeSpans(hits.withColumn("__end", col(posCol) + lit(n)),
+      docCol, posCol, "__end")
+
+  /** Merge per-document VARIABLE-length [start, end) intervals into
+    * maximal spans (overlapping or adjacent intervals chain): the
+    * generalized interval union behind [[duplicatedSpans]] (fixed-width
+    * hits) and [[substringDedupAnchored]] (extended matches of any
+    * length). Both window passes share ONE sort partitioned by document —
+    * state is bounded by doc length, never corpus size. Returns
+    * (docCol, span_id, span_start, span_end). */
+  def mergeSpans(intervals: DataFrame, docCol: String,
+                 startCol: String, endCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(docCol).orderBy(posCol)
+      .partitionBy(docCol).orderBy(startCol, endCol)
     val wPrev = w.rowsBetween(Long.MinValue, -1)
-    hits
-      .withColumn("__pme", max(col(posCol) + lit(n)).over(wPrev))
+    intervals
+      .withColumn("__pme", max(col(endCol)).over(wPrev))
       .withColumn("__new",
-        when(col("__pme").isNull || col(posCol) > col("__pme"), 1L).otherwise(0L))
+        when(col("__pme").isNull || col(startCol) > col("__pme"), 1L).otherwise(0L))
       .withColumn("span_id", sum(col("__new")).over(w))
       .groupBy(col(docCol), col("span_id"))
-      .agg(min(col(posCol)).cast("long").as("span_start"),
-        (max(col(posCol)) + lit(n)).cast("long").as("span_end"))
+      .agg(min(col(startCol)).cast("long").as("span_start"),
+        max(col(endCol)).cast("long").as("span_end"))
   }
 
   /** Per-document REMOVAL decisions for exact substring dedup across the
@@ -673,6 +685,118 @@ object Dedup {
       .filter(col(idCol) > col("__min_doc"))
       .select(col(idCol), col("pos"))
     duplicatedSpans(hits, n, idCol, "pos")
+  }
+
+  /** CHARACTER-level exact substring dedup — maximal cross-doc repeats of
+    * ANY length ≥ `minLen` (the Lee et al. 2021 "Deduplicating Training
+    * Data Makes Language Models Better" ExactSubstr operation, re-derived
+    * Spark-first; reference scope: the span-trim cleanup family around
+    * sed's corpus tooling has no counterpart — this is the LLM-pipeline
+    * extension surface).
+    *
+    * Correctness shape: a position is covered by SOME cross-doc repeat of
+    * length ≥ L iff it is covered by a duplicated L-char-gram (any
+    * M ≥ L repeat contains an L-gram through every position; an L-gram
+    * duplicate IS a length-L repeat). So the union of per-position
+    * duplicated-L-gram intervals, interval-merged per document, EQUALS
+    * the union of all maximal ≥L repeats — suffix-array-grade trim
+    * output without building suffix arrays. Keeper semantics match
+    * [[spanDedup]]: the minimum-id document owning a gram keeps it;
+    * later docs trim. Hash = 60-bit md5 prefix, engine-replicable
+    * (DuckDB `('0x' || substr(md5(g),1,15))::BIGINT`); collisions
+    * (~n²/2⁶¹) cause identical spurious trims in both engines — the
+    * shingling trade at 28 more bits than ShingleHashes.
+    *
+    * Scale shape: gram hashing is in-row map-only column algebra
+    * (transform over a sequence — no join, no shuffle); the exchanges
+    * are ONE groupBy(h) with map-side partial min and ONE join back on
+    * h, shuffling (doc, pos, 8-byte hash) per position — ~byte-per-
+    * corpus-char×20, the same order as suffix-array construction moves.
+    * For corpora where that is too hot, [[substringDedupAnchored]] is
+    * the winnowing-sampled path (w× fewer shuffle rows). The span merge
+    * is [[duplicatedSpans]]' per-doc sort — state bounded by doc length.
+    * Returns (idCol, span_id, span_start, span_end), char offsets,
+    * end exclusive. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     minLen: Int): DataFrame = {
+    val hits = gramHits(docs, idCol, textCol, minLen)
+    duplicatedSpans(hits, minLen, idCol, "pos")
+  }
+
+  /** The 100 TB path of [[substringDedup]]: winnowing-sampled anchors +
+    * bidirectional seed extension instead of per-position gram hashing.
+    * Each doc selects ~2/(w+1) of its k-gram positions as anchors
+    * (WinnowedAnchors — content-local, so copies agree); only anchors
+    * enter the corpus-wide exchange, a ~(w+1)/2× shuffle-row reduction.
+    * Every later-doc anchor pairs with the corpus-EARLIEST occurrence of
+    * its gram hash (star pairing — linear in occurrences, never
+    * quadratic), texts join in, and MatchExtend walks the real
+    * characters both ways from the seed — a hash collision extends to
+    * null and is filtered, so every emitted interval is a TRUE shared
+    * substring with an earlier doc. Intervals ≥ `minLen` merge per doc
+    * via [[mergeSpans]].
+    *
+    * Guarantee (winnowing, t = w + k − 1 ≤ minLen enforced): both copies
+    * of any cross-doc repeat of length ≥ minLen select a common anchor
+    * gram, so the repeat is found and fully recovered by extension —
+    * PROVIDED the anchor's corpus-earliest occurrence is in the matching
+    * doc. When boilerplate makes the same gram appear in an unrelated
+    * earlier doc, the star pairs with that doc instead and may extend
+    * shorter — the recall trade for linear pair growth (the exact
+    * operator has no such gap; SubstringDedupSpec fuzzes anchored ⊆
+    * exact and exercises the planted guarantee). Spans are maximal
+    * EXTENDED matches, so they can exceed the exact operator's gram
+    * union at the edges by < k−1 chars — callers trimming text get
+    * strictly more duplicate removal, never less, within true repeats. */
+  def substringDedupAnchored(docs: DataFrame, idCol: String, textCol: String,
+                             minLen: Int, k: Int = 16, w: Int = 25): DataFrame = {
+    require(w + k - 1 <= minLen,
+      s"winnowing guarantee needs w + k - 1 <= minLen, got $w + $k - 1 > $minLen")
+    val anchors = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.WinnowedAnchors(col(textCol), k, w)).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"), col("__a.h").as("h"))
+    val earliest = anchors
+      .groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__e"))
+      .select(col("h"), col("__e")(idCol).as("__e_id"), col("__e")("pos").as("__e_pos"))
+    val txt = docs.select(col(idCol), col(textCol))
+    val ext = anchors.join(earliest, Seq("h"))
+      .filter(col(idCol) > col("__e_id"))
+      .join(txt, Seq(idCol))
+      .join(txt.select(col(idCol).as("__e_id"), col(textCol).as("__e_text")), Seq("__e_id"))
+      .select(col(idCol),
+        // barrier: the length filter below must not push under this
+        // projection and re-run the extension walk per predicate
+        org.apache.spark.sql.graft.NoPushBarrier(
+          org.apache.spark.sql.graft.MatchExtend(
+            col("__e_text"), col("__e_pos").cast("long"),
+            col(textCol), col("pos").cast("long"), k)).as("__se"))
+      .filter(col("__se").isNotNull)
+      .select(col(idCol), element_at(col("__se"), 1).as("__start"),
+        element_at(col("__se"), 2).as("__end"))
+      .filter(col("__end") - col("__start") >= minLen)
+      .distinct()
+    mergeSpans(ext, idCol, "__start", "__end")
+  }
+
+  /** (doc, pos) occurrences of L-char grams whose hash also occurs in a
+    * LOWER-id document — the per-position hit stream behind
+    * [[substringDedup]]. */
+  private def gramHits(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int): DataFrame = {
+    require(minLen >= 4, s"minLen must be >= 4 chars, got $minLen")
+    val grams = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, length($textCol) - $minLen),
+            i -> CAST(conv(substring(md5(CAST(substring($textCol, i + 1, $minLen) AS BINARY)), 1, 15), 16, 10) AS BIGINT))"""
+      )).as(Seq("pos", "h")))
+    val minDoc = grams.groupBy("h").agg(min(col(idCol)).as("__min_doc"))
+    grams.join(minDoc, Seq("h"))
+      .filter(col(idCol) > col("__min_doc"))
+      .select(col(idCol), col("pos"))
   }
 
   /** Paragraph-level exact dedup (the Dolma/CCNet granularity between

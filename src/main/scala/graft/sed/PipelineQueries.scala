@@ -51,6 +51,7 @@ object PipelineQueries {
   private val DeltaMod = 3 // q_incremental_dedup: doc_id % this == 0 -> delta batch
   private val IncMinJ = 0.8 // q_incremental_dedup near-dup verify threshold
   private val PrIters = 8 // q_pagerank rounds (near-dup cliques are small/dense)
+  private val SubstrL = 40 // q_substring_dedup minimum repeat length (chars)
   private val PmiMinPair = 5 // q_pmi_bigrams: min bigram occurrences scored
   private val PmiTopK = 50 // q_pmi_bigrams: collocations kept
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
@@ -1067,6 +1068,41 @@ object PipelineQueries {
              FROM flagged)
            SELECT doc_id, span_id, MIN(pos) AS span_start,
              MAX(pos) + $ShingleN AS span_end
+           FROM ids GROUP BY doc_id, span_id""".replaceAll("\\s+", " ")
+      }),
+
+    // CHARACTER-level exact substring dedup (round 10) — maximal
+    // cross-doc repeats of ANY length >= SubstrL chars, the Lee et al.
+    // 2021 ExactSubstr trim operation. The span union of duplicated
+    // SubstrL-char-grams EQUALS the union of all >= SubstrL repeats
+    // (every M >= L repeat has an L-gram through each position), so the
+    // fixed-gram pass IS suffix-array-grade trim output — see
+    // Dedup.substringDedup. Min-id doc keeps; later docs trim. 60-bit
+    // md5-prefix gram keys replicate bit-exactly in DuckDB.
+    "q_substring_dedup" -> QueryDef(
+      (s, d) => Dedup.substringDedup(docs(s, d), "doc_id", "text", SubstrL)
+        .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end")),
+      Some {
+        s"""WITH g AS (
+             SELECT doc_id, i - 1 AS pos,
+               ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrL)), 1, 15))::BIGINT AS h
+             FROM documents, UNNEST(range(1, len(text) - $SubstrL + 2)) AS t(i)
+             WHERE len(text) >= $SubstrL),
+           mind AS (SELECT h, MIN(doc_id) AS min_doc FROM g GROUP BY h),
+           hits AS (SELECT doc_id, pos FROM g JOIN mind USING (h)
+             WHERE doc_id > min_doc),
+           marked AS (SELECT doc_id, pos,
+             MAX(pos + $SubstrL) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM hits),
+           flagged AS (SELECT doc_id, pos,
+             CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS is_new
+             FROM marked),
+           ids AS (SELECT doc_id, pos,
+             CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+             FROM flagged)
+           SELECT doc_id, span_id, MIN(pos) AS span_start,
+             MAX(pos) + $SubstrL AS span_end
            FROM ids GROUP BY doc_id, span_id""".replaceAll("\\s+", " ")
       }),
 
