@@ -52,6 +52,7 @@ object PipelineQueries {
   private val IncMinJ = 0.8 // q_incremental_dedup near-dup verify threshold
   private val PrIters = 8 // q_pagerank rounds (near-dup cliques are small/dense)
   private val SubstrL = 40 // q_substring_dedup minimum repeat length (chars)
+  private val BpeK = 8 // q_bpe_fit / q_bpe_apply merge rounds
   private val PmiMinPair = 5 // q_pmi_bigrams: min bigram occurrences scored
   private val PmiTopK = 50 // q_pmi_bigrams: collocations kept
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh") // q_pivot columns
@@ -338,6 +339,33 @@ object PipelineQueries {
     "q_bpe_merge" -> QueryDef(
       (s, d) => Tokenizer.bpePairCounts(docs(s, d), "text", 20),
       Some(Tokenizer.bpePairCountsSql("documents", "text", 20))),
+
+    // ITERATIVE BPE fit (round 10) — the actual tokenizer-training loop
+    // (Sennrich learn_bpe), not just one step's pair statistics: K merge
+    // rounds over the |vocab|-bounded word table, each = pair-count
+    // shuffle → (cnt DESC, pair ASC) argmax → map-only double-replace
+    // rewrite of the packed symbol strings (provably ≡ greedy
+    // left-to-right merging — Tokenizer.Sep doc), localCheckpointed per
+    // round. The oracle UNROLLS the same K rounds as chained CTEs with
+    // the identical double-replace, so the whole training trajectory is
+    // engine-exact, like q_pagerank's unrolled recurrence.
+    "q_bpe_fit" -> QueryDef(
+      (s, d) => Tokenizer.bpeFit(docs(s, d), "text", BpeK),
+      Some(Tokenizer.bpeFitSql("documents", "text", BpeK))),
+
+    // Applying the LEARNED tokenizer back to its training corpus: each
+    // token joins the fit's final vocab (its packed string IS the
+    // word's encoding), docs re-assemble in token order to
+    // (doc_id, n_bpe_tokens, bpe_md5). Shares the unrolled CTE chain
+    // with q_bpe_fit, so the two oracles cannot drift. The native
+    // greedy walker (BpeEncode) is the spec-pinned reference for
+    // out-of-vocabulary encoding.
+    "q_bpe_apply" -> QueryDef(
+      (s, d) => {
+        val (_, vocab) = Tokenizer.bpeFitWithVocab(docs(s, d), "text", BpeK)
+        Tokenizer.bpeApplyTrained(docs(s, d), "doc_id", "text", vocab)
+      },
+      Some(Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id"))),
 
     // End-to-end near-dup removal, EXACT-FIRST (round 8): md5 exact-dedup
     // collapses identical copies to their min-id representative BEFORE
