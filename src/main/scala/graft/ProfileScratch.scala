@@ -31,5 +31,20 @@ object ProfileScratch {
     time("substring_anchored_2nd")(
       graft.operators.Dedup.substringDedupAnchored(docs, "doc_id", "text", 40)
         .queryExecution.toRdd.count())
+    // CC comparison on the real verified near-dup pair graph
+    import graft.operators.Dedup
+    val reps = Dedup.exactRepresentatives(docs, "doc_id", md5(col("text").cast("binary")))
+      .localCheckpoint(true)
+    val cand = Dedup.minhashCandidates(reps, "doc_id", "text", 12, 3, 3, 10000)
+    val verified = Dedup.jaccardForPairs(reps, "doc_id", "text", 3, cand)
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id").localCheckpoint(true)
+    println(s"PS verified_pairs=${verified.count()}")
+    time("cc_propagation")(
+      Dedup.connectedComponents(verified).queryExecution.toRdd.count())
+    val t0 = System.nanoTime()
+    val (starL, rounds) = Dedup.connectedComponentsStarRounds(verified)
+    val n = starL.queryExecution.toRdd.count()
+    println(f"PS cc_star rows=$n rounds=$rounds t=${(System.nanoTime() - t0) / 1e9}%.2f")
   }
 }
