@@ -44,6 +44,21 @@ object SedQueries {
   // TOF bin number derived from the synthetic `value` column: realistic
   // tens-of-thousands bin range, as in a DLD TOF column.
   private def tofCol(df: DataFrame): Column = df("value") * lit(100.0) + lit(10000.0)
+  /** q_asof_join's DuckDB ASOF LEFT JOIN oracle — shared VERBATIM with
+    * q_stream_asof (the online twin): one oracle certifying both the
+    * batch union+range-sort+fill plan and the streaming per-key
+    * last-reading state path. */
+  private[graft] val AsofJoinOracle: String =
+    """SELECT e.event_id, e.ts_us, r.sensor_id, r.reading
+      FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events) e
+      ASOF LEFT JOIN (
+        SELECT sensor_id, sts_us, reading FROM (
+          SELECT event_id AS sensor_id, epoch_us(ts) AS sts_us,
+            CAST(value AS DOUBLE) AS reading,
+            ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_id % 100 = 0) WHERE rn = 1) r
+      ON e.ts_us >= r.sts_us""".replaceAll("\\s+", " ")
+
   private val tofSql = "(value * 100.0E0 + 10000.0E0)"
 
   private val TofDistance = 0.9       // m
@@ -383,15 +398,7 @@ object SedQueries {
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
         graft.operators.AsOf.asofJoin(ev, rd, "ts_us", "sts_us", Seq("sensor_id", "reading"))
       },
-      Some("""SELECT e.event_id, e.ts_us, r.sensor_id, r.reading
-          FROM (SELECT event_id, epoch_us(ts) AS ts_us FROM events) e
-          ASOF LEFT JOIN (
-            SELECT sensor_id, sts_us, reading FROM (
-              SELECT event_id AS sensor_id, epoch_us(ts) AS sts_us,
-                CAST(value AS DOUBLE) AS reading,
-                ROW_NUMBER() OVER (PARTITION BY epoch_us(ts) ORDER BY event_id DESC) AS rn
-              FROM events WHERE event_id % 100 = 0) WHERE rn = 1) r
-          ON e.ts_us >= r.sts_us""".replaceAll("\\s+", " "))),
+      Some(AsofJoinOracle)),
 
     // NEAREST as-of: each event takes the temporally closest reading,
     // ties backward. Two linear range-shuffle passes (prev via forward

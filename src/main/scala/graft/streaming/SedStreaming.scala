@@ -111,6 +111,71 @@ object SedStreaming {
       .toDF(keyCol, orderCol, valueCol)
   }
 
+  /** Streaming BACKWARD AS-OF enrichment — the online twin of
+    * `operators.AsOf.asofJoin`: one time-ordered stream whose rows are
+    * events to enrich, readings, or both (`readingCol` non-null marks a
+    * reading); every row emits once with the latest at-or-before reading
+    * for its key. State per key is ONE (sts, sensor_id, reading) triple
+    * — three scalars, never a row list — carried across micro-batches;
+    * at 1e9 events state is |keys|×24 bytes.
+    *
+    * Batch-equality contract (shared oracle VERBATIM where replay order
+    * allows): within a micro-batch, rows sort by (ts, id) and process in
+    * equal-ts runs — all READINGS of the run fold into state first (id
+    * ascending, so the max-id reading per timestamp wins, matching the
+    * batch entry's ROW_NUMBER dedup), then every row of the run emits
+    * with the updated state: at-or-before '>= ' inclusive semantics fall
+    * out, exactly DuckDB's `ASOF LEFT JOIN ON l.ts >= r.ts`. Across
+    * batches the staged feed is ts-ascending and equal-ts rows never
+    * split (range partitioner), so state carries the boundary exactly —
+    * the same argument as [[streamingForwardFill]]. A feed with
+    * out-of-order arrivals beyond the staging contract would enrich
+    * against a newer reading than batch; that replay-order caveat is the
+    * entry's documented premise. */
+  def streamingAsofEnrich(events: DataFrame, keyCol: String, tsCol: String,
+                          idCol: String, readingCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr(s"CAST($keyCol AS BIGINT) AS k", s"CAST($tsCol AS BIGINT) AS o",
+        s"CAST($idCol AS BIGINT) AS i", s"CAST($readingCol AS DOUBLE) AS r")
+      .as[(Long, Long, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double),
+        (Long, Long, Long, Option[Long], Option[Long], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Option[Double])],
+         state: GroupState[(Long, Long, Double)]) =>
+          var last: Option[(Long, Long, Double)] = state.getOption
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          var idx = 0
+          while (idx < sorted.length) {
+            val t = sorted(idx)._2
+            var j = idx
+            // phase 1: fold the equal-ts run's readings into state
+            while (j < sorted.length && sorted(j)._2 == t) {
+              val (_, _, i, r) = sorted(j)
+              r.foreach { v =>
+                if (last.forall(_._1 <= t)) last = Some((t, i, v))
+              }
+              j += 1
+            }
+            // phase 2: emit every row of the run against the updated state
+            var m = idx
+            while (m < j) {
+              val (_, o, i, _) = sorted(m)
+              out += ((key, i, o, last.map(_._2), last.map(_._1), last.map(_._3)))
+              m += 1
+            }
+            idx = j
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF(keyCol, idCol, tsCol, "sensor_id", "sts_us", "reading")
+  }
+
   /** Streaming conversion funnel: per-user greedy stage progression over
     * an event-time-ordered feed, the online twin of
     * `operators.EventAnalytics.funnel`. State per user is (depth,

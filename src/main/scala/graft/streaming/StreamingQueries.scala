@@ -294,8 +294,10 @@ object StreamingQueries {
         org.apache.spark.sql.expressions.Window.currentRow)
     stageDf.join(counts, Seq("stage_idx"), "left")
       .na.fill(0L, Seq("n_users"))
+      // same NULL-on-empty-first-stage guard as the batch funnel/oracle
       .withColumn("pct_of_first",
-        round(col("n_users").cast("double") / first("n_users").over(w), 6))
+        when(first("n_users").over(w) > 0,
+          round(col("n_users").cast("double") / first("n_users").over(w), 6)))
   }
 
   /** Online anomaly scoring with an OFFLINE model — the two-phase
@@ -406,6 +408,33 @@ object StreamingQueries {
     c.withColumn("p", round(col("n_transitions").cast("double") /
         sum("n_transitions").over(rowW), 6))
       .select("prev_type", "next_type", "n_transitions", "p")
+  }
+
+  /** Streaming backward AS-OF enrichment: the events feed replayed in
+    * event-time order, every 100th event doubling as a sensor reading
+    * (the q_asof_join setup); per-key last-reading state — here ONE
+    * global series, the keyed generalization is the operator's
+    * signature — carries across micro-batches. ORACLE-ELIGIBLE:
+    * in-order replay with equal-ts runs folding readings first (max-id
+    * reading per timestamp wins, matching the batch ROW_NUMBER dedup)
+    * equals the batch union+range-sort+fill plan, so this shares
+    * q_asof_join's DuckDB ASOF LEFT JOIN oracle VERBATIM — one oracle
+    * certifying batch and online as-of. */
+  def streamAsof(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_asof_feed")
+    SedStreaming.stageFileStream(Tables.events(s0, d)
+      .selectExpr("CAST(0 AS BIGINT) AS k",
+        "CAST(event_id AS BIGINT) AS event_id", "ts_us",
+        "CASE WHEN event_id % 100 = 0 THEN CAST(value AS DOUBLE) END AS r"),
+      "ts_us", dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("r", DoubleType)))
+    runToParquet(s, SedStreaming.streamingAsofEnrich(
+      SedStreaming.fileStream(s, dir, schema), "k", "ts_us", "event_id", "r"))
+      .select("event_id", "ts_us", "sensor_id", "reading")
   }
 
   /** Decontamination flag at ingest: the documents table replayed as a
@@ -560,6 +589,8 @@ object StreamingQueries {
     "q_stream_funnel" -> QueryDef((s, d) => streamFunnel(s, d),
       Some(graft.operators.EventAnalytics.funnelSql(
         graft.operators.EventAnalytics.DefaultStages))),
+    "q_stream_asof" -> QueryDef((s, d) => streamAsof(s, d),
+      Some(SedQueries.AsofJoinOracle)),
     "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
       Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)

@@ -93,6 +93,36 @@ class SedStreamingSpec extends SparkSpecBase {
       assert(rows((2L, 3L)).contains(5.0))
     } finally q.stop()
   }
+  test("streamingAsofEnrich: at-or-before semantics, equal-ts readings fold first, state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Option[Double])]
+    val df = input.toDF().toDF("k", "o", "i", "r")
+    val out = SedStreaming.streamingAsofEnrich(df, "k", "o", "i", "r")
+    val q = out.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: event before any reading -> null; a reading at t=10
+      // serves the SAME-ts event (inclusive >=) and later ones; two
+      // readings at one ts -> the max-id one wins
+      input.addData(
+        (0L, 5L, 1L, None),
+        (0L, 10L, 100L, Some(1.0)), (0L, 10L, 200L, Some(2.0)),
+        (0L, 10L, 7L, None), (0L, 12L, 8L, None))
+      q.processAllAvailable()
+      // batch 2: state carries the (10, 200, 2.0) reading across batches
+      input.addData((0L, 20L, 9L, None), (0L, 25L, 300L, Some(3.0)), (0L, 30L, 11L, None))
+      q.processAllAvailable()
+      val rows = spark.table("asof_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._2 -> ((r._4, r._6))).toMap
+      assert(rows(1L) == ((None, None)))
+      assert(rows(7L) == ((Some(200L), Some(2.0)))) // same-ts, max-id reading
+      assert(rows(8L) == ((Some(200L), Some(2.0))))
+      assert(rows(9L) == ((Some(200L), Some(2.0)))) // across batches
+      assert(rows(11L) == ((Some(300L), Some(3.0))))
+    } finally q.stop()
+  }
+
   test("streamingFunnel advances exactly once per reached stage, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)]
@@ -159,6 +189,22 @@ class SedStreamingSpec extends SparkSpecBase {
       val rows = spark.table("ret_out").as[(Long, Long)].collect().toSeq
       assert(rows.sorted == Seq((1L, 5L), (1L, 6L), (2L, 9L)))
     } finally q.stop()
+  }
+
+  test("driver q_stream_asof equals the batch as-of join on the sf feed") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.streaming.StreamingQueries.streamAsof(spark, Sf)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    val ev = events.select("event_id", "ts_us")
+    val w = Window.partitionBy("sts_us").orderBy(col("sensor_id").desc)
+    val rd = events.filter(col("event_id") % 100 === 0)
+      .selectExpr("event_id AS sensor_id", "ts_us AS sts_us",
+        "CAST(value AS DOUBLE) AS reading")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val want = graft.operators.AsOf.asofJoin(ev, rd, "ts_us", "sts_us",
+        Seq("sensor_id", "reading"))
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(got.nonEmpty && got == want)
   }
 
   test("driver q_stream_retention equals the batch retention on the sf feed") {

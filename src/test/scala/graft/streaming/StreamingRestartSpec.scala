@@ -182,4 +182,46 @@ class StreamingRestartSpec extends SparkSpecBase {
     assert(edges().sorted == Seq((1L, "a", "b"), (1L, "b", "c")),
       "restart must chain off the recovered last type without re-ingesting")
   }
+
+  test("as-of last-reading state survives a stop/restart on one checkpoint") {
+    val s = spark.newSession()
+    graft.sed.SedQueries.ensureConfs(s)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val dir = Files.createTempDirectory("graft_restart_asof").toString
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def feed(rows: Seq[(Long, Long, Long, Option[Double])]): Unit = {
+      import s.implicits._
+      rows.toDF("k", "o", "i", "r").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val outDir = s"$dir/out"
+    def start() = {
+      val src = s.readStream.schema(StructType.fromDDL(
+        "k BIGINT, o BIGINT, i BIGINT, r DOUBLE")).parquet(srcDir)
+      SedStreaming.streamingAsofEnrich(src, "k", "o", "i", "r")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$dir/ckpt").outputMode("append").start()
+    }
+    def rows(): Map[Long, (Option[Long], Option[Double])] =
+      s.read.parquet(outDir)
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._2 -> ((r._4, r._6))).toMap
+
+    // epoch 1: a reading at t=10 enriches the t=15 event
+    feed(Seq((0L, 10L, 100L, Some(1.5)), (0L, 15L, 1L, None)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(rows()(1L) == ((Some(100L), Some(1.5))))
+
+    // stopped: an event arrives with NO new reading — it must enrich
+    // against the RECOVERED (10, 100, 1.5) state, and the first file
+    // must not re-ingest (no duplicate id-1 rows)
+    feed(Seq((0L, 20L, 2L, None)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = s.read.parquet(outDir).count()
+    assert(got == 3L, s"expected 3 output rows, got $got (re-ingest?)")
+    assert(rows()(2L) == ((Some(100L), Some(1.5))),
+      "restart must enrich from the recovered last-reading state")
+  }
 }
