@@ -849,6 +849,43 @@ object Dedup {
     mergeSpans(ext, idCol, "__start", "__end")
   }
 
+  /** Apply [[substringDedup]]'s trim decisions — the Lee et al. 2021
+    * corpus-cleaning OUTPUT: every document re-assembled from the
+    * segments BETWEEN its trim spans (docs with no spans keep their
+    * full text). The string surgery is one in-row `aggregate` fold over
+    * the doc's sorted span list — no explode, no per-segment rows; the
+    * only additional exchange beyond [[substringDedup]] is the per-doc
+    * span collect (state bounded by a doc's span count) and the join
+    * back to text. Returns
+    * (idCol, n_spans, removed_chars, kept_md5) — the count/size audit
+    * plus an order-exact content hash of the cleaned text (the
+    * compare-friendly projection; swap the md5 for the kept string
+    * itself to materialize the cleaned corpus). */
+  def substringTrim(docs: DataFrame, idCol: String, textCol: String,
+                    minLen: Int): DataFrame = {
+    val spans = substringDedup(docs, idCol, textCol, minLen)
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("__sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("removed_chars"))
+    docs.select(col(idCol), col(textCol))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("__kept", when(col("__sp").isNull, col(textCol)).otherwise(expr(
+        s"""concat(
+              aggregate(__sp,
+                named_struct('p', CAST(0 AS BIGINT), 'a', ''),
+                (st, x) -> named_struct('p', x.e,
+                  'a', concat(st.a, substring($textCol, CAST(st.p + 1 AS INT), CAST(x.s - st.p AS INT)))),
+                st -> st.a),
+              substring($textCol, CAST(element_at(__sp, -1).e + 1 AS INT)))""")))
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        md5(col("__kept").cast("binary")).as("kept_md5"))
+  }
+
   /** (doc, pos) occurrences of L-char grams whose hash also occurs in a
     * LOWER-id document — the per-position hit stream behind
     * [[substringDedup]]. */

@@ -220,6 +220,34 @@ object PipelineQueries {
          WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= ${d2s(minJ)})"""
   }
 
+  /** Shared CTE chain replaying `Dedup.substringDedup`'s per-position
+    * gram hits + interval merge over the documents table, ending in
+    * `sp` (doc_id, span_id, span_start, span_end) — used by
+    * q_substring_dedup and q_substring_trim so the two oracles cannot
+    * drift. */
+  private def substrCtesSql: String =
+    s"""g AS (
+         SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrL)), 1, 15))::BIGINT AS h
+         FROM documents, UNNEST(range(1, len(text) - $SubstrL + 2)) AS t(i)
+         WHERE len(text) >= $SubstrL),
+       mind AS (SELECT h, MIN(doc_id) AS min_doc FROM g GROUP BY h),
+       hits AS (SELECT doc_id, pos FROM g JOIN mind USING (h)
+         WHERE doc_id > min_doc),
+       marked AS (SELECT doc_id, pos,
+         MAX(pos + $SubstrL) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         FROM hits),
+       flagged AS (SELECT doc_id, pos,
+         CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS is_new
+         FROM marked),
+       ids AS (SELECT doc_id, pos,
+         CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+         FROM flagged),
+       sp AS (SELECT doc_id, span_id, MIN(pos) AS span_start,
+         MAX(pos) + $SubstrL AS span_end
+         FROM ids GROUP BY doc_id, span_id)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---------------- dedup ----------------
@@ -1111,27 +1139,38 @@ object PipelineQueries {
       (s, d) => Dedup.substringDedup(docs(s, d), "doc_id", "text", SubstrL)
         .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end")),
       Some {
-        s"""WITH g AS (
-             SELECT doc_id, i - 1 AS pos,
-               ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrL)), 1, 15))::BIGINT AS h
-             FROM documents, UNNEST(range(1, len(text) - $SubstrL + 2)) AS t(i)
-             WHERE len(text) >= $SubstrL),
-           mind AS (SELECT h, MIN(doc_id) AS min_doc FROM g GROUP BY h),
-           hits AS (SELECT doc_id, pos FROM g JOIN mind USING (h)
-             WHERE doc_id > min_doc),
-           marked AS (SELECT doc_id, pos,
-             MAX(pos + $SubstrL) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-             FROM hits),
-           flagged AS (SELECT doc_id, pos,
-             CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS is_new
-             FROM marked),
-           ids AS (SELECT doc_id, pos,
-             CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
-             FROM flagged)
-           SELECT doc_id, span_id, MIN(pos) AS span_start,
-             MAX(pos) + $SubstrL AS span_end
-           FROM ids GROUP BY doc_id, span_id""".replaceAll("\\s+", " ")
+        s"""WITH $substrCtesSql
+           SELECT doc_id, span_id, span_start, span_end FROM sp"""
+          .replaceAll("\\s+", " ")
+      }),
+
+    // Applying the trim decisions (round 10) — the actual Lee et al.
+    // corpus-cleaning OUTPUT: every doc re-assembled from the segments
+    // between its trim spans, emitted as (doc_id, n_spans,
+    // removed_chars, kept_md5) for all docs (untrimmed docs keep their
+    // full text). The segment surgery is in-row array algebra over the
+    // per-doc sorted span list; the oracle replays it with a LAG window
+    // + ordered string_agg over the SAME span CTE chain as
+    // q_substring_dedup (the two oracles cannot drift).
+    "q_substring_trim" -> QueryDef(
+      (s, d) => Dedup.substringTrim(docs(s, d), "doc_id", "text", SubstrL),
+      Some {
+        s"""WITH $substrCtesSql,
+           seg AS (SELECT doc_id, span_id, span_start AS s, span_end AS e,
+             COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS ps
+             FROM sp),
+           kept AS (SELECT d.doc_id,
+             COALESCE(string_agg(substr(d.text, CAST(g.ps + 1 AS INT), CAST(g.s - g.ps AS INT)), '' ORDER BY g.s), '')
+               || substr(d.text, CAST(MAX(g.e) + 1 AS INT)) AS kt,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(g.e - g.s) AS BIGINT) AS removed_chars
+             FROM seg g JOIN documents d USING (doc_id) GROUP BY d.doc_id, d.text)
+           SELECT doc_id, n_spans, removed_chars, md5(kt) AS kept_md5 FROM kept
+           UNION ALL
+           SELECT doc_id, CAST(0 AS BIGINT) AS n_spans,
+             CAST(0 AS BIGINT) AS removed_chars, md5(text) AS kept_md5
+           FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM sp)"""
+          .replaceAll("\\s+", " ")
       }),
 
     // Per-class embedding centroids — the class-prototype primitive

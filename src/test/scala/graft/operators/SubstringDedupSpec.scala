@@ -75,6 +75,29 @@ class SubstringDedupSpec extends SparkSpecBase {
     assert(got(2L) == Seq((20L, 220L)))
   }
 
+  test("substringTrim re-assembles exactly the text outside the trim spans") {
+    val shared1 = randText(50)
+    val shared2 = randText(45)
+    val mid = randText(20)
+    val docs = Seq(
+      (1L, shared1 + randText(30) + shared2),
+      (2L, randText(10) + shared1 + mid + shared2 + randText(15)),
+      (3L, randText(80))).toDF("doc_id", "text")
+    val got = Dedup.substringTrim(docs, "doc_id", "text", 40)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 2 loses both planted repeats, keeps its own segments
+    val doc2 = docs.filter($"doc_id" === 2L).select("text").as[String].head()
+    val expectKept = doc2.substring(0, 10) + doc2.substring(60, 80) + doc2.substring(125)
+    assert(got(2L) == ((2L, 95L, md5(expectKept))))
+    // keeper and unrelated docs pass through whole
+    val doc1 = docs.filter($"doc_id" === 1L).select("text").as[String].head()
+    val doc3 = docs.filter($"doc_id" === 3L).select("text").as[String].head()
+    assert(got(1L) == ((0L, 0L, md5(doc1))))
+    assert(got(3L) == ((0L, 0L, md5(doc3))))
+  }
+
   test("WinnowedAnchors: every window of w gram positions contains an anchor; copies agree") {
     val k = 16; val w = 25
     val t = randText(500)

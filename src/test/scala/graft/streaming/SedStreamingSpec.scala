@@ -123,6 +123,29 @@ class SedStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingAsofEnrich keeps per-key state independent across keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Option[Double])]
+    val df = input.toDF().toDF("k", "o", "i", "r")
+    val out = SedStreaming.streamingAsofEnrich(df, "k", "o", "i", "r")
+    val q = out.writeStream.format("memory").queryName("asof_keys_out")
+      .outputMode("append").start()
+    try {
+      // key 1 has a reading, key 2 does not — key 2's events must stay
+      // unenriched (no cross-key bleed), key 1 carries across batches
+      input.addData((1L, 10L, 100L, Some(7.0)), (2L, 11L, 5L, None))
+      q.processAllAvailable()
+      input.addData((1L, 20L, 6L, None), (2L, 21L, 7L, None))
+      q.processAllAvailable()
+      val rows = spark.table("asof_keys_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._2 -> ((r._1, r._4))).toMap
+      assert(rows(5L) == ((2L, None)))
+      assert(rows(7L) == ((2L, None)))
+      assert(rows(6L) == ((1L, Some(100L))))
+    } finally q.stop()
+  }
+
   test("streamingFunnel advances exactly once per reached stage, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)]
