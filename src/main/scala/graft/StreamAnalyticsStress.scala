@@ -15,13 +15,18 @@ import graft.streaming.SedStreaming
   * real file-source chains with a parquet sink. Peak state-store
   * rows/bytes are polled across micro-batches and printed per chain —
   * the numbers that must stay O(users), never O(events).
-  * Args: <sfDir> <replication> [chunks].
+  * Args: <sfDir> <replication> [chunks] [chains: comma list, default all
+  * three — the 1e9 run drives funnel alone: its 2-scalar state is safe
+  * at any scale, while retention's week-set values grow with the
+  * replicated calendar and transitions' sink rewrites the full feed].
   */
 object StreamAnalyticsStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rep = args.lift(1).map(_.toInt).getOrElse(1000)
     val chunks = args.lift(2).map(_.toInt).getOrElse(32)
+    val chains = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("funnel", "retention", "transitions"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -81,12 +86,12 @@ object StreamAnalyticsStress {
       println(f"""{"metric":"stream_stress_$name","events":${n0 * rep},"rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"peak_state_rows":$peakRows,"peak_state_mb":${peakBytes / 1048576},"rss_gb":${Bench.peakRssGb}%.1f}""")
     }
 
-    drive("funnel", SedStreaming.streamingFunnel(
+    if (chains("funnel")) drive("funnel", SedStreaming.streamingFunnel(
       src.select("user_id", "ts_us", "event_type"),
       graft.operators.EventAnalytics.DefaultStages))
-    drive("retention", SedStreaming.streamingRetention(
+    if (chains("retention")) drive("retention", SedStreaming.streamingRetention(
       src.select("user_id", "ts_us")))
-    drive("transitions", SedStreaming.streamingTransitions(src))
+    if (chains("transitions")) drive("transitions", SedStreaming.streamingTransitions(src))
     spark.stop()
   }
 }

@@ -894,10 +894,12 @@ object Dedup {
     require(minLen >= 4, s"minLen must be >= 4 chars, got $minLen")
     val grams = docs
       .filter(length(col(textCol)) >= minLen)
-      .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, length($textCol) - $minLen),
-            i -> CAST(conv(substring(md5(CAST(substring($textCol, i + 1, $minLen) AS BINARY)), 1, 15), 16, 10) AS BIGINT))"""
-      )).as(Seq("pos", "h")))
+      .select(col(idCol), posexplode(
+        // native fused loop, bit-identical to the transform/md5/conv
+        // formulation (and the DuckDB oracle) — the interpreted HOF
+        // lambda re-built 4 expression trees per char position
+        org.apache.spark.sql.graft.CharGramHashes60(col(textCol), minLen))
+        .as(Seq("pos", "h")))
     val minDoc = grams.groupBy("h").agg(min(col(idCol)).as("__min_doc"))
     grams.join(minDoc, Seq("h"))
       .filter(col(idCol) > col("__min_doc"))

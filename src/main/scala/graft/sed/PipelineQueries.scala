@@ -1144,6 +1144,18 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
+    // The winnowing-anchored PRODUCTION path of substring dedup as its
+    // own driver entry (rows-only: winnowing selection has no SQL twin;
+    // SubstringDedupSpec gates anchored ⊆ exact, the planted
+    // w+k-1 guarantee, and every-span-is-true-duplicated-text): anchors
+    // cut corpus-exchange rows ~13x vs per-position grams, MatchExtend
+    // recovers full repeats from seeds — 9.7s vs 89.8s at 100x with
+    // 98.5% span recovery.
+    "q_substring_anchored" -> QueryDef(
+      (s, d) => Dedup.substringDedupAnchored(docs(s, d), "doc_id", "text", SubstrL)
+        .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end")),
+      None),
+
     // Applying the trim decisions (round 10) — the actual Lee et al.
     // corpus-cleaning OUTPUT: every doc re-assembled from the segments
     // between its trim spans, emitted as (doc_id, n_spans,

@@ -98,6 +98,24 @@ class SubstringDedupSpec extends SparkSpecBase {
     assert(got(3L) == ((0L, 0L, md5(doc3))))
   }
 
+  test("CharGramHashes60 is bit-identical to the md5/conv SQL formulation, incl. non-ASCII") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld ünïcode ありがとう 🙂 end of text here",
+      randText(120), "shrt", "")
+    val L = 7
+    texts.foreach { t =>
+      val df = Seq(Tuple1(t)).toDF("t")
+      val native = df.select(org.apache.spark.sql.graft.CharGramHashes60(col("t"), L).as("h"))
+        .as[Seq[Long]].head()
+      val sql = df.selectExpr(
+        s"""CASE WHEN length(t) >= $L THEN transform(sequence(0, length(t) - $L),
+            i -> CAST(conv(substring(md5(CAST(substring(t, i + 1, $L) AS BINARY)), 1, 15), 16, 10) AS BIGINT))
+            ELSE array() END AS h""").as[Seq[Long]].head()
+      assert(native == sql, s"hash mismatch on '${t.take(30)}...'")
+    }
+  }
+
   test("WinnowedAnchors: every window of w gram positions contains an anchor; copies agree") {
     val k = 16; val w = 25
     val t = randText(500)
