@@ -89,6 +89,13 @@ object StreamAnalyticsStress {
     if (chains("funnel")) drive("funnel", SedStreaming.streamingFunnel(
       src.select("user_id", "ts_us", "event_type"),
       graft.operators.EventAnalytics.DefaultStages))
+    // per-USER-keyed as-of: every 100th event doubles as a reading for
+    // ITS user (value derived from the id — a stress needs shape, not
+    // semantics); state = one (sts, id, reading) triple per user
+    if (chains("asof")) drive("asof", SedStreaming.streamingAsofEnrich(
+      src.selectExpr("user_id", "ts_us", "event_id",
+        "CASE WHEN event_id % 100 = 0 THEN CAST(event_id % 997 AS DOUBLE) END AS r"),
+      "user_id", "ts_us", "event_id", "r"))
     if (chains("retention")) drive("retention", SedStreaming.streamingRetention(
       src.select("user_id", "ts_us")))
     if (chains("transitions")) drive("transitions", SedStreaming.streamingTransitions(src))
