@@ -886,6 +886,44 @@ object Dedup {
         md5(col("__kept").cast("binary")).as("kept_md5"))
   }
 
+  /** Most-duplicated substrings — the diagnostic table an operator reads
+    * before/after substring dedup (the Lee et al. "what IS all this
+    * duplicated text" analysis): for each L-char gram present in ≥ 2
+    * docs, the distinct-doc count, total occurrences, and a sample gram,
+    * top-K by (n_docs DESC, n_occ DESC, h ASC) planned as TakeOrdered.
+    * The shuffle never carries text: the exchange rows are (h, doc_id,
+    * pos) only, the sample is pinned to the lexicographically-minimal
+    * (doc_id, pos) occurrence (deterministic, engine-identical), and the
+    * L chars are sliced AFTER the top-K cut — a k-row broadcast join
+    * back to the corpus, so exactly k grams are ever materialized. */
+  def topRepeats(docs: DataFrame, idCol: String, textCol: String,
+                 minLen: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // two-stage agg instead of countDistinct-with-siblings: the latter
+    // plans an Expand that doubles the per-position stream; here the
+    // first groupBy (map-side combined) collapses to distinct (h, doc)
+    // rows and the second is distinct-pair-sized
+    val top = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol), posexplode(
+        org.apache.spark.sql.graft.CharGramHashes60(col(textCol), minLen))
+        .as(Seq("pos", "h")))
+      .groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("__occ"), min(col("pos")).as("__mp"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), sum("__occ").as("n_occ"),
+        // global lexicographic (doc, pos) min: the min doc's min pos
+        min(struct(col(idCol).as("d"), col("__mp").as("p"))).as("__loc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
+      .limit(k)
+    broadcast(top)
+      .join(docs.select(col(idCol), col(textCol)), top("__loc.d") === col(idCol))
+      .select(col("h"), col("n_docs"), col("n_occ"),
+        expr(s"substring($textCol, __loc.p + 1, $minLen)").as("sample"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("h").asc)
+  }
+
   /** (doc, pos) occurrences of L-char grams whose hash also occurs in a
     * LOWER-id document — the per-position hit stream behind
     * [[substringDedup]]. */

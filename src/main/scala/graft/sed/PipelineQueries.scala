@@ -36,6 +36,7 @@ object PipelineQueries {
   private val IvfNprobe = 2
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
+  private val KnDiscount = 0.75 // Kneser-Ney absolute discount (q_lm_kn)
   private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
   private val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier)
   private val TrainShards = 8 // q_train_order output shards
@@ -1144,6 +1145,37 @@ object PipelineQueries {
           .replaceAll("\\s+", " ")
       }),
 
+    // Most-duplicated-substrings diagnostic (round 10, Dedup.topRepeats;
+    // the Lee et al. "what IS the duplicated text" table): grams in >= 2
+    // docs ranked by (n_docs, n_occ), with a deterministic MIN sample.
+    // Map-side partials collapse repeats before the shuffle; TakeOrdered
+    // bounds the sort. Oracle replays grouping/ranking over the same
+    // substr/md5 gram domain.
+    "q_top_repeats" -> QueryDef(
+      (s, d) => Dedup.topRepeats(docs(s, d), "doc_id", "text", SubstrL, 50),
+      Some {
+        // the sample is pinned to the lexicographically-minimal (doc_id,
+        // position) occurrence — replayed here as a packed arg-min key
+        // (pos < 2^32 at oracle scale), then sliced from the corpus, the
+        // same post-top-K surgery as the Spark plan
+        s"""WITH g AS (
+             SELECT doc_id, CAST(i AS BIGINT) AS p1,
+               ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstrL)), 1, 15))::BIGINT AS h
+             FROM documents, UNNEST(range(1, len(text) - $SubstrL + 2)) AS t(i)
+             WHERE len(text) >= $SubstrL),
+           top AS (
+             SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               MIN(doc_id * 4294967296 + p1) AS lockey
+             FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+             ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 50)
+           SELECT h, n_docs, n_occ,
+             substr(text, CAST(lockey % 4294967296 AS INT), $SubstrL) AS sample
+           FROM top JOIN documents ON lockey // 4294967296 = doc_id
+           ORDER BY n_docs DESC, n_occ DESC, h ASC"""
+          .replaceAll("\\s+", " ")
+      }),
+
     // The winnowing-anchored PRODUCTION path of substring dedup as its
     // own driver entry (rows-only: winnowing selection has no SQL twin;
     // SubstringDedupSpec gates anchored ⊆ exact, the planted
@@ -1693,6 +1725,45 @@ object PipelineQueries {
                AS BIGINT)) AS BIGINT) AS lp_u
              FROM bg JOIN model USING (b) CROSS JOIN tot
              GROUP BY doc_id)
+           SELECT doc_id, n_bigrams, lp_u,
+             CAST(lp_u AS DOUBLE) / n_bigrams / 1000000.0E0 AS avg_lp
+           FROM per""".replaceAll("\\s+", " ")
+      }),
+
+    // Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    // smoothing KenLM ships and CCNet-style perplexity filters rely on) —
+    // the smoothed upgrade of q_lm_score's MLE: each observed bigram is
+    // scored P = (c(w1,w2) − D)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+    // with absolute discount D = 0.75, i.e. mass is moved from raw counts
+    // to the CONTINUATION unigram (how many distinct left-contexts w2
+    // appears in — the "how promiscuous is this word" signal that makes KN
+    // beat MLE/Laplace). Scale shape: model assembly is |bigram-types|-
+    // bounded (one groupBy(w1,w2), then two vocab-bounded aggs joined
+    // back on w1/w2 — never corpus-sized), the corpus-side shuffle is the
+    // same single join-on-bigram as q_lm_score, N1+(··) is a broadcast
+    // 1-row aggregate. Both engines evaluate the identical parenthesized
+    // double formula, then ROUND(6) + exact micro-unit longs make the
+    // per-doc sum reduction-order-proof.
+    "q_lm_kn" -> QueryDef(
+      (s, d) => graft.operators.Lm.knScore(docs(s, d), "doc_id", "text", KnDiscount),
+      Some {
+        val sh2 = shinglesSqlFrag("l", 2)
+        s"""WITH toks AS (SELECT doc_id, $toksSqlFrag AS l FROM documents),
+           bg AS (SELECT doc_id, unnest($sh2) AS b FROM toks WHERE len(l) >= 2),
+           bc AS (SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2, 3),
+           uc AS (SELECT w1, CAST(SUM(c) AS DOUBLE) AS c1,
+             CAST(COUNT(*) AS DOUBLE) AS n1p_fwd FROM bc GROUP BY 1),
+           cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1p_rev FROM bc GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM bc),
+           model AS (SELECT b,
+             CAST(FLOOR(ROUND(LN((c - ${KnDiscount}E0) / c1
+               + (${KnDiscount}E0 * n1p_fwd / c1) * (n1p_rev / tt)), 6) * 1000000 + 0.5E0)
+               AS BIGINT) AS lp
+             FROM bc JOIN uc USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+           per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS lp_u
+             FROM bg JOIN model USING (b) GROUP BY doc_id)
            SELECT doc_id, n_bigrams, lp_u,
              CAST(lp_u AS DOUBLE) / n_bigrams / 1000000.0E0 AS avg_lp
            FROM per""".replaceAll("\\s+", " ")

@@ -98,6 +98,21 @@ class SubstringDedupSpec extends SparkSpecBase {
     assert(got(3L) == ((0L, 0L, md5(doc3))))
   }
 
+  test("topRepeats ranks planted boilerplate by doc spread with a deterministic sample") {
+    val boiler = randText(12) // in 3 docs, twice in one of them
+    val pair = randText(12)   // in 2 docs
+    val docs = Seq(
+      (1L, boiler + randText(5) + boiler),
+      (2L, randText(7) + boiler),
+      (3L, boiler + pair),
+      (4L, pair + randText(9))).toDF("doc_id", "text")
+    val got = Dedup.topRepeats(docs, "doc_id", "text", 12, 3)
+      .select("n_docs", "n_occ", "sample").as[(Long, Long, String)].collect()
+    assert(got.head == ((3L, 4L, boiler)))
+    assert(got.tail.forall(_._1 == 2L)) // pair (and any chance overlaps) at 2 docs
+    assert(got.map(_._3).contains(pair))
+  }
+
   test("CharGramHashes60 is bit-identical to the md5/conv SQL formulation, incl. non-ASCII") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",

@@ -131,6 +131,47 @@ class PipelineInvariantsSpec extends SparkSpecBase {
     }
   }
 
+  test("Lm.knScore matches the hand-computed Kneser-Ney probabilities on a planted corpus") {
+    import spark.implicits._
+    // corpus: doc1 = "a b a b" -> bigrams (a b) x2, (b a); doc2 = "a c"
+    // bigram types T = 3; c(a)=3, N1+(a.)=2; c(b)=1, N1+(b.)=1;
+    // continuation counts N1+(.b)=N1+(.a)=N1+(.c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val d = 0.75
+    def lpU(p: Double): Long =
+      math.floor(BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1000000 + 0.5).toLong
+    val pBgivenA = (2 - d) / 3 + (d * 2 / 3) * (1.0 / 3) // 0.58333...
+    val pAgivenB = (1 - d) / 1 + (d * 1 / 1) * (1.0 / 3) // 0.5
+    val pCgivenA = (1 - d) / 3 + (d * 2 / 3) * (1.0 / 3) // 0.25
+    // KN redistributes mass: per-context probability over OBSERVED
+    // successors stays below 1 (the held-back mass goes to unseen words)
+    assert(pBgivenA + pCgivenA < 1.0 && pAgivenB < 1.0)
+    val byDoc = graft.operators.Lm.knScore(docs, "doc_id", "text", d)
+      .select("doc_id", "n_bigrams", "lp_u").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDoc(1L) == ((3L, 2 * lpU(pBgivenA) + lpU(pAgivenB))))
+    assert(byDoc(2L) == ((1L, lpU(pCgivenA))))
+  }
+
+  test("q_lm_kn: negative scores, duplicate texts identical, discount shifts scores vs MLE") {
+    val kn = SparkEntry.queries("q_lm_kn")(spark, Sf).cache()
+    assert(kn.count() > 0)
+    assert(kn.filter(col("avg_lp") >= 0).count() == 0)
+    val dups = documents.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(kn, "doc_id")
+      .groupBy("h").agg(countDistinct("lp_u", "n_bigrams").as("nd"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(dups.filter(col("nd") =!= 1).count() == 0,
+      "duplicate texts must score identically under KN")
+    // smoothing is real: KN and MLE disagree on the bulk of the corpus
+    val mle = SparkEntry.queries("q_lm_score")(spark, Sf)
+      .select(col("doc_id"), col("lp_u").as("lp_mle"))
+    val differing = kn.join(mle, "doc_id").filter(col("lp_u") =!= col("lp_mle")).count()
+    assert(differing > kn.count() / 2, s"KN should shift scores, only $differing docs differ")
+    kn.unpersist()
+  }
+
   test("q_lm_score: log-probs negative, duplicate texts score identically") {
     val out = SparkEntry.queries("q_lm_score")(spark, Sf).cache()
     assert(out.count() > 0)

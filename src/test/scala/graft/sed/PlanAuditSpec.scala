@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSpecBase {
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
   private val oneRowBroadcastOk =
     Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score",
-      "q_domain_mix", "q_bm25", "q_dsir_weight", "q_pmi_bigrams",
+      "q_lm_kn", "q_domain_mix", "q_bm25", "q_dsir_weight", "q_pmi_bigrams",
       "q_source_kl")
 
   /** Every contract entry built exactly once, failures captured. */
