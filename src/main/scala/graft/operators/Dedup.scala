@@ -420,6 +420,53 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Soft deduplication — per-document SAMPLING WEIGHTS instead of
+    * removal (He et al. 2024 "SoftDeDup": reweighting duplicated content
+    * preserves its signal while restoring the effective token
+    * distribution): every document gets weight_u = 1e6 div n_copies,
+    * where n_copies counts ALL documents sharing its content cluster —
+    * exact copies (md5 multiplicity) plus near-duplicates (the same
+    * exact-first → LSH → Jaccard-verify → connected-components chain as
+    * [[dedupPipeline]], so the hard and soft paths agree on what "a
+    * duplicate" is). A cluster's weights sum to ~1e6 (one document's
+    * worth, minus floor truncation), so a weighted sampler sees each
+    * piece of content once regardless of its copy count.
+    *
+    * Scale shape: the costs are the dedup pipeline's own (exact collapse
+    * keyed by a 16-byte hash, candidate pairs quadratic only in near-dup
+    * cluster width); on top ride two |distinct-content|-bounded
+    * aggregations and the final map of docs to their representative via
+    * the same md5 key — the corpus text never enters a shuffle. Integer
+    * truncating division keeps weights engine-exact. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 12, rowsPerBand: Int = 3, shingleN: Int = 3,
+                       minJaccard: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    // one row per distinct content: min-id representative + multiplicity
+    val groups = docs.groupBy(h.as("__h"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val reps = docs.join(groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val cand = minhashCandidates(reps, idCol, textCol, numHashes, rowsPerBand,
+      shingleN, maxBucket)
+    val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
+      .filter(col("jaccard") >= minJaccard)
+    val comps = connectedComponentsStar(verified.select("a_id", "b_id"))
+    // cluster label per representative: CC label where edge-touched,
+    // else the rep is its own singleton cluster
+    val repLab = groups
+      .join(comps.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .withColumn("__label", coalesce(col("label"), col("__rep")))
+    val totals = repLab.groupBy("__label").agg(sum("__m").as("n_copies"))
+    val repInfo = repLab.join(totals, "__label")
+      .select(col("__rep"), col("__h"), col("n_copies"))
+    docs.select(col(idCol), h.as("__h"))
+      .join(repInfo, "__h")
+      .select(col(idCol), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_u"))
+  }
+
   // ---------------------------------------------------------------------
   // Incremental (delta-vs-corpus) dedup over a persisted index
   // ---------------------------------------------------------------------
@@ -899,15 +946,17 @@ object Dedup {
   def topRepeats(docs: DataFrame, idCol: String, textCol: String,
                  minLen: Int, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    // two-stage agg instead of countDistinct-with-siblings: the latter
-    // plans an Expand that doubles the per-position stream; here the
-    // first groupBy (map-side combined) collapses to distinct (h, doc)
-    // rows and the second is distinct-pair-sized
+    // two-stage agg instead of countDistinct-with-siblings (which plans
+    // an Expand doubling the position stream) — and ONE exchange for
+    // both stages: repartition(h) satisfies the clustering requirement
+    // of groupBy(h, doc) AND groupBy(h), so the position stream crosses
+    // the wire once and both aggregates run partition-local
     val top = docs
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol), posexplode(
         org.apache.spark.sql.graft.CharGramHashes60(col(textCol), minLen))
         .as(Seq("pos", "h")))
+      .repartition(col("h"))
       .groupBy(col("h"), col(idCol))
       .agg(count(lit(1)).as("__occ"), min(col("pos")).as("__mp"))
       .groupBy("h")

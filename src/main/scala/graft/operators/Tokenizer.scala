@@ -192,6 +192,150 @@ object Tokenizer {
       .replaceAll("\\s+", " ")
   }
 
+  // ---------------------------------------------------------------------
+  // Unigram-LM tokenizer (Kudo 2018, arXiv:1804.10959 — the SentencePiece
+  // unigram model): seed inventory → hard-EM Viterbi refinement → apply.
+  // ---------------------------------------------------------------------
+
+  /** OOV floor: the log-prob (micro-units) charged for a single character
+    * no piece covers — guarantees every word is segmentable. */
+  val UnkLogpU: Long = -20000000L
+
+  /** ln(p) quantized to the same micro-unit grid the SQL oracles use. */
+  private def lnMicro(p: Double): Long =
+    math.floor(BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble * 1000000 + 0.5).toLong
+
+  /** The distinct-word table (w, freq) — every unigram stage runs over
+    * this, never the corpus. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Seed piece inventory of the unigram fit: every substring of every
+    * word up to `maxPieceLen` chars, frequency-weighted; ALL single
+    * characters survive (coverage guarantee) plus the top `seedSize`
+    * multi-char pieces by (cnt DESC, piece ASC); scores are
+    * ln(cnt / total-over-selected) in exact micro-units. All stages are
+    * |vocab|-bounded (the corpus is read once for the word table); the
+    * substring explode is |vocab| × maxPieceLen × word-length, the total
+    * is a broadcast 1-row aggregate. */
+  def unigramSeed(docs: DataFrame, textCol: String,
+                  maxPieceLen: Int, seedSize: Int): DataFrame = {
+    require(maxPieceLen >= 1 && seedSize >= 1)
+    val pieces = wordTable(docs, textCol)
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+              s -> transform(sequence(s, least(length(w), s + ${maxPieceLen - 1})),
+                e -> substring(w, s, e - s + 1))))""")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val multi = pieces.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    val sel = chars.unionAll(multi)
+    val tot = sel.agg(sum("cnt").as("t"))
+    sel.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        floor(round(log(col("cnt").cast("double") / col("t").cast("double")), 6)
+          * 1000000 + 0.5).cast("long").as("logp_u"))
+  }
+
+  /** Hard-EM (Viterbi-training) refinement of the seed inventory — the
+    * unigram tokenizer FIT: each round segments every distinct word with
+    * [[org.apache.spark.sql.graft.UnigramViterbi]] under the current
+    * scores (E), re-estimates scores from the frequency-weighted piece
+    * counts (M), drops multi-char pieces the best segmentations stopped
+    * using, and keeps unused single chars at a floor one unit below the
+    * worst used piece (coverage). After `emRounds`, the inventory is
+    * pruned to all chars + the top multi-char pieces by (logp_u DESC,
+    * piece ASC) up to `vocabSize`. Returns (piece, logp_u).
+    *
+    * Scale shape: the corpus is read ONCE (word table, localCheckpointed);
+    * each round is one |vocab|-bounded map + piece-keyed groupBy; the
+    * piece table itself (≤ chars + seedSize rows — tokenizer-vocab sized,
+    * like the IVF centroid set) is the only driver residency. Hard-EM's
+    * Viterbi likelihood is monotonically non-decreasing over rounds (the
+    * M-step maximizes the E-step's objective; UnigramSpec pins it). */
+  def unigramFit(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
+                 seedSize: Int = 2000, emRounds: Int = 3,
+                 vocabSize: Int = 1000): DataFrame = {
+    require(emRounds >= 1 && vocabSize >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordTable(docs, textCol).localCheckpoint(true)
+    var pieces: Array[(String, Long)] =
+      unigramSeed(docs, textCol, maxPieceLen, seedSize)
+        .select("piece", "logp_u").as[(String, Long)].collect().sortBy(_._1)
+    var round = 0
+    while (round < emRounds) {
+      val model = pieces.toMap
+      val counts = words
+        .select(col("freq"), explode(org.apache.spark.sql.graft.UnigramViterbi(
+          col("w"), model, UnkLogpU)).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val total = counts.values.sum.toDouble
+      val used = pieces.filter(p => counts.contains(p._1))
+        .map { case (p, _) => p -> lnMicro(counts(p) / total) }
+      val floorU = (if (used.nonEmpty) used.map(_._2).min else UnkLogpU) - 1000000L
+      val keptChars = pieces.collect {
+        case (p, _) if p.length == 1 && !counts.contains(p) => p -> floorU
+      }
+      pieces = (used ++ keptChars).sortBy(_._1)
+      round += 1
+    }
+    val chars = pieces.filter(_._1.length == 1)
+    val multi = pieces.filter(_._1.length > 1)
+      .sortBy { case (p, lp) => (-lp, p) }.take(vocabSize)
+    spark.createDataset((chars ++ multi).sortBy(_._1).toSeq)
+      .toDF("piece", "logp_u")
+  }
+
+  /** Encode a corpus with a TRAINED unigram inventory: the DISTINCT word
+    * table is Viterbi-segmented once (|vocab|-bounded — the expression
+    * never runs corpus-wide), corpus tokens join their word's encoding
+    * (map-side against a broadcastable table; Catalyst decides), docs
+    * re-assemble in token order to (idCol, n_pieces, pieces_md5) — the
+    * same compare-friendly projection as [[bpeApplyTrained]]. */
+  def unigramApplyTrained(docs: DataFrame, idCol: String, textCol: String,
+                          pieces: Map[String, Long]): DataFrame = {
+    val enc = wordTable(docs, textCol)
+      .select(col("w"), org.apache.spark.sql.graft.UnigramViterbi(
+        col("w"), pieces, UnkLogpU).as("__syms"))
+    docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("i", "w")))
+      .join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(size(col("__syms"))).as("n_pieces"),
+        collect_list(struct(col("i"), col("__syms"))).as("__parts"))
+      .select(col(idCol), col("n_pieces"),
+        md5(concat_ws(" ",
+          flatten(transform(array_sort(col("__parts")), p => p("__syms"))))
+          .cast("binary")).as("pieces_md5"))
+  }
+
+  /** DuckDB oracle for [[unigramSeed]] over a (textCol) relation. */
+  def unigramSeedSql(table: String, textCol: String,
+                     maxPieceLen: Int, seedSize: Int): String = {
+    val toks = TextFunctions.tokensSql(textCol)
+    s"""WITH v AS (SELECT w, COUNT(*) AS freq FROM (
+           SELECT unnest($toks) AS w FROM $table) GROUP BY w),
+       p AS (SELECT substr(w, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS piece,
+           CAST(SUM(freq) AS BIGINT) AS cnt
+         FROM v, UNNEST(range(1, len(w) + 1)) AS t1(s),
+           UNNEST(range(s, least(len(w), s + ${maxPieceLen - 1}) + 1)) AS t2(e)
+         GROUP BY 1),
+       sel AS (SELECT piece, cnt FROM p WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (SELECT piece, cnt FROM p WHERE len(piece) > 1
+           ORDER BY cnt DESC, piece ASC LIMIT $seedSize)),
+       tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM sel)
+       SELECT piece, cnt,
+         CAST(FLOOR(ROUND(LN(CAST(cnt AS DOUBLE) / t), 6) * 1000000 + 0.5E0)
+           AS BIGINT) AS logp_u
+       FROM sel CROSS JOIN tot""".replaceAll("\\s+", " ")
+  }
+
   /** DuckDB oracle for [[bpeApplyTrained]] over the fit's own corpus. */
   def bpeApplySql(table: String, textCol: String, k: Int, idCol: String): String = {
     val toks = TextFunctions.tokensSql(textCol)

@@ -37,6 +37,10 @@ object PipelineQueries {
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
   private val KnDiscount = 0.75 // Kneser-Ney absolute discount (q_lm_kn)
+  private val UniMaxPiece = 6 // unigram-LM tokenizer: max piece length
+  private val UniSeed = 500 // unigram seed: multi-char inventory cap
+  private val UniRounds = 3 // unigram hard-EM rounds
+  private val UniVocab = 300 // unigram final vocab cap (multi-char)
   private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
   private val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier)
   private val TrainShards = 8 // q_train_order output shards
@@ -396,6 +400,40 @@ object PipelineQueries {
       },
       Some(Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id"))),
 
+    // Unigram-LM tokenizer seed inventory (Kudo 2018 SentencePiece,
+    // round 10): every ≤6-char substring of the word table,
+    // frequency-weighted; all single chars survive (coverage) + top
+    // multi-char by (cnt, piece); ln(cnt/total) micro-unit scores. All
+    // |vocab|-bounded after one corpus read; total is a broadcast 1-row
+    // aggregate (oracle-exact).
+    "q_unigram_seed" -> QueryDef(
+      (s, d) => Tokenizer.unigramSeed(docs(s, d), "text", UniMaxPiece, UniSeed),
+      Some(Tokenizer.unigramSeedSql("documents", "text", UniMaxPiece, UniSeed))),
+
+    // The hard-EM (Viterbi-training) refinement of that seed — the
+    // actual unigram tokenizer FIT (rows-only: Viterbi DP has no SQL
+    // twin; UnigramSpec pins brute-force segmentation equality, EM
+    // monotonicity, OOV coverage, determinism).
+    "q_unigram_fit" -> QueryDef(
+      (s, d) => Tokenizer.unigramFit(docs(s, d), "text", UniMaxPiece,
+        UniSeed, UniRounds, UniVocab),
+      None),
+
+    // Encoding the corpus with the TRAINED inventory: distinct words
+    // Viterbi-segment once, corpus tokens join their encoding, docs
+    // re-assemble in order → (doc_id, n_pieces, pieces_md5) (rows-only;
+    // spec pins the join path ≡ direct per-token segmentation).
+    "q_unigram_apply" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pieces = Tokenizer.unigramFit(docs(s, d), "text", UniMaxPiece,
+          UniSeed, UniRounds, UniVocab)
+          .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+          .collect().toMap
+        Tokenizer.unigramApplyTrained(docs(s, d), "doc_id", "text", pieces)
+      },
+      None),
+
     // End-to-end near-dup removal, EXACT-FIRST (round 8): md5 exact-dedup
     // collapses identical copies to their min-id representative BEFORE
     // LSH, so candidate pairs scale with NEAR-dup cluster width, not total
@@ -446,6 +484,37 @@ object PipelineQueries {
            cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
            SELECT cluster_size, COUNT(*) AS n_clusters FROM cs
            GROUP BY cluster_size""".replaceAll("\\s+", " ")
+      }),
+
+    // Soft deduplication (He et al. 2024 SoftDeDup): per-doc sampling
+    // weight 1e6 div n_copies, where n_copies spans the doc's whole
+    // content cluster — exact md5 multiplicity plus verified near-dups
+    // under the SAME rep/verified/CC chain as q_dedup_pipeline (the hard
+    // and soft paths cannot disagree on what a duplicate is). Weights of
+    // a cluster sum to ~1e6: a weighted sampler sees each piece of
+    // content once regardless of copy count. Oracle shares the recursive
+    // reachability walk + rep CTEs verbatim.
+    "q_soft_dedup" -> QueryDef(
+      (s, d) => Dedup.softDedupWeights(docs(s, d), "doc_id", "text",
+        NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket),
+      Some {
+        s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
+           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+             UNION SELECT b_id AS src, a_id AS dst FROM verified),
+           walk(id, label) AS (
+             SELECT src AS id, src AS label FROM edges
+             UNION
+             SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id),
+           lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+           grp AS (SELECT md5(text) AS h, MIN(doc_id) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS m FROM documents GROUP BY 1),
+           replab AS (SELECT g.rep, g.h, g.m, COALESCE(l.label, g.rep) AS label
+             FROM grp g LEFT JOIN lab l ON l.id = g.rep),
+           tot AS (SELECT label, CAST(SUM(m) AS BIGINT) AS n_copies
+             FROM replab GROUP BY label),
+           ri AS (SELECT r.h, t.n_copies FROM replab r JOIN tot t USING (label))
+           SELECT d.doc_id, ri.n_copies, 1000000 // ri.n_copies AS weight_u
+           FROM documents d JOIN ri ON md5(d.text) = ri.h""".replaceAll("\\s+", " ")
       }),
 
     // PageRank over the verified near-dup graph — rank mass identifies

@@ -61,6 +61,28 @@ class DedupAnnSpec extends SparkSpecBase {
     assert(got == Set((3L, 1L), (2L, 1L)))
   }
 
+  test("softDedupWeights: cluster-wide copy counts, weights sum to ~1e6 per cluster") {
+    val base = (0 until 30).map(i => s"t$i").mkString(" ")
+    val near = (0 until 29).map(i => s"t$i").mkString(" ") + " zz"
+    val other = (0 until 30).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (0L, base), (1L, base), (2L, base), // 3 exact copies
+      (3L, near),                         // + 1 near-dup -> cluster of 4 docs
+      (4L, other),                        // singleton content
+      (5L, "lone words only"))            // singleton content
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // docs 0,1,2 (exact copies) and 3 (verified near-dup of their rep)
+    // share one content cluster: n_copies = 4, weight = 250000 each
+    Seq(0L, 1L, 2L, 3L).foreach(id => assert(got(id) == ((4L, 250000L)), s"doc $id: ${got(id)}"))
+    // singleton content keeps full weight
+    Seq(4L, 5L).foreach(id => assert(got(id) == ((1L, 1000000L)), s"doc $id: ${got(id)}"))
+    // every doc weighted exactly once; cluster mass ~1e6 (floor truncation)
+    assert(got.size == 6)
+    assert(got.values.groupBy(identity).forall { case ((n, w), _) => w * n <= 1000000L && (w + 1) * n > 1000000L })
+  }
+
   test("identical documents share the full MinHash signature") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
       (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")

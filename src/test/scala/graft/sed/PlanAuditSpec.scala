@@ -41,7 +41,7 @@ class PlanAuditSpec extends SparkSpecBase {
   private val oneRowBroadcastOk =
     Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score",
       "q_lm_kn", "q_domain_mix", "q_bm25", "q_dsir_weight", "q_pmi_bigrams",
-      "q_source_kl")
+      "q_source_kl", "q_unigram_seed")
 
   /** Every contract entry built exactly once, failures captured. */
   private lazy val built: Seq[(String, Either[Throwable, DataFrame])] =
