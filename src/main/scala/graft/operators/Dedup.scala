@@ -420,6 +420,66 @@ object Dedup {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Content-defined chunking of a corpus (the LBFS/FastCDC boundary
+    * family, applied to text): a chunk boundary sits at every position
+    * whose `w`-char gram hash is ≡ 0 (mod `div`) — a CONTENT-LOCAL rule,
+    * so an insertion or deletion only disturbs the chunks it touches and
+    * boundaries re-synchronize immediately after the edit (fixed-size
+    * paragraph splits shift EVERY downstream boundary instead). Expected
+    * chunk length ≈ `div` chars. Returns one row per chunk:
+    * (idCol, s, e, ph, clen) — [s, e) char offsets, md5, length.
+    *
+    * Scale shape: boundary candidates are the ~1/div of positions whose
+    * hash passes the filter (the per-position stream collapses BEFORE its
+    * groupBy), the per-doc cut list rides one join back to the corpus,
+    * and chunk slicing is one in-row transform — chunk TEXT never enters
+    * an exchange (downstream consumers shuffle md5s). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int, div: Int): DataFrame = {
+    require(w >= 1 && div >= 1)
+    val cuts = docs
+      .filter(length(col(textCol)) >= w)
+      .select(col(idCol), posexplode(
+        org.apache.spark.sql.graft.CharGramHashes60(col(textCol), w))
+        .as(Seq("pos", "h")))
+      .filter(pmod(col("h"), lit(div.toLong)) === 0)
+      .groupBy(idCol).agg(collect_set(col("pos")).as("__cuts"))
+    docs
+      .filter(length(col(textCol)) > 0)
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__all", array_sort(array_distinct(concat(
+        array(lit(0)), coalesce(col("__cuts"), typedLit(Seq.empty[Int])),
+        array(length(col(textCol)).cast("int"))))))
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__all) - 2),
+              i -> struct(__all[i] AS s, __all[i + 1] AS e,
+                substring($textCol, __all[i] + 1, __all[i + 1] - __all[i]) AS c))"""))
+        .as("__ch"))
+      .select(col(idCol), col("__ch.s").cast("long").as("s"),
+        col("__ch.e").cast("long").as("e"),
+        md5(col("__ch.c").cast("binary")).as("ph"),
+        (col("__ch.e") - col("__ch.s")).cast("long").as("clen"))
+  }
+
+  /** Chunk-level dedup accounting over [[cdcChunks]]: corpus-order-FIRST
+    * occurrence of each chunk survives (the paragraph-dedup rule at
+    * content-defined granularity); per doc, how many chunks are
+    * duplicates of earlier content and how many chars they cover. The
+    * only corpus-wide exchange after chunking is keyed by the chunk md5
+    * and carries (id, offset, md5, len) — never text. */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               w: Int, div: Int): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, w, div)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("s"))
+    ch.select(col(idCol), col("s"), col("ph"), col("clen"))
+      .withColumn("__keep", row_number().over(win) === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(!col("__keep"), 1)).as("n_dup_chunks"),
+        coalesce(sum(when(!col("__keep"), col("clen"))), lit(0L)).as("dup_chars"))
+  }
+
   /** Soft deduplication — per-document SAMPLING WEIGHTS instead of
     * removal (He et al. 2024 "SoftDeDup": reweighting duplicated content
     * preserves its signal while restoring the effective token

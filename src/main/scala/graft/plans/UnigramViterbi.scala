@@ -53,13 +53,22 @@ object UnigramViterbi {
       if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
   }
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. The DP walks CODE
+    * POINTS (`offs` maps code-point index → UTF-16 offset), matching the
+    * code-point semantics of Spark `substring` / DuckDB `substr` that
+    * produced the piece inventory — an astral-plane character is one
+    * symbol, never a split surrogate pair. */
   def compute(word: UTF8String, m: Model): ArrayData = {
     val w = word.toString
-    val n = w.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (w.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = w.codePointCount(0, w.length)
+    val offs = new Array[Int](n + 1) // UTF-16 offset of code point i
+    var ci = 0
+    var ui = 0
+    while (ci < n) { offs(ci) = ui; ui = w.offsetByCodePoints(ui, 1); ci += 1 }
+    offs(n) = w.length
     val best = Array.fill(n + 1)(Long.MinValue)
-    val back = new Array[Int](n + 1) // chosen piece length ending at j
+    val back = new Array[Int](n + 1) // chosen piece length (code points) ending at j
     best(0) = 0L
     var j = 1
     while (j <= n) {
@@ -67,7 +76,7 @@ object UnigramViterbi {
       var l = 1
       while (l <= lMax) {
         if (best(j - l) != Long.MinValue) {
-          val cost = m.pieces.get(w.substring(j - l, j)) match {
+          val cost = m.pieces.get(w.substring(offs(j - l), offs(j))) match {
             case Some(lp) => lp
             case None     => if (l == 1) m.unkLogpU else Long.MinValue
           }
@@ -85,7 +94,7 @@ object UnigramViterbi {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = n
-    while (p > 0) { out += w.substring(p - back(p), p); p -= back(p) }
+    while (p > 0) { out += w.substring(offs(p - back(p)), offs(p)); p -= back(p) }
     new GenericArrayData(out.reverseIterator.map(s =>
       UTF8String.fromString(s): Any).toArray)
   }

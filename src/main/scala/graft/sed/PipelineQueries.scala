@@ -41,6 +41,8 @@ object PipelineQueries {
   private val UniSeed = 500 // unigram seed: multi-char inventory cap
   private val UniRounds = 3 // unigram hard-EM rounds
   private val UniVocab = 300 // unigram final vocab cap (multi-char)
+  private val CdcW = 16 // content-defined chunking: boundary gram width
+  private val CdcDiv = 64 // CDC divisor (expected chunk length, chars)
   private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
   private val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier)
   private val TrainShards = 8 // q_train_order output shards
@@ -484,6 +486,42 @@ object PipelineQueries {
            cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
            SELECT cluster_size, COUNT(*) AS n_clusters FROM cs
            GROUP BY cluster_size""".replaceAll("\\s+", " ")
+      }),
+
+    // Content-defined chunk dedup (round 10, Dedup.cdcDedup; the
+    // LBFS/FastCDC boundary family on text): boundaries where the
+    // 16-char gram hash ≡ 0 (mod 64) — content-local, so insertions
+    // re-synchronize (fixed paragraph splits shift every downstream
+    // boundary); corpus-order-first chunk occurrences survive; per doc
+    // (n_chunks, n_dup_chunks, dup_chars). Chunk text never enters an
+    // exchange. Oracle replays boundaries over the same substr/md5 gram
+    // domain + a LEAD window + first-wins row_number.
+    "q_cdc_dedup" -> QueryDef(
+      (s, d) => Dedup.cdcDedup(docs(s, d), "doc_id", "text", CdcW, CdcDiv),
+      Some {
+        s"""WITH g AS (
+             SELECT doc_id, i - 1 AS pos,
+               ('0x' || substr(md5(substr(text, CAST(i AS INT), $CdcW)), 1, 15))::BIGINT AS h
+             FROM documents, UNNEST(range(1, len(text) - $CdcW + 2)) AS t(i)
+             WHERE len(text) >= $CdcW),
+           cuts AS (
+             SELECT doc_id, 0 AS cut FROM documents WHERE len(text) > 0
+             UNION SELECT doc_id, pos FROM g WHERE h % $CdcDiv = 0
+             UNION SELECT doc_id, len(text) FROM documents WHERE len(text) > 0),
+           ch AS (SELECT doc_id, cut AS s,
+               LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e
+             FROM cuts),
+           chunk AS (SELECT ch.doc_id, s, e - s AS clen,
+               md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS ph
+             FROM ch JOIN documents d ON d.doc_id = ch.doc_id
+             WHERE e IS NOT NULL),
+           marked AS (SELECT doc_id, clen,
+               ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, s) = 1 AS keep
+             FROM chunk)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dup_chunks,
+             CAST(COALESCE(SUM(clen) FILTER (WHERE NOT keep), 0) AS BIGINT) AS dup_chars
+           FROM marked GROUP BY doc_id""".replaceAll("\\s+", " ")
       }),
 
     // Soft deduplication (He et al. 2024 SoftDeDup): per-doc sampling

@@ -62,6 +62,18 @@ class UnigramSpec extends SparkSpecBase {
       .as[Seq[String]].head().isEmpty)
   }
 
+  test("UnigramViterbi walks code points: an astral char is one symbol, never a split surrogate") {
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, a surrogate pair in UTF-16
+    val pieces = Map("a" -> -1000000L, emoji -> -1500000L, ("a" + emoji) -> -1200000L)
+    val got = spark.range(1).select(UnigramViterbi(lit("a" + emoji + "a"), pieces, -9000000L))
+      .as[Seq[String]].head()
+    assert(got == Seq("a" + emoji, "a"))
+    // an UNSEEN astral char falls back as ONE unk symbol, not two halves
+    val oov = spark.range(1).select(UnigramViterbi(lit("a" + new String(Character.toChars(0x1F4A9))),
+      Map("a" -> -1000000L), -9000000L)).as[Seq[String]].head()
+    assert(oov == Seq("a", new String(Character.toChars(0x1F4A9))))
+  }
+
   test("unigramSeed: hand-computed counts, chars always kept, top multi-char cut") {
     val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
     // words: ab freq 2, b freq 1; substrings (maxLen 2):
