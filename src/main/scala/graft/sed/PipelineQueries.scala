@@ -45,6 +45,9 @@ object PipelineQueries {
   private val CdcDiv = 64 // CDC divisor (expected chunk length, chars)
   private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
   private val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier)
+  private val FitDim = 256 // hashed-feature buckets (q_classifier_fit)
+  private val FitRounds = 3 // q_classifier_fit gradient-descent rounds
+  private val FitLrScale = 50 // q_classifier_fit: lr divisor = nDocs * this
   private val TrainShards = 8 // q_train_order output shards
   private val TrainSeed = "ep0" // q_train_order epoch seed
   private val PackTokens = 128 // fixed token budget per pack (q_pack_sequences)
@@ -2056,6 +2059,37 @@ object PipelineQueries {
            JOIN thr t ON s.domain = t.domain WHERE s.score >= t.cutoff"""
           .replaceAll("\\s+", " ")
       }),
+
+    // Distributed logistic-regression classifier FIT (Classifier.scala;
+    // fastText-supervised / CCNet quality-filter training, Joulin et al.
+    // 2017): K full-batch GD rounds over hashing-trick features, label =
+    // (lang = 'en'). Integer micro-unit state end to end: in-row bucket
+    // counts (sorted-array run cuts, no featurize shuffle), map-only
+    // forward pass against a broadcast weight literal, ONE <= dim-row
+    // gradient exchange per round, truncating-div update (JVM == DuckDB
+    // //). ORACLE-GREEN though iterative: the oracle unrolls the same K
+    // rounds as chained CTEs (the q_bpe_fit pattern) — the whole
+    // trajectory is engine-exact.
+    "q_classifier_fit" -> QueryDef(
+      (s, d) => graft.operators.Classifier.fitLogistic(docs(s, d),
+        "doc_id", "text", when(col("lang") === "en", 1000000L).otherwise(0L),
+        FitDim, FitRounds, FitLrScale),
+      Some(graft.operators.Classifier.fitSql("documents", "doc_id", "text",
+        "CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END",
+        FitDim, FitRounds, FitLrScale))),
+
+    // Evaluating the LEARNED model on its training corpus: per-doc
+    // micro-unit probability, label, and correctness at the sigmoid-0.5
+    // threshold — map-only over the fit's checkpointed features. Shares
+    // the unrolled CTE chain with q_classifier_fit VERBATIM (the two
+    // oracles cannot drift).
+    "q_classifier_eval" -> QueryDef(
+      (s, d) => graft.operators.Classifier.evalLogistic(docs(s, d),
+        "doc_id", "text", when(col("lang") === "en", 1000000L).otherwise(0L),
+        FitDim, FitRounds, FitLrScale),
+      Some(graft.operators.Classifier.evalSql("documents", "doc_id", "text",
+        "CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END",
+        FitDim, FitRounds, FitLrScale))),
 
     // ---------------- multimodal ----------------
     // Perceptual-hash image dedup: REAL P5 images synthesized from text
