@@ -127,13 +127,20 @@ object Bench {
     val env = s""""load1":${rd(load1, 100)},"host_cpus":$hostCpus,"failed":$failedJson"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(0.0)},"queries":${qmap(10000)}}"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(1.3)},"queries":${qmap(1000)}}"""
+    // the TRUE last stdout line must fit the driver's bounded tail
+    // capture (~2 KB, keeps the END of the stream — the 8 KB per-query
+    // compact line was front-truncated mid-key in rounds 9-10): a
+    // per-query-map-free summary the driver can always parse; the
+    // detail lives in the committed BENCH_LOCAL.json
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"n":${results.length},$env}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
     // after spark.stop() so no shutdown logging follows it
     println(compact)
-    emitAfterSbt(compact)
+    println(summary)
+    emitAfterSbt(summary)
   }
 
   /** Driver-artifact self-sufficiency (round 10): under a forked sbt run

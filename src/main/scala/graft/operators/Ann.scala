@@ -613,8 +613,10 @@ object Ann {
     * seeded [[u01]] hash as the coin — reproducible under any
     * partitioning, unlike rand(). Candidates are then weighted by the
     * number of points they are nearest to, and k seeds come out of a
-    * driver-side weighted farthest-first pass over the ≤ 1+2k·rounds
-    * candidates (ties broken by candidate order). Cost: `rounds`+1
+    * driver-side weighted farthest-first pass over the ≤ 1+4k·rounds
+    * candidates (per-round draws are HARD-capped at 4k via a bounded-heap
+    * takeOrdered, so the driver contract is unconditional; ties broken by
+    * candidate order). Cost: `rounds`+1
     * corpus passes of O(n·|C|) dots — the same shape as Lloyd
     * iterations, so seeding ≈ doubles the fit cost at default settings
     * while making it data-driven. Falls back to padding with min-id
@@ -648,10 +650,18 @@ object Ann {
       if (phi <= 1e-12) done = true // every point sits on a candidate
       else {
         val rr = r
+        // HARD driver bound: the coin passes ~l = 2k rows in expectation,
+        // but a pathological cost distribution could pass many more —
+        // keep only the 2l most-strongly-passing draws (smallest
+        // coin-to-threshold ratio, id tie-break; a bounded-heap
+        // takeOrdered, never an unbounded collect). Under the cap the
+        // result is identical to the uncapped filter.
+        val maxPick = 4 * k
         val picked = costs
           .filter { case (id, _, c) => u01(id, rr) < l * c / phi }
-          .map { case (id, v, _) => (id, v) }
-          .collect().sortBy(_._1).map(_._2)
+          .map { case (id, v, c) => (u01(id, rr) / (l * c / phi), id, v) }
+          .takeOrdered(maxPick)(Ordering.by((t: (Double, Long, Array[Float])) => (t._1, t._2)))
+          .sortBy(_._2).map(_._3)
         cand ++= picked
         r += 1
       }
@@ -829,5 +839,116 @@ object Ann {
       .select(col("query_id"), col("vec_id"), cos.as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // NN-Descent k-NN graph (round 11)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic top-k per `src` by (sim DESC, dst ASC). */
+  private def topKPerSrc(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    edges.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
+  }
+
+  /** Approximate k-NN GRAPH over the whole corpus — NN-Descent (Dong,
+    * Moses & Li, WWW 2011 "Efficient K-Nearest Neighbor Graph
+    * Construction for Generic Similarity Measures"): the all-pairs
+    * companion of the query-set searches above, and the standard input
+    * of graph-based semantic dedup / diversity filtering. A brute-force
+    * graph is an n² cross join; NN-Descent converges on O(iters · n·k²)
+    * candidate edges by exploiting that a neighbor's neighbor is likely
+    * a neighbor.
+    *
+    * Fully deterministic, Spark-first: init buckets ids by
+    * xxhash64 mod ⌈n/(k+1)⌉ (content-independent but data-ORDER-
+    * independent; every bucket's all-pairs edges are exact) — one
+    * equi-join, no cross join. Each iteration: (1) general neighbors =
+    * forward ∪ top-k reverse edges, (2) the LOCAL JOIN — neighbors of
+    * the same pivot pair up as candidates (a self-equi-join on the
+    * pivot, O(k²) per node), (3) candidate cosines via two id-keyed
+    * joins against the vectors, (4) union with current edges,
+    * deterministic re-rank to top-k per node. Every per-iteration frame
+    * is localCheckpointed (flat lineage). Ties break (sim DESC, dst
+    * ASC) everywhere, so reruns are bit-identical; DedupAnnSpec gates
+    * recall ≥ 0.9 vs the exact graph and exact convergence on planted
+    * clusters. Returns (vec_id, nbr_id, rank, cosine). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int = 3): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val n = vecs.count()
+    // NN-Descent's convergence rides on graph CONNECTIVITY, which small
+    // k starves (with k = 4 the shared-pivot discovery probability per
+    // pair per iteration drops below ~50% and stragglers persist for
+    // many rounds — measured on planted clusters). Descend with a
+    // working list of max(k, 10) and cut to k only at the end.
+    val kw = math.max(k, 10)
+    val nBuckets = math.max(1L, n / (kw + 1))
+    // init: THREE independent hash groupings, all-pairs within each
+    // ~(k+1)-sized bucket. One grouping alone seeds disjoint CLIQUES —
+    // closed under the neighbor-of-neighbor join, so NN-Descent could
+    // never leave them (measured: recall froze at the init level); the
+    // union of independent groupings is an expander-like graph the
+    // descent traverses. Self-joins rename columns per side (never
+    // frame aliases over a shared subtree — Spark resolves both `a.x`
+    // and `b.x` to the SAME attribute there, silently degenerating the
+    // predicate).
+    val bucketed = vecs
+      .select(explode(sequence(lit(1L), lit(3L))).as("__j"), col("id"), col("v"))
+      .withColumn("__b", concat_ws("_", col("__j"),
+        pmod(xxhash64(col("id"), col("__j")), lit(nBuckets))))
+    val cos = graft.functions.VectorFunctions.cosine _
+    var edges = topKPerSrc(
+      bucketed.select(col("__b"), col("id").as("src"), col("v").as("__sv"))
+        .join(bucketed.select(col("__b"), col("id").as("dst"), col("v").as("__dv")), "__b")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), cos(col("__sv"), col("__dv")).as("sim"))
+        .dropDuplicates("src", "dst"),
+      kw).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val fwd = edges.select(col("src"), col("dst"))
+      // reverse edges capped at k per node: an over-popular hub would
+      // otherwise make its local join quadratic in its in-degree
+      val rev = topKPerSrc(
+        edges.select(col("dst").as("src"), col("src").as("dst"), col("sim")), kw)
+        .select(col("src"), col("dst"))
+      // plus a FRESH random grouping each iteration (hash seeded by the
+      // iteration number): pure descent over a fixed start plateaus —
+      // local joins only ever recombine what the init graph can reach;
+      // the per-iteration exploration bucket re-links the graph across
+      // plateau components at O(n·k) extra candidate pairs
+      val explore = vecs
+        .withColumn("__b", pmod(xxhash64(col("id"), lit(100L + it)), lit(nBuckets)))
+        .select(col("__b"), col("id"))
+      val exploreEdges = explore
+        .withColumnRenamed("id", "src")
+        .join(explore.withColumnRenamed("id", "dst"), "__b")
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val gen = fwd.unionByName(rev).unionByName(exploreEdges).distinct()
+      val cand = gen.select(col("src").as("__p"), col("dst").as("__d1"))
+        .join(gen.select(col("src").as("__p"), col("dst").as("__d2")), "__p")
+        .filter(col("__d1") < col("__d2"))
+        .select(col("__d1").as("src"), col("__d2").as("dst"))
+        .distinct()
+      val scored = cand
+        .join(vecs.select(col("id").as("src"), col("v").as("__sv")), "src")
+        .join(vecs.select(col("id").as("dst"), col("v").as("__dv")), "dst")
+        .select(col("src"), col("dst"), cos(col("__sv"), col("__dv")).as("sim"))
+      val sym = scored.unionByName(
+        scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      edges = topKPerSrc(
+        edges.unionByName(sym).dropDuplicates("src", "dst"), kw)
+        .localCheckpoint(true)
+      it += 1
+    }
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    edges.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
+        col("rank"), col("sim").as("cosine"))
   }
 }

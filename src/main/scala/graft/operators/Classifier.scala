@@ -32,9 +32,11 @@ import graft.functions.TextFunctions
   * Scale shape: the corpus is read once (featurize) and each round costs
   * one map-only pass + one partial-agg exchange of tasks x dim rows + a
   * <= dim driver collect — the same "driver loop over bounded state"
-  * contract as the BPE fit. At production dim (100k+ buckets) the map
-  * literal swaps for a broadcast join on the exploded features; the
-  * per-round exchange is unchanged.
+  * contract as the BPE fit. Above [[MapLiteralMaxDim]] buckets the map
+  * literal automatically swaps for a broadcast join on the exploded
+  * features (`withErr`'s join path — same exact integer arithmetic, one
+  * extra idCol-keyed exchange per round), so production dims never
+  * compile a 100k-entry literal into every task.
   */
 object Classifier {
 
@@ -69,6 +71,34 @@ object Classifier {
       acc + f.getField("c") *
         coalesce(try_element_at(typedLit(w), f.getField("b")), lit(0L)))
 
+  /** Above this dim the per-round weight state stops entering the plan
+    * as a map literal (a 100k-entry literal would compile into every
+    * task) and switches to the broadcast-join path. */
+  private[graft] val MapLiteralMaxDim = 4096
+
+  /** feat + `__err` column for one GD round. Literal path (small dim):
+    * map-only in-row fold against the weight-map literal. Join path
+    * (production dim): features explode against a BROADCAST weight
+    * table, per-doc dot re-assembles with one idCol-keyed exchange, and
+    * errs join back to the checkpointed features — same exact integer
+    * arithmetic, one extra bounded exchange per round. */
+  private[graft] def withErr(feat: DataFrame, w: Map[Long, Long],
+                             idCol: String, joinPath: Boolean): DataFrame =
+    if (!joinPath) feat.withColumn("__err", pU(dotU(w)) - col("y_u"))
+    else {
+      val spark = feat.sparkSession
+      import spark.implicits._
+      val wDf = w.toSeq.toDF("__wb", "__w")
+      val dots = feat
+        .select(col(idCol), explode(col("fs")).as("__f"))
+        .join(broadcast(wDf), col("__f")("b") === col("__wb"), "left")
+        .groupBy(col(idCol))
+        .agg(sum(col("__f")("c") * coalesce(col("__w"), lit(0L))).as("__dot"))
+      feat.join(dots, Seq(idCol))
+        .withColumn("__err", pU(col("__dot")) - col("y_u"))
+        .drop("__dot")
+    }
+
   /** floor(sigmoid(dot_u/1e6)*1e6 + 0.5) — micro-unit probability; the
     * EXACT same parenthesization is emitted on the oracle side. */
   private def pU(dot: Column): Column =
@@ -87,11 +117,11 @@ object Classifier {
     val n = feat.count()
     require(n > 0, "classifier fit needs at least one non-empty document")
     val lrDiv = n * lrScale
+    val joinPath = dim > MapLiteralMaxDim
     var w = Map.empty[Long, Long]
     var r = 0
     while (r < rounds) {
-      val grads = feat
-        .withColumn("__err", pU(dotU(w)) - col("y_u"))
+      val grads = withErr(feat, w, idCol, joinPath)
         .select(col("__err"), explode(col("fs")).as("f"))
         .groupBy(col("f.b").as("b"))
         .agg(sum(col("__err") * col("f.c")).as("g"))
@@ -126,7 +156,8 @@ object Classifier {
                    lrScale: Long): DataFrame = {
     val (w, _, feat) = fitWeights(docs, idCol, textCol, labelU, dim,
       rounds, lrScale)
-    feat.select(col(idCol), pU(dotU(w)).as("p_u"), col("y_u"))
+    withErr(feat, w, idCol, joinPath = dim > MapLiteralMaxDim)
+      .select(col(idCol), (col("__err") + col("y_u")).as("p_u"), col("y_u"))
       .withColumn("correct",
         (col("p_u") >= 500000L) === (col("y_u") === 1000000L))
   }

@@ -932,6 +932,11 @@ object Dedup {
       .select(col(idCol),
         explode(org.apache.spark.sql.graft.WinnowedAnchors(col(textCol), k, w)).as("__a"))
       .select(col(idCol), col("__a.pos").as("pos"), col("__a.h").as("h"))
+      // materialized once: the subtree feeds BOTH the earliest-occurrence
+      // groupBy and the extension join, and the two exchanges don't
+      // canonicalize to a reused scan — without this the whole-corpus
+      // anchor walk runs twice per job
+      .localCheckpoint(true)
     val earliest = anchors
       .groupBy("h")
       .agg(min(struct(col(idCol), col("pos"))).as("__e"))

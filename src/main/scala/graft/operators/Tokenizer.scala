@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -53,17 +53,22 @@ object Tokenizer {
   // ---------------------------------------------------------------------
 
   /** Symbol separator inside the packed word representation. Words are
-    * kept as `·s1·s2·…·sn·` (leading + trailing separator), so a merge
-    * of pair (a, b) is `replace(ws, ·a·b·, ·ab·)` — applied TWICE,
-    * because a left-to-right string replace shares the boundary
-    * separator with an immediately following occurrence and skips it;
-    * skipped occurrences are provably isolated (a skip needs its leading
-    * separator consumed by a MATCH, so two in a row are impossible), so
-    * the second pass catches them all and the result equals greedy
-    * left-to-right BPE merging. The same double-replace runs in the
-    * DuckDB oracle — merge application is engine-identical BY
-    * CONSTRUCTION, and BpeSpec pins the greedy equivalence against the
-    * native [[org.apache.spark.sql.graft.BpeEncode]] walker. */
+    * kept as `·s1·s2·…·sn·` (leading + trailing separator). A merge of
+    * pair (l, r) is applied as ONE greedy left-to-right fold over the
+    * word's symbol list (Spark `aggregate`, DuckDB `list_reduce` — the
+    * identical step function in both engines): the accumulator is the
+    * rewritten packed string; when it ends in `·l·` and the next symbol
+    * is `r`, the tail rewrites to `·lr·`, else the symbol appends. This
+    * IS greedy non-overlapping merging — a just-merged token `lr` can
+    * never re-match as the left of the pair because `lr ≠ l` (r is
+    * non-empty), so the fold never chains through a merge the greedy
+    * scan would skip; in particular l = r runs of any length pair off
+    * exactly like Sennrich learn_bpe ('aaaaa' → [aa, aa, a]). A naive
+    * string replace is NOT equivalent here (overlapping `·a·a·`
+    * occurrences share their boundary separator and mis-pair on runs
+    * ≥ 5 — BpeSpec's run fixtures pin the divergence). BpeSpec also
+    * pins the fold against the native
+    * [[org.apache.spark.sql.graft.BpeEncode]] greedy walker. */
   val Sep: String = "\u001f" // = chr(31) in the DuckDB twin
 
   /** The (merges, finalVocab) of `k` BPE merge rounds over the corpus
@@ -100,16 +105,30 @@ object Tokenizer {
         case None => exhausted = true
         case Some((l, r, cnt)) =>
           merges += ((step, l, r, cnt))
-          val pat = Sep + l + Sep + r + Sep
-          val rep = Sep + l + r + Sep
           vocab = vocab
-            .withColumn("ws",
-              replace(replace(col("ws"), lit(pat), lit(rep)), lit(pat), lit(rep)))
+            .withColumn("ws", greedyMerge(col("ws"), l, r))
             .localCheckpoint(true)
           step += 1
       }
     }
     (merges.result().toDF("step", "merge_left", "merge_right", "cnt"), vocab)
+  }
+
+  /** One greedy left-to-right application of merge (l, r) to a packed
+    * word string (see [[Sep]] for the equivalence argument): split to
+    * symbols, fold the packed result string — when it ends in `·l·` and
+    * the incoming symbol is r, the tail rewrites to `·lr·`. Lengths are
+    * CODE POINTS (Spark `length`/`substr` = DuckDB `len`/`substr`), so
+    * the step function is engine-identical to the oracle's
+    * `list_reduce`. In-row column algebra, map-only. */
+  private def greedyMerge(ws: Column, l: String, r: String): Column = {
+    val lCp = l.codePointCount(0, l.length)
+    aggregate(
+      filter(split(ws, Sep), s => length(s) > 0),
+      lit(Sep),
+      (acc, s) => when(endswith(acc, lit(Sep + l + Sep)) && s === lit(r),
+          concat(acc.substr(lit(1), length(acc) - lit(lCp + 1)), lit(l + r + Sep)))
+        .otherwise(concat(acc, s, lit(Sep))))
   }
 
   /** Just the ordered merge table of [[bpeFitWithVocab]]. */
@@ -156,31 +175,44 @@ object Tokenizer {
           .cast("binary")).as("bpe_md5"))
   }
 
+  /** CTE `v0` — the packed (w, ws, freq) vocab of a corpus. */
+  private def packedVocabCtes(table: String, textCol: String): String = {
+    val toks = TextFunctions.tokensSql(textCol)
+    s"""v AS (SELECT w, COUNT(*) AS freq FROM (
+          SELECT unnest($toks) AS w FROM $table) GROUP BY w
+          HAVING instr(w, chr(31)) = 0),
+        v0 AS (SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws,
+          freq FROM v)"""
+  }
+
+  /** CTE `p$i` — frequency-weighted adjacent symbol-pair counts of
+    * round i's input vocab `v${i-1}`. */
+  private def pairCte(i: Int): String =
+    s"""p$i AS (SELECT l[j] AS lft, l[j+1] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT list_filter(string_split(ws, chr(31)), x -> x <> '') AS l, freq
+          FROM v${i - 1}), UNNEST(range(1, len(l))) AS t(j)
+          GROUP BY 1, 2)"""
+
+  /** CTE `v$i` — `v${i-1}` with round i's winning merge `b$i` applied
+    * via the same greedy `list_reduce` fold as [[greedyMerge]]. */
+  private def rewriteCte(i: Int): String =
+    s"""v$i AS MATERIALIZED (SELECT w, list_reduce(
+          list_prepend(chr(31), list_filter(string_split(ws, chr(31)), x -> x <> '')),
+          (acc, s) -> CASE WHEN ends_with(acc, chr(31) || b.lft || chr(31)) AND s = b.rgt
+            THEN substr(acc, 1, CAST(len(acc) - len(b.lft) - 1 AS INT)) || b.lft || b.rgt || chr(31)
+            ELSE acc || s || chr(31) END) AS ws, freq FROM v${i - 1}, b$i b)"""
+
   /** The shared unrolled CTE chain replaying [[bpeFitWithVocab]] in
     * DuckDB: v0 (packed vocab) then, per round i, pair counts pI, the
-    * argmax bI, and the rewritten vocab vI via the SAME double-replace.
+    * count-argmax bI, and the rewritten vocab vI.
     * Ends with CTEs `b1..b$k` and `v$k` for callers to select from. */
   private def bpeCtesSql(table: String, textCol: String, k: Int): String = {
-    val toks = TextFunctions.tokensSql(textCol)
-    val head =
-      s"""v AS (SELECT w, COUNT(*) AS freq FROM (
-            SELECT unnest($toks) AS w FROM $table) GROUP BY w
-            HAVING instr(w, chr(31)) = 0),
-          v0 AS (SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws,
-            freq FROM v)"""
     val steps = (1 to k).map { i =>
-      s"""p$i AS (SELECT l[j] AS lft, l[j+1] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-            SELECT list_filter(string_split(ws, chr(31)), x -> x <> '') AS l, freq
-            FROM v${i - 1}), UNNEST(range(1, len(l))) AS t(j)
-            GROUP BY 1, 2),
+      s"""${pairCte(i)},
           b$i AS (SELECT lft, rgt, cnt FROM p$i ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
-          v$i AS (SELECT w, replace(replace(ws,
-            chr(31) || b.lft || chr(31) || b.rgt || chr(31),
-            chr(31) || b.lft || b.rgt || chr(31)),
-            chr(31) || b.lft || chr(31) || b.rgt || chr(31),
-            chr(31) || b.lft || b.rgt || chr(31)) AS ws, freq FROM v${i - 1}, b$i b)"""
+          ${rewriteCte(i)}"""
     }
-    (head +: steps).mkString(", ")
+    (packedVocabCtes(table, textCol) +: steps).mkString(", ")
   }
 
   /** DuckDB oracle for [[bpeFit]]: the unrolled merge sequence. */
@@ -190,6 +222,125 @@ object Tokenizer {
       .mkString(" UNION ALL ")
     s"WITH ${bpeCtesSql(table, textCol, k)} SELECT * FROM ($rows)"
       .replaceAll("\\s+", " ")
+  }
+
+  // ---------------------------------------------------------------------
+  // WordPiece training (round 11) — the third dominant tokenizer-training
+  // algorithm (Schuster & Nakajima 2012, "Japanese and Korean Voice
+  // Search"; the BERT tokenizer): BPE's loop with a LIKELIHOOD-scored
+  // merge rule — each round merges the pair maximizing
+  // cnt(l,r) / (cnt(l)·cnt(r)), the pair whose merge most increases a
+  // unigram LM's corpus likelihood, instead of raw pair count.
+  // ---------------------------------------------------------------------
+
+  /** The (merges, finalVocab) of `k` WordPiece merge rounds. Same scale
+    * contract as [[bpeFitWithVocab]] — the corpus is read once (vocab
+    * build); each round adds ONE more |vocab|-bounded aggregation (the
+    * per-symbol counts the score denominator needs) joined to the pair
+    * counts, a 1-row argmax to the driver, and the same [[greedyMerge]]
+    * map-only rewrite. The score quotient is computed double/double
+    * (each factor an exact-integer cast, so the IEEE result is
+    * bit-identical cross-engine; the double PRODUCT in the denominator
+    * also avoids int64 overflow at corpus-scale symbol counts);
+    * ties break (lft ASC, rgt ASC). */
+  def wordpieceFitWithVocab(docs: DataFrame, textCol: String, k: Int)
+      : (DataFrame, DataFrame) = {
+    require(k >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(!col("w").contains(Sep))
+      .withColumn("ws", concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep)))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val symCounts = vocab
+        .withColumn("__l", expr(s"filter(split(ws, '$Sep'), x -> x <> '')"))
+        .select(col("freq"), explode(col("__l")).as("s"))
+        .groupBy("s").agg(sum("freq").as("c"))
+      val best = pairCountsOf(vocab)
+        .join(symCounts.select(col("s").as("lft"), col("c").as("cl")), "lft")
+        .join(symCounts.select(col("s").as("rgt"), col("c").as("cr")), "rgt")
+        .withColumn("__score", col("cnt").cast("double")
+          / (col("cl").cast("double") * col("cr").cast("double")))
+        .orderBy(col("__score").desc, col("lft").asc, col("rgt").asc)
+        .limit(1)
+        .select("lft", "rgt", "cnt")
+        .as[(String, String, Long)].collect()
+      best.headOption match {
+        case None => exhausted = true
+        case Some((l, r, cnt)) =>
+          merges += ((step, l, r, cnt))
+          vocab = vocab
+            .withColumn("ws", greedyMerge(col("ws"), l, r))
+            .localCheckpoint(true)
+          step += 1
+      }
+    }
+    (merges.result().toDF("step", "merge_left", "merge_right", "cnt"), vocab)
+  }
+
+  /** Just the ordered merge table of [[wordpieceFitWithVocab]]. */
+  def wordpieceFit(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    wordpieceFitWithVocab(docs, textCol, k)._1
+
+  /** Encode the corpus with a TRAINED WordPiece vocab — the vocab-join
+    * path of [[bpeApplyTrained]] (on the training corpus every word is
+    * in the vocab, and a WordPiece-trained `ws` IS the word's greedy
+    * segmentation), renamed to the WordPiece contract columns. */
+  def wordpieceApplyTrained(docs: DataFrame, idCol: String, textCol: String,
+                            vocab: DataFrame): DataFrame =
+    bpeApplyTrained(docs, idCol, textCol, vocab)
+      .withColumnRenamed("n_bpe_tokens", "n_wp_tokens")
+      .withColumnRenamed("bpe_md5", "wp_md5")
+
+  /** The unrolled CTE chain replaying [[wordpieceFitWithVocab]]: per
+    * round, pair counts pI, symbol counts sI, the likelihood-argmax bI,
+    * and the same greedy-fold rewrite vI as BPE. */
+  private def wordpieceCtesSql(table: String, textCol: String, k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""${pairCte(i)},
+          s$i AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS c FROM (
+            SELECT unnest(list_filter(string_split(ws, chr(31)), x -> x <> '')) AS s, freq
+            FROM v${i - 1}) GROUP BY s),
+          b$i AS (SELECT lft, rgt, cnt FROM (
+            SELECT p.lft, p.rgt, p.cnt,
+              CAST(p.cnt AS DOUBLE) / (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE)) AS score
+            FROM p$i p JOIN s$i sl ON sl.s = p.lft JOIN s$i sr ON sr.s = p.rgt)
+            ORDER BY score DESC, lft ASC, rgt ASC LIMIT 1),
+          ${rewriteCte(i)}"""
+    }
+    (packedVocabCtes(table, textCol) +: steps).mkString(", ")
+  }
+
+  /** DuckDB oracle for [[wordpieceFit]]. */
+  def wordpieceFitSql(table: String, textCol: String, k: Int): String = {
+    val rows = (1 to k).map(i =>
+      s"SELECT $i AS step, lft AS merge_left, rgt AS merge_right, cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${wordpieceCtesSql(table, textCol, k)} SELECT * FROM ($rows)"
+      .replaceAll("\\s+", " ")
+  }
+
+  /** DuckDB oracle for [[wordpieceApplyTrained]] over the fit's corpus. */
+  def wordpieceApplySql(table: String, textCol: String, k: Int,
+                        idCol: String): String = {
+    val toks = TextFunctions.tokensSql(textCol)
+    s"""WITH ${wordpieceCtesSql(table, textCol, k)},
+       tok AS (SELECT $idCol, i, l[i] AS w FROM (
+         SELECT $idCol, $toks AS l FROM $table), UNNEST(range(1, len(l) + 1)) AS t(i)),
+       enc AS (SELECT tok.$idCol, tok.i,
+         list_filter(string_split(vk.ws, chr(31)), x -> x <> '') AS syms
+         FROM tok JOIN v$k vk USING (w)),
+       sym AS (SELECT $idCol, i, unnest(syms) AS s,
+         unnest(range(1, len(syms) + 1)) AS j FROM enc)
+       SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_wp_tokens,
+         md5(string_agg(s, ' ' ORDER BY i, j)) AS wp_md5
+       FROM sym GROUP BY $idCol""".replaceAll("\\s+", " ")
   }
 
   // ---------------------------------------------------------------------

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * outputs concatenate in token order. This is the reference tokenizer
   * walker — `Tokenizer.bpeApplyTrained`'s vocab-join path must agree
   * with it on the training corpus (BpeSpec pins that equality, which is
-  * also the empirical check of the double-replace ≡ greedy argument in
+  * also the empirical check of the greedy-fold argument in
   * `Tokenizer.Sep`'s doc). In-row, no shuffle; cost is
   * O(merges × word length) per token, the classic apply-BPE loop. */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
@@ -53,7 +53,10 @@ object BpeEncode {
     var t = 0
     while (t < n) {
       val w = toks.getUTF8String(t).toString
-      var syms: Array[String] = w.map(_.toString).toArray
+      // split by CODE POINT (= the fit's regex '(.)' split and DuckDB's
+      // regexp_replace — astral-plane chars stay one symbol)
+      var syms: Array[String] = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
       var m = 0
       while (m < merges.length && syms.length > 1) {
         val (l, r) = merges(m)

@@ -47,26 +47,29 @@ case class MatchExtend(first: Expression, second: Expression,
 
 object MatchExtend {
   /** Shared by interpreted eval and generated code. Null = anchor grams
-    * differ (hash collision) or offsets out of range. */
+    * differ (hash collision) or offsets out of range. Offsets are CODE
+    * POINTS (the WinnowedAnchors / CharGramHashes60 / SQL substring
+    * coordinate system — astral-plane chars count once, and span edges
+    * can never split a surrogate pair). */
   def compute(aText: UTF8String, aPosL: Long, bText: UTF8String,
               bPosL: Long, k: Int): GenericArrayData = {
-    val a = aText.toString
-    val b = bText.toString
+    val a = aText.toString.codePoints().toArray
+    val b = bText.toString.codePoints().toArray
     val aPos = aPosL.toInt
     val bPos = bPosL.toInt
     if (aPos < 0 || bPos < 0 || aPos + k > a.length || bPos + k > b.length)
       return null
     var i = 0
     while (i < k) {
-      if (a.charAt(aPos + i) != b.charAt(bPos + i)) return null
+      if (a(aPos + i) != b(bPos + i)) return null
       i += 1
     }
     var l = 0
     while (aPos - l - 1 >= 0 && bPos - l - 1 >= 0 &&
-      a.charAt(aPos - l - 1) == b.charAt(bPos - l - 1)) l += 1
+      a(aPos - l - 1) == b(bPos - l - 1)) l += 1
     var r = 0
     while (aPos + k + r < a.length && bPos + k + r < b.length &&
-      a.charAt(aPos + k + r) == b.charAt(bPos + k + r)) r += 1
+      a(aPos + k + r) == b(bPos + k + r)) r += 1
     new GenericArrayData(Array((bPos - l).toLong, (bPos + k + r).toLong))
   }
 

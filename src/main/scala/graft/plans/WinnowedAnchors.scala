@@ -55,24 +55,27 @@ case class WinnowedAnchors(child: Expression, k: Int, w: Int)
 object WinnowedAnchors {
   private final val Base = 1000003L
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Offsets and gram
+    * widths are CODE POINTS (the CharGramHashes60 / SQL substring /
+    * DuckDB substr coordinate system), so anchored spans land in the
+    * same units as the exact substring operator's. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    val cp = text.toString.codePoints().toArray
+    val n = cp.length
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    // rolling polynomial hash over chars, 64-bit wraparound
+    // rolling polynomial hash over code points, 64-bit wraparound
     var pow = 1L // Base^(k-1)
     var i = 1
     while (i < k) { pow *= Base; i += 1 }
     val h = new Array[Long](m)
     var acc = 0L
     i = 0
-    while (i < k) { acc = acc * Base + s.charAt(i); i += 1 }
+    while (i < k) { acc = acc * Base + cp(i); i += 1 }
     h(0) = acc
     i = 1
     while (i < m) {
-      acc = (acc - s.charAt(i - 1) * pow) * Base + s.charAt(i + k - 1)
+      acc = (acc - cp(i - 1) * pow) * Base + cp(i + k - 1)
       h(i) = acc
       i += 1
     }

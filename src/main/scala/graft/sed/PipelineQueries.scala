@@ -381,12 +381,13 @@ object PipelineQueries {
     // ITERATIVE BPE fit (round 10) — the actual tokenizer-training loop
     // (Sennrich learn_bpe), not just one step's pair statistics: K merge
     // rounds over the |vocab|-bounded word table, each = pair-count
-    // shuffle → (cnt DESC, pair ASC) argmax → map-only double-replace
-    // rewrite of the packed symbol strings (provably ≡ greedy
-    // left-to-right merging — Tokenizer.Sep doc), localCheckpointed per
-    // round. The oracle UNROLLS the same K rounds as chained CTEs with
-    // the identical double-replace, so the whole training trajectory is
-    // engine-exact, like q_pagerank's unrolled recurrence.
+    // shuffle → (cnt DESC, pair ASC) argmax → map-only greedy fold
+    // rewrite of the packed symbol strings (one left-to-right pass per
+    // merge, exactly Sennrich learn_bpe — Tokenizer.Sep doc),
+    // localCheckpointed per round. The oracle UNROLLS the same K rounds
+    // as chained CTEs with the identical list_reduce fold, so the whole
+    // training trajectory is engine-exact, like q_pagerank's unrolled
+    // recurrence.
     "q_bpe_fit" -> QueryDef(
       (s, d) => Tokenizer.bpeFit(docs(s, d), "text", BpeK),
       Some(Tokenizer.bpeFitSql("documents", "text", BpeK))),
@@ -404,6 +405,29 @@ object PipelineQueries {
         Tokenizer.bpeApplyTrained(docs(s, d), "doc_id", "text", vocab)
       },
       Some(Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id"))),
+
+    // WordPiece training (round 11 — Schuster & Nakajima 2012, the BERT
+    // tokenizer; with BPE and unigram-LM this completes all three
+    // dominant tokenizer-training algorithms): BPE's loop with the
+    // LIKELIHOOD merge rule — argmax of cnt(l,r)/(cnt(l)·cnt(r)), the
+    // pair whose merge most raises a unigram LM's corpus likelihood.
+    // Per round: pair counts + symbol counts (one extra |vocab|-bounded
+    // agg), exact-integer-cast double quotient (bit-identical
+    // cross-engine; double product avoids int64 overflow at corpus
+    // scale), (score DESC, lft, rgt) argmax, same greedy-fold rewrite
+    // as BPE. Oracle unrolls the K rounds.
+    "q_wordpiece_fit" -> QueryDef(
+      (s, d) => Tokenizer.wordpieceFit(docs(s, d), "text", BpeK),
+      Some(Tokenizer.wordpieceFitSql("documents", "text", BpeK))),
+
+    // The learned WordPiece vocab applied back to its training corpus —
+    // the same vocab-join shape as q_bpe_apply, WordPiece merge table.
+    "q_wordpiece_apply" -> QueryDef(
+      (s, d) => {
+        val (_, vocab) = Tokenizer.wordpieceFitWithVocab(docs(s, d), "text", BpeK)
+        Tokenizer.wordpieceApplyTrained(docs(s, d), "doc_id", "text", vocab)
+      },
+      Some(Tokenizer.wordpieceApplySql("documents", "text", BpeK, "doc_id"))),
 
     // Unigram-LM tokenizer seed inventory (Kudo 2018 SentencePiece,
     // round 10): every ≤6-char substring of the word table,
@@ -856,6 +880,20 @@ object PipelineQueries {
       },
       None),
 
+    // NN-Descent k-NN GRAPH (round 11, Dong et al. WWW 2011) — the
+    // all-pairs companion of the query-set searches: every corpus
+    // vector's approximate top-k neighbors, the standard input of
+    // graph-based semantic dedup / diversity filtering. Converges on
+    // O(iters·n·k²) candidate edges (neighbor-of-neighbor local join)
+    // instead of the n² cross join an exact graph costs; fully
+    // deterministic (hash-bucket init + (sim DESC, id ASC) ties), so
+    // reruns are bit-identical. Approximate by construction → rows-only
+    // here; KnnGraphSpec gates recall ≥ 0.9 vs the exact graph and
+    // exact convergence on planted clusters.
+    "q_knn_graph" -> QueryDef(
+      (s, d) => Ann.knnGraph(emb(s, d), "vec_id", "embedding", 10, 3),
+      None),
+
     // ---------------- text analysis ----------------
     "q_lang_id" -> QueryDef(
       (s, d) => {
@@ -938,6 +976,91 @@ object PipelineQueries {
            FROM (SELECT doc_id, l, $bg AS bg
                  FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))"""
           .replaceAll("\\s+", " ")
+      }),
+
+    // Character-entropy quality signal (round 11 — the Shannon-entropy
+    // floor of C4/Gopher-family heuristics: gibberish and
+    // single-char-flood docs score near 0, natural text near the
+    // alphabet's capacity). ALL-INTEGER micro-nat arithmetic so the
+    // corpus sum is order-independent and engine-exact:
+    // H_u = lnU(n) − (Σ c·lnU(c)) div n with lnU = floor(round(ln,6)·1e6
+    // + 0.5) — the Lm.scala micro-unit pattern. The whole operator is
+    // MAP-ONLY in Spark: per-doc char counts come from an in-row
+    // sort + run-cut of the char array (the Classifier.featurize trick),
+    // never a corpus-wide (doc, char) shuffle; the oracle groups by
+    // (doc, char) instead — shapes differ, integers agree.
+    "q_char_entropy" -> QueryDef(
+      (s, d) => {
+        def lnU(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          floor(round(log(x.cast("double")), 6) * 1000000 + 0.5).cast("long")
+        docs(s, d)
+          .withColumn("__cs", array_sort(
+            regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))))
+          .filter(size(col("__cs")) >= 1)
+          .withColumn("__st", filter(sequence(lit(0), size(col("__cs")) - 1),
+            i => (i === 0) || (get(col("__cs"), i) =!= get(col("__cs"), i - 1))))
+          .withColumn("__cnts", transform(sequence(lit(0), size(col("__st")) - 1),
+            j => (coalesce(get(col("__st"), j + 1), size(col("__cs")))
+              - get(col("__st"), j)).cast("long")))
+          .withColumn("__n", size(col("__cs")).cast("long"))
+          .withColumn("__S",
+            aggregate(col("__cnts"), lit(0L), (acc, c) => acc + c * lnU(c)))
+          .select(col("doc_id"),
+            col("__n").as("n_chars_tot"),
+            size(col("__st")).cast("long").as("n_distinct_chars"),
+            // `div` = exact integer division (DuckDB `//` twin)
+            (lnU(col("__n")) - expr("__S div __n")).as("entropy_u"))
+      },
+      Some {
+        val lnu = (x: String) =>
+          s"CAST(FLOOR(ROUND(LN(CAST($x AS DOUBLE)), 6) * 1000000 + 0.5E0) AS BIGINT)"
+        s"""SELECT doc_id, n_chars_tot, n_distinct_chars,
+             ${lnu("n_chars_tot")} - s // n_chars_tot AS entropy_u
+           FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                   CAST(SUM(c * ${lnu("c")}) AS BIGINT) AS s
+                 FROM (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+                             FROM documents)
+                       GROUP BY doc_id, ch)
+                 GROUP BY doc_id)
+           WHERE n_chars_tot >= 1""".replaceAll("\\s+", " ")
+      }),
+
+    // N-gram novelty (round 11 — the "how much of this doc is new text"
+    // curriculum/diagnostic signal, the scalar companion of span dedup):
+    // fraction of a doc's DISTINCT word trigrams whose corpus-earliest
+    // owner (min doc_id) is the doc itself. novelty_u is integer
+    // micro-units (n_novel·1e6 div n_grams) — exact cross-engine. The
+    // exchanges are the span-dedup pair: one groupBy(gram) min + one
+    // join back; grams here are the 3-token strings themselves (exact,
+    // readable); at corpus scale the ShingleHashes 32-bit path drops
+    // shuffle bytes ~5× with the usual collision trade.
+    "q_ngram_novelty" -> QueryDef(
+      (s, d) => {
+        val sh = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
+          .filter(size(col("__toks")) >= 3)
+          .withColumn("__gs", array_distinct(TextFunctions.shingles(col("__toks"), 3)))
+          .select(col("doc_id"), explode(col("__gs")).as("g"))
+        val minDoc = sh.groupBy("g").agg(min("doc_id").as("__min_doc"))
+        sh.join(minDoc, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("doc_id") === col("__min_doc"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("n_novel * 1000000 div n_grams").as("novelty_u"))
+      },
+      Some {
+        val shFrag = shinglesSqlFrag("l", 3)
+        s"""WITH g AS (SELECT doc_id, unnest(list_distinct($shFrag)) AS g
+                 FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents)
+                 WHERE len(l) >= 3),
+             m AS (SELECT g, MIN(doc_id) AS md FROM g GROUP BY g)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN doc_id = md THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN doc_id = md THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS novelty_u
+           FROM g JOIN m USING (g) GROUP BY doc_id""".replaceAll("\\s+", " ")
       }),
 
     // Context-window chunking: split each document into fixed-budget token

@@ -6,10 +6,65 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.BpeEncode
 
 /** Iterative BPE fit + apply (Sennrich et al. 2016): the hand-computed
-  * classic example, greedy ≡ double-replace equivalence, and the
-  * vocab-join apply path vs the native walker. */
+  * classic example, the greedy-fold merge rewrite vs a reference
+  * learn_bpe simulation (long-run fuzz — the inputs where a string
+  * replace diverges), and the vocab-join apply path vs the native
+  * walker. */
 class BpeSpec extends SparkSpecBase {
   import spark.implicits._
+
+  /** Plain-Scala reference learn_bpe (Sennrich 2016): word table with
+    * freq, per round count pairs → (cnt DESC, l ASC, r ASC) argmax →
+    * one greedy left-to-right merge pass per word. The ground truth the
+    * engine fit must reproduce exactly. */
+  private def refFit(corpus: Seq[String], k: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    val freq: Map[String, Long] = corpus.flatMap(_.trim.split("\\s+"))
+      .filter(_.nonEmpty).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var enc: Map[String, Vector[String]] = freq.keys.map(w =>
+      w -> w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))).toMap
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- enc; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + freq(w)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((step, l, r, cnt))
+        enc = enc.map { case (w, syms) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          w -> b.result()
+        }
+        step += 1
+      }
+    }
+    (merges.result(), enc)
+  }
+
+  /** The engine fit's (merges, per-word encodings), comparable shape. */
+  private def engineFit(text: String, k: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val (merges, vocab) = Tokenizer.bpeFitWithVocab(docs, "text", k)
+    val m = merges.as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val e = vocab.select("w", "ws").as[(String, String)].collect()
+      .map { case (w, ws) =>
+        w -> ws.split(Tokenizer.Sep).filter(_.nonEmpty).toVector
+      }.toMap
+    (m, e)
+  }
 
   // the paper's example vocabulary: low×5 lower×2 newest×6 widest×3
   // (no end-of-word marker — graft's convention)
@@ -36,9 +91,36 @@ class BpeSpec extends SparkSpecBase {
     assert(got == Seq((1, "a", "b", 2L))) // after (a,b) the word is one symbol
   }
 
-  test("double-replace merge rewriting equals the greedy walker (overlap adversarial)") {
+  test("l == r merges on runs of 5+ pair off greedily (where string replace diverges)") {
+    // 'aaaaa' under merge (a,a): greedy = [aa, aa, a]; a non-overlapping
+    // string replace of ·a·a· (even applied twice) yields [aa, a, aa]
+    // because the match consumes the shared boundary separator — the
+    // first diverging input class, length-5 runs
+    val (merges, enc) = engineFit("aaaaa aaaaaa aaaaaaa", 2)
+    assert(merges == Seq((1, "a", "a", 15L), (2, "aa", "aa", 5L)))
+    assert(enc == Map(
+      "aaaaa" -> Vector("aaaa", "a"),
+      "aaaaaa" -> Vector("aaaa", "aa"),
+      "aaaaaaa" -> Vector("aaaa", "aa", "a")))
+  }
+
+  test("fit equals the reference learn_bpe simulation (long-run fuzz)") {
+    val rnd = new scala.util.Random(911)
+    for (trial <- 1 to 12) {
+      val text = Seq.fill(5 + rnd.nextInt(5)) {
+        (0 until 1 + rnd.nextInt(9))
+          .map(_ => if (rnd.nextInt(3) == 0) "b" else "a").mkString
+      }.mkString(" ")
+      val (gotM, gotE) = engineFit(text, 4)
+      val (refM, refE) = refFit(Seq(text), 4)
+      assert(gotM == refM, s"merge table, trial $trial corpus '$text'")
+      assert(gotE == refE, s"encodings, trial $trial corpus '$text'")
+    }
+  }
+
+  test("fold merge rewriting equals the greedy walker (overlap adversarial)") {
     // 'aaaa': greedy (a,a) -> [aa, aa]; a single string replace would
-    // leave [aa, a, a] — the second pass must recover the skipped merge
+    // leave [aa, a, a] — the greedy fold must not skip the second merge
     val docs = Seq((1L, "aaaa aaa aaaa"), (2L, "aabaa aaaa")).toDF("doc_id", "text")
     val (merges, vocab) = Tokenizer.bpeFitWithVocab(docs, "text", 3)
     val mseq = merges.as[(Int, String, String, Long)].collect()

@@ -113,6 +113,32 @@ class ClassifierSpec extends SparkSpecBase {
     assert(a.size <= 8 && a.forall(p => p._1 >= 0 && p._1 < 8))
   }
 
+  test("production-dim broadcast-join path equals the map-literal trajectory") {
+    // dim > MapLiteralMaxDim forces the join path; the independent
+    // replay is path-agnostic, so equality proves the join path runs
+    // the identical exact-integer trajectory (no 100k-entry literal
+    // ever compiles into the plan)
+    val bigDim = Classifier.MapLiteralMaxDim + 904 // 5000
+    val docs = Seq(
+      (1L, "good fine good solid", 1000000L),
+      (2L, "bad awful bad", 0L),
+      (3L, "good bad fine", 1000000L),
+      (4L, "awful awful solid", 0L))
+    val df = docs.map { case (id, t, y) => (id, t, y == 1000000L) }
+      .toDF("doc_id", "text", "is_pos")
+    val label = when(col("is_pos"), 1000000L).otherwise(0L)
+    val got = Classifier.fitLogistic(df, "doc_id", "text", label,
+        bigDim, 3, LrScale)
+      .as[(Long, Long)].collect().toMap
+    assert(got == replayFit(docs, bigDim, 3, LrScale))
+    // eval rides the same path: per-doc p_u from the joined dot
+    val eval = Classifier.evalLogistic(df, "doc_id", "text", label,
+        bigDim, 3, LrScale)
+      .select("doc_id", "p_u").as[(Long, Long)].collect().toMap
+    assert(eval.keySet == Set(1L, 2L, 3L, 4L))
+    assert(eval.values.forall(p => p >= 0L && p <= 1000000L))
+  }
+
   test("docs with zero tokens are excluded from fit and eval") {
     val df = Seq((1L, "word", true), (2L, "   ", false), (3L, "", false))
       .toDF("doc_id", "text", "is_pos")

@@ -224,6 +224,36 @@ class SubstringDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("astral-plane chars: anchored spans share the exact operator's code-point coordinates") {
+    // astral chars are 2 UTF-16 code units but ONE code point — a
+    // code-unit-indexed anchor/extension walk would emit ~2× offsets
+    // and split surrogate pairs at span edges
+    val alphabet = ("abcdefgh".map(_.toString) ++
+      Seq("𝕏", "🌍", "𝒶", "😀",
+        "𝛀", "🚀", "𝜋", "🧬")).toArray
+    def atext(n: Int): String =
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val p = atext(60)
+    assert(p.codePointCount(0, p.length) == 60 && p.length > 60) // astral-bearing fixture
+    val df = Seq((1L, atext(30) + p + atext(10)), (2L, atext(17) + p + atext(25)))
+      .toDF("doc_id", "text").cache()
+    val exact = spansOf(Dedup.substringDedup(df, "doc_id", "text", 40))
+    val anch = spansOf(Dedup.substringDedupAnchored(df, "doc_id", "text", 40, 16, 25))
+    df.unpersist()
+    // exact trims the later doc at CODE-POINT offsets [17, 77)
+    assert(exact.contains(2L) && exact(2L).exists { case (s, e) => s <= 17 && e >= 77 },
+      s"exact spans ${exact.get(2L)} miss the planted code-point interval [17,77)")
+    // anchored recovers it in the SAME coordinate system (the planted
+    // repeat is ≥ w+k−1, so the winnowing guarantee applies)
+    assert(anch.contains(2L) && anch(2L).exists { case (s, e) => s <= 17 && e >= 77 },
+      s"anchored spans ${anch.get(2L)} miss the planted code-point interval [17,77)")
+    // and never exceeds exact spans beyond the documented < k−1 seed slack
+    anch(2L).foreach { case (s, e) =>
+      assert(exact(2L).exists { case (es, ee) => es - 15 <= s && e <= ee + 15 },
+        s"anchored [$s,$e) vs exact ${exact(2L)}")
+    }
+  }
+
   test("substringDedupAnchored never trims beyond the exact operator's spans by more than seed slack") {
     val base = randText(300)
     val docsSeq: Seq[(Long, String)] = (1L to 8L).map { id =>
