@@ -935,8 +935,10 @@ object Dedup {
       // materialized once: the subtree feeds BOTH the earliest-occurrence
       // groupBy and the extension join, and the two exchanges don't
       // canonicalize to a reused scan — without this the whole-corpus
-      // anchor walk runs twice per job
-      .localCheckpoint(true)
+      // anchor walk runs twice per job. Lazy persist, not an eager
+      // localCheckpoint: the groupBy's map stage populates the cache and
+      // the join stage reads it, so no blocking write/read round-trip
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val earliest = anchors
       .groupBy("h")
       .agg(min(struct(col(idCol), col("pos"))).as("__e"))

@@ -46,30 +46,99 @@ case class MatchExtend(first: Expression, second: Expression,
 }
 
 object MatchExtend {
+  /** UTF-8 length of the code point led by byte `b`. */
+  private def cpLen(b: Byte): Int =
+    if ((b & 0x80) == 0) 1
+    else if ((b & 0xE0) == 0xC0) 2
+    else if ((b & 0xF0) == 0xE0) 3
+    else 4
+
+  /** Byte offset of code point `cpIdx` (walks lead bytes; may equal
+    * numBytes when the index lands exactly at the end; -1 past-end). */
+  private def byteOffsetOf(s: UTF8String, cpIdx: Int): Int = {
+    val n = s.numBytes
+    var off = 0
+    var i = 0
+    while (i < cpIdx) {
+      if (off >= n) return -1
+      off += cpLen(s.getByte(off))
+      i += 1
+    }
+    if (off > n) -1 else off
+  }
+
   /** Shared by interpreted eval and generated code. Null = anchor grams
     * differ (hash collision) or offsets out of range. Offsets are CODE
     * POINTS (the WinnowedAnchors / CharGramHashes60 / SQL substring
     * coordinate system — astral-plane chars count once, and span edges
-    * can never split a surrogate pair). */
+    * can never split a surrogate pair). The walk happens directly on
+    * the UTF-8 BYTES via `getByte` — zero allocation per call (a
+    * per-pair decode to a code-point array measured 2× slower on the
+    * 100× anchored receipt): code points are equal iff their byte
+    * sequences are, and both cursors only ever rest on code-point
+    * boundaries, so byte comparison is code-point-exact. */
   def compute(aText: UTF8String, aPosL: Long, bText: UTF8String,
               bPosL: Long, k: Int): GenericArrayData = {
-    val a = aText.toString.codePoints().toArray
-    val b = bText.toString.codePoints().toArray
     val aPos = aPosL.toInt
     val bPos = bPosL.toInt
-    if (aPos < 0 || bPos < 0 || aPos + k > a.length || bPos + k > b.length)
-      return null
-    var i = 0
-    while (i < k) {
-      if (a(aPos + i) != b(bPos + i)) return null
-      i += 1
+    if (aPos < 0 || bPos < 0) return null
+    val an = aText.numBytes
+    val bn = bText.numBytes
+    val aOff = byteOffsetOf(aText, aPos)
+    val bOff = byteOffsetOf(bText, bPos)
+    if (aOff < 0 || bOff < 0) return null
+    // verify the k anchor code points byte-for-byte
+    var ai = aOff
+    var bi = bOff
+    var cnt = 0
+    while (cnt < k) {
+      if (ai >= an || bi >= bn) return null
+      val la = cpLen(aText.getByte(ai))
+      if (bi + la > bn || ai + la > an) return null
+      var j = 0
+      while (j < la) {
+        if (aText.getByte(ai + j) != bText.getByte(bi + j)) return null
+        j += 1
+      }
+      ai += la; bi += la; cnt += 1
     }
-    var l = 0
-    while (aPos - l - 1 >= 0 && bPos - l - 1 >= 0 &&
-      a(aPos - l - 1) == b(bPos - l - 1)) l += 1
+    // right extension: whole code points while bytes keep matching
     var r = 0
-    while (aPos + k + r < a.length && bPos + k + r < b.length &&
-      a(aPos + k + r) == b(bPos + k + r)) r += 1
+    var matching = true
+    while (matching && ai < an && bi < bn) {
+      val la = cpLen(aText.getByte(ai))
+      if (ai + la > an || bi + la > bn) matching = false
+      else {
+        var j = 0
+        while (matching && j < la) {
+          if (aText.getByte(ai + j) != bText.getByte(bi + j)) matching = false
+          j += 1
+        }
+        if (matching) { ai += la; bi += la; r += 1 }
+      }
+    }
+    // left extension: step back one code point at a time (continuation
+    // bytes are 0b10xxxxxx), compare whole code points
+    var l = 0
+    var al = aOff
+    var bl = bOff
+    matching = true
+    while (matching && al > 0 && bl > 0) {
+      var ap = al - 1
+      while (ap > 0 && (aText.getByte(ap) & 0xC0) == 0x80) ap -= 1
+      var bp = bl - 1
+      while (bp > 0 && (bText.getByte(bp) & 0xC0) == 0x80) bp -= 1
+      if (al - ap != bl - bp) matching = false
+      else {
+        var j = 0
+        val w = al - ap
+        while (matching && j < w) {
+          if (aText.getByte(ap + j) != bText.getByte(bp + j)) matching = false
+          j += 1
+        }
+        if (matching) { al = ap; bl = bp; l += 1 }
+      }
+    }
     new GenericArrayData(Array((bPos - l).toLong, (bPos + k + r).toLong))
   }
 

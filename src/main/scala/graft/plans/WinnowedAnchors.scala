@@ -60,7 +60,7 @@ object WinnowedAnchors {
     * DuckDB substr coordinate system), so anchored spans land in the
     * same units as the exact substring operator's. */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val cp = text.toString.codePoints().toArray
+    val cp = CodePoints.of(text)
     val n = cp.length
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
