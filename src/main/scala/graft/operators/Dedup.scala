@@ -944,17 +944,26 @@ object Dedup {
       .agg(min(struct(col(idCol), col("pos"))).as("__e"))
       .select(col("h"), col("__e")(idCol).as("__e_id"), col("__e")("pos").as("__e_pos"))
     val txt = docs.select(col(idCol), col(textCol))
+    // seeds group per (later doc, earliest doc) BEFORE the text joins:
+    // a shared repeat contributes ~len/13 anchor seeds per doc pair, and
+    // joining texts at seed granularity would shuffle both full texts
+    // once PER SEED (measured 69 GB / 109 s of the 1000× run's wall) —
+    // grouped, each text crosses the wire once per DOC PAIR and every
+    // seed extends in-row. Seed-list state is bounded by a doc's anchor
+    // count (≤ len/(w+1)·2).
     val ext = anchors.join(earliest, Seq("h"))
       .filter(col(idCol) > col("__e_id"))
+      .groupBy(col(idCol), col("__e_id"))
+      .agg(collect_list(struct(col("pos"), col("__e_pos"))).as("__seeds"))
       .join(txt, Seq(idCol))
       .join(txt.select(col(idCol).as("__e_id"), col(textCol).as("__e_text")), Seq("__e_id"))
-      .select(col(idCol),
-        // barrier: the length filter below must not push under this
-        // projection and re-run the extension walk per predicate
+      .select(col(idCol), explode(transform(col("__seeds"), sd =>
+        // barrier: the null/length filters below must not push under
+        // this projection and re-run the extension walk per predicate
         org.apache.spark.sql.graft.NoPushBarrier(
           org.apache.spark.sql.graft.MatchExtend(
-            col("__e_text"), col("__e_pos").cast("long"),
-            col(textCol), col("pos").cast("long"), k)).as("__se"))
+            col("__e_text"), sd("__e_pos").cast("long"),
+            col(textCol), sd("pos").cast("long"), k)))).as("__se"))
       .filter(col("__se").isNotNull)
       .select(col(idCol), element_at(col("__se"), 1).as("__start"),
         element_at(col("__se"), 2).as("__end"))

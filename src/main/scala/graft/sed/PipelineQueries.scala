@@ -44,7 +44,7 @@ object PipelineQueries {
   private val CdcW = 16 // content-defined chunking: boundary gram width
   private val CdcDiv = 64 // CDC divisor (expected chunk length, chars)
   private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
-  private val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier)
+  private[graft] val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier + its stream twin)
   private val FitDim = 256 // hashed-feature buckets (q_classifier_fit)
   private val FitRounds = 3 // q_classifier_fit gradient-descent rounds
   private val FitLrScale = 50 // q_classifier_fit: lr divisor = nDocs * this
@@ -160,6 +160,77 @@ object PipelineQueries {
   // ---- DuckDB SQL fragments. Tokenizer and hash come from the single
   // definitions in TextFunctions so Spark and oracle can't drift apart.
   private val toksSqlFrag = TextFunctions.tokensSql("text")
+
+  /** q_quality_classifier's oracle — shared VERBATIM by its stream twin
+    * (the stateless map-only scoring replays identically). */
+  private[graft] lazy val qualityClassifierOracle: String = {
+    val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
+    s"""SELECT doc_id, n_tok, score_u, score_u > 0 AS keep FROM (
+         SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, $score AS score_u
+         FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))"""
+      .replaceAll("\\s+", " ")
+  }
+
+  /** BM25 top-{Bm25TopK} ranking for the fixed {Bm25Terms} query — shared by
+    * q_bm25 and q_rank_fusion (Spark builder and oracle both). */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
+        val terms = Bm25Terms
+        val dl = docs(s, d).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        val tf = docs(s, d)
+          .select(col("doc_id"),
+            explode(filter(tokens(col("text")), t => t.isin(terms: _*))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val contrib = tf
+          .join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(stats))
+          .join(dl, "doc_id")
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+              (col("df").cast("double") + 0.5)))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("cu", floor(col("idf") *
+            (col("tf").cast("double") * (lit(Bm25K1) + 1.0)) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))) *
+            1000000 + 0.5).cast("long"))
+        val scored = contrib.groupBy("doc_id").agg(sum("cu").as("score_u"))
+        val w = Window.orderBy(col("score_u").desc, col("doc_id"))
+        scored.select(col("doc_id"), col("score_u"),
+            row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= Bm25TopK)
+  }
+
+  /** q_bm25's oracle, reused verbatim (nested as a derived table) by
+    * q_rank_fusion. */
+  private lazy val bm25OracleSql: String = {
+        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        import graft.functions.SedFunctions.d2s
+        s"""WITH dl AS (SELECT doc_id, CAST(len($toksSqlFrag) AS BIGINT) AS dl FROM documents),
+          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST($toksSqlFrag) AS tok FROM documents)
+            WHERE tok IN ($termList) GROUP BY doc_id, tok),
+          dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+          contrib AS (SELECT tf.doc_id,
+            CAST(FLOOR(
+              LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+              (CAST(tf AS DOUBLE) * (${d2s(Bm25K1)} + 1.0)) /
+              (CAST(tf AS DOUBLE) + ${d2s(Bm25K1)} *
+                (1.0 - ${d2s(Bm25B)} + ${d2s(Bm25B)} * CAST(dl.dl AS DOUBLE) /
+                  (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+              1000000 + 0.5) AS BIGINT) AS cu
+            FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN stats
+            JOIN dl ON dl.doc_id = tf.doc_id),
+          scored AS (SELECT doc_id, CAST(SUM(cu) AS BIGINT) AS score_u
+            FROM contrib GROUP BY doc_id)
+          SELECT doc_id, score_u, rank FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+              ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM scored)
+          WHERE rank <= $Bm25TopK""".replaceAll("\\s+", " ")
+  }
   private def shinglesSqlFrag(l: String, n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) s"$l[i]" else s"$l[i+$k]").mkString(", ")
     s"list_transform(generate_series(1, len($l)-${n - 1}), i -> concat_ws(' ', $parts))"
@@ -1530,61 +1601,50 @@ object PipelineQueries {
     // plans as WindowGroupLimit. Per-term contributions land in integer
     // micro-units BEFORE the per-doc sum, so the final score is
     // reduction-order independent and hash-exact cross-engine.
-    "q_bm25" -> QueryDef(
+    "q_bm25" -> QueryDef((s, d) => bm25Ranked(s, d), Some(bm25OracleSql)),
+
+    // Reciprocal-rank fusion (round 11 — Cormack, Clarke & Büttcher
+    // SIGIR 2009, the standard hybrid-retrieval combiner): fuse the
+    // BM25 term ranking with the corpus-wide quality ranking,
+    // rrf_u = Σ 1e6 div (60 + rank) — integer micro-units, so the fused
+    // order is engine-exact (oracle nests q_bm25's SQL verbatim).
+    // Candidate-list semantics: docs outside BM25's top-K contribute 0
+    // from that ranking (the LEFT-join COALESCE), the usual shape when
+    // one side is a bounded retrieval list. The quality ranking is a
+    // corpus-wide ROW_NUMBER — at 100 TB that global rank comes from a
+    // rangepartition + per-partition offset pass; here, like q_bm25's
+    // own rank, the single window is the contract-scale shape.
+    "q_rank_fusion" -> QueryDef(
       (s, d) => {
-        val terms = Bm25Terms
-        val dl = docs(s, d).select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-        val tf = docs(s, d)
+        val bm = bm25Ranked(s, d).select(col("doc_id"), col("rank").as("r_bm25"))
+        val wq = Window.orderBy(col("__q").desc, col("doc_id"))
+        val qual = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
           .select(col("doc_id"),
-            explode(filter(tokens(col("text")), t => t.isin(terms: _*))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val contrib = tf
-          .join(broadcast(dfreq), "tok")
-          .crossJoin(broadcast(stats))
-          .join(dl, "doc_id")
-          .withColumn("idf", log(lit(1.0) +
-            (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
-              (col("df").cast("double") + 0.5)))
-          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .withColumn("cu", floor(col("idf") *
-            (col("tf").cast("double") * (lit(Bm25K1) + 1.0)) /
-            (col("tf").cast("double") + lit(Bm25K1) *
-              (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))) *
-            1000000 + 0.5).cast("long"))
-        val scored = contrib.groupBy("doc_id").agg(sum("cu").as("score_u"))
-        val w = Window.orderBy(col("score_u").desc, col("doc_id"))
-        scored.select(col("doc_id"), col("score_u"),
+            TextFunctions.hashedLinearScoreU(col("__toks"), ClsDim).as("__q"))
+          .select(col("doc_id"), row_number().over(wq).cast("long").as("r_qual"))
+        val w = Window.orderBy(col("rrf_u").desc, col("doc_id"))
+        qual.join(bm, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("r_qual"), col("r_bm25"),
+            (coalesce(expr("1000000 div (60 + r_bm25)"), lit(0L)) +
+              expr("1000000 div (60 + r_qual)")).as("rrf_u"))
+          .select(col("doc_id"), col("r_qual"), col("r_bm25"), col("rrf_u"),
             row_number().over(w).cast("long").as("rank"))
           .filter(col("rank") <= Bm25TopK)
       },
       Some {
-        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-        import graft.functions.SedFunctions.d2s
-        s"""WITH dl AS (SELECT doc_id, CAST(len($toksSqlFrag) AS BIGINT) AS dl FROM documents),
-          stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-          tf AS (SELECT doc_id, tok, COUNT(*) AS tf
-            FROM (SELECT doc_id, UNNEST($toksSqlFrag) AS tok FROM documents)
-            WHERE tok IN ($termList) GROUP BY doc_id, tok),
-          dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-          contrib AS (SELECT tf.doc_id,
-            CAST(FLOOR(
-              LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-              (CAST(tf AS DOUBLE) * (${d2s(Bm25K1)} + 1.0)) /
-              (CAST(tf AS DOUBLE) + ${d2s(Bm25K1)} *
-                (1.0 - ${d2s(Bm25B)} + ${d2s(Bm25B)} * CAST(dl.dl AS DOUBLE) /
-                  (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
-              1000000 + 0.5) AS BIGINT) AS cu
-            FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN stats
-            JOIN dl ON dl.doc_id = tf.doc_id),
-          scored AS (SELECT doc_id, CAST(SUM(cu) AS BIGINT) AS score_u
-            FROM contrib GROUP BY doc_id)
-          SELECT doc_id, score_u, rank FROM (
-            SELECT *, CAST(ROW_NUMBER() OVER (
-              ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM scored)
-          WHERE rank <= $Bm25TopK""".replaceAll("\\s+", " ")
+        val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
+        s"""WITH bm AS (SELECT doc_id, rank AS r_bm25 FROM ($bm25OracleSql)),
+           q AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY qs DESC, doc_id) AS BIGINT) AS r_qual
+             FROM (SELECT doc_id, $score AS qs
+                   FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))),
+           f AS (SELECT q.doc_id, r_qual, r_bm25,
+               COALESCE(1000000 // (60 + r_bm25), 0) + 1000000 // (60 + r_qual) AS rrf_u
+             FROM q LEFT JOIN bm ON q.doc_id = bm.doc_id)
+           SELECT doc_id, r_qual, r_bm25, CAST(rrf_u AS BIGINT) AS rrf_u, rank FROM (
+             SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank
+             FROM f)
+           WHERE rank <= $Bm25TopK""".replaceAll("\\s+", " ")
       }),
 
     // DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169): per
@@ -2148,13 +2208,7 @@ object PipelineQueries {
           size(col("__toks")).cast("long").as("n_tok"),
           TextFunctions.hashedLinearScoreU(col("__toks"), ClsDim).as("score_u"))
         .withColumn("keep", col("score_u") > 0),
-      Some {
-        val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
-        s"""SELECT doc_id, n_tok, score_u, score_u > 0 AS keep FROM (
-             SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok, $score AS score_u
-             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents))"""
-          .replaceAll("\\s+", " ")
-      }),
+      Some(qualityClassifierOracle)),
 
     // Per-domain quality floor: keep each source's documents whose
     // hashed-linear score reaches the source's 0.7 DISCRETE quantile

@@ -361,6 +361,34 @@ object StreamingQueries {
       "event_id", "event_type", "value"))
   }
 
+  /** Streaming quality-classifier inference at ingest — the
+    * CCNet/fastText-style keep-drop filter embedded in the ingest
+    * stream: documents arrive as a staged file feed and each is scored
+    * MAP-ONLY (one codegen projection per arriving file; stateless — no
+    * watermark, no state store, nothing accumulates, back-pressured by
+    * maxFilesPerTrigger). A replayed stream therefore equals the batch
+    * operator row-for-row and SHARES q_quality_classifier's oracle
+    * VERBATIM. */
+  def streamQuality(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_quality_feed")
+    SedStreaming.stageFileStream(
+      Tables.documents(s0, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      "doc_id", dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val live = SedStreaming.fileStream(s, dir, schema)
+    runToParquet(s, live
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        graft.functions.TextFunctions.hashedLinearScoreU(
+          col("__toks"), graft.sed.PipelineQueries.ClsDim).as("score_u"))
+      .withColumn("keep", col("score_u") > 0))
+  }
+
   /** Streaming cohort retention: the events feed through per-user
     * week-set state (calendar-bounded), (user, week) emitted exactly
     * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
@@ -591,6 +619,8 @@ object StreamingQueries {
         graft.operators.EventAnalytics.DefaultStages))),
     "q_stream_asof" -> QueryDef((s, d) => streamAsof(s, d),
       Some(SedQueries.AsofJoinOracle)),
+    "q_stream_quality" -> QueryDef((s, d) => streamQuality(s, d),
+      Some(graft.sed.PipelineQueries.qualityClassifierOracle)),
     "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
       Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)
