@@ -71,6 +71,8 @@ object PipelineQueries {
   // de binds the waterfill (keeps all its rows at rate_u = 1e6).
   private val MixMicroWeights =
     Seq("en" -> 500000L, "de" -> 200000L, "es" -> 200000L, "fr" -> 100000L)
+  private val TempAlpha = 0.3 // q_temperature_mix exponent (mT5/XLM-R default)
+  private val MarginK = 25 // q_margin_sample: most-uncertain docs kept
 
   /** Persisted corpus dedup index per sf dir, built once per JVM (the
     * offline index of the incremental-ingestion loop): corpus = docs NOT
@@ -1310,6 +1312,51 @@ object PipelineQueries {
     // the mixture (the drop path); de is the binding domain (rate_u
     // exactly 1e6). All-integer arithmetic, so the oracle replays every
     // stage exactly.
+    // Temperature-scaled language/domain sampling (round 11 — the
+    // mT5 / XLM-R multilingual mixture rule, Conneau et al. 2020;
+    // Xue et al. 2021): target share q_i ∝ p_i^α flattens the natural
+    // distribution toward low-resource domains (α = 0.3 here), and the
+    // per-domain sampling rate is (q_i/p_i) normalized so the
+    // most-upsampled domain rates 1e6. ONE rounded pow per domain is
+    // the only double step (floor(round(pow,6)·1e6+0.5) micro-pow —
+    // the lnU pattern); everything after is exact integer division, so
+    // the rate table hash-matches. |domains| rows end-to-end — a
+    // groupBy(lang) count and driver-free column algebra over the tiny
+    // aggregate; scale-free at any corpus size.
+    "q_temperature_mix" -> QueryDef(
+      (s, d) => {
+        val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum("n").as("__N"))
+        val scored = counts.crossJoin(broadcast(tot))
+          .withColumn("p_u", expr("n * 1000000 div __N"))
+          .withColumn("s_u",
+            floor(round(pow(col("n").cast("double"), lit(TempAlpha)), 6)
+              * 1000000 + 0.5).cast("long"))
+        val stot = scored.agg(sum("s_u").as("__S"))
+        val rated = scored.crossJoin(broadcast(stot))
+          .withColumn("q_u", expr("s_u * 1000000 div __S"))
+          .withColumn("__ratio", expr("q_u * 1000000 div p_u"))
+        val mx = rated.agg(max("__ratio").as("__mx"))
+        rated.crossJoin(broadcast(mx))
+          .select(col("lang"), col("n").as("n_docs"), col("p_u"), col("q_u"),
+            expr("__ratio * 1000000 div __mx").as("rate_u"))
+      },
+      Some {
+        import graft.functions.SedFunctions.d2s
+        s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+           t AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM c),
+           sc AS (SELECT lang, n, n * 1000000 // ntot AS p_u,
+               CAST(FLOOR(ROUND(POW(CAST(n AS DOUBLE), ${d2s(TempAlpha)}), 6) * 1000000 + 0.5E0) AS BIGINT) AS s_u
+             FROM c CROSS JOIN t),
+           st AS (SELECT CAST(SUM(s_u) AS BIGINT) AS S FROM sc),
+           r AS (SELECT lang, n, p_u, s_u * 1000000 // S AS q_u,
+               (s_u * 1000000 // S) * 1000000 // p_u AS ratio FROM sc CROSS JOIN st),
+           m AS (SELECT MAX(ratio) AS mx FROM r)
+           SELECT lang, n AS n_docs, CAST(p_u AS BIGINT) AS p_u, CAST(q_u AS BIGINT) AS q_u,
+             CAST(ratio * 1000000 // mx AS BIGINT) AS rate_u
+           FROM r CROSS JOIN m""".replaceAll("\\s+", " ")
+      }),
+
     "q_domain_mix" -> QueryDef(
       (s, d) => graft.operators.Mixture.waterfill(
         docs(s, d), "doc_id", "lang", MixMicroWeights),
@@ -2267,6 +2314,37 @@ object PipelineQueries {
       Some(graft.operators.Classifier.evalSql("documents", "doc_id", "text",
         "CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END",
         FitDim, FitRounds, FitLrScale))),
+
+    // Uncertainty (margin) sampling over the TRAINED classifier (round
+    // 11 — the active-learning batch-selection step, Lewis & Gale 1994
+    // uncertainty sampling / the fastText annotate-what-confuses-it
+    // loop): the MarginK docs whose predicted probability sits closest
+    // to the 0.5 decision boundary, margin_u = |p_u − 500000| in exact
+    // integer micro-units over the engine-exact training trajectory.
+    // Rank = TakeOrdered shape (WindowGroupLimit); ties (margin ASC,
+    // doc_id ASC). Oracle nests q_classifier_eval's chain verbatim.
+    "q_margin_sample" -> QueryDef(
+      (s, d) => {
+        val ev = graft.operators.Classifier.evalLogistic(docs(s, d),
+          "doc_id", "text", when(col("lang") === "en", 1000000L).otherwise(0L),
+          FitDim, FitRounds, FitLrScale)
+        val w = Window.orderBy(col("margin_u").asc, col("doc_id").asc)
+        ev.select(col("doc_id"), col("p_u"),
+            abs(col("p_u") - 500000L).as("margin_u"))
+          .select(col("doc_id"), col("p_u"), col("margin_u"),
+            row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= MarginK)
+      },
+      Some {
+        val ev = graft.operators.Classifier.evalSql("documents", "doc_id", "text",
+          "CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END",
+          FitDim, FitRounds, FitLrScale)
+        s"""SELECT doc_id, p_u, margin_u, rank FROM (
+             SELECT doc_id, p_u, margin_u, CAST(ROW_NUMBER() OVER (
+               ORDER BY margin_u ASC, doc_id ASC) AS BIGINT) AS rank
+             FROM (SELECT doc_id, p_u, abs(p_u - 500000) AS margin_u FROM ($ev)))
+           WHERE rank <= $MarginK""".replaceAll("\\s+", " ")
+      }),
 
     // ---------------- multimodal ----------------
     // Perceptual-hash image dedup: REAL P5 images synthesized from text

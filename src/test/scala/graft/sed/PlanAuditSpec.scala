@@ -35,13 +35,14 @@ class PlanAuditSpec extends SparkSpecBase {
     Set("q_stream_sessionize", "q_stream_enrich", "q_stream_hist",
       "q_stream_dedup", "q_stream_neardup", "q_stream_decontam",
       "q_stream_ffill", "q_stream_funnel", "q_stream_transitions",
-      "q_stream_retention", "q_stream_zscore", "q_stream_winsorize")
+      "q_stream_retention", "q_stream_zscore", "q_stream_winsorize",
+      "q_stream_quality")
 
   /** Queries whose only non-equi join is the broadcast 1-row mean. */
   private val oneRowBroadcastOk =
     Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score",
       "q_lm_kn", "q_domain_mix", "q_bm25", "q_dsir_weight", "q_pmi_bigrams",
-      "q_source_kl", "q_unigram_seed")
+      "q_source_kl", "q_unigram_seed", "q_rank_fusion", "q_temperature_mix")
 
   /** Every contract entry built exactly once, failures captured. */
   private lazy val built: Seq[(String, Either[Throwable, DataFrame])] =
