@@ -1388,6 +1388,51 @@ object PipelineQueries {
           SELECT UNNEST($toksSqlFrag) AS tok FROM documents)
         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".replaceAll("\\s+", " "))),
 
+    // Zipf-law fit over the token frequency spectrum (round 11 — the
+    // classic corpus health check: natural text has ln(cnt) ≈
+    // intercept + slope·ln(rank) with slope ≈ −1; word-soup or
+    // boilerplate-flooded corpora bend away). Least squares over the
+    // top-100 (micro-ln rank, micro-ln count) points in integer
+    // arithmetic: slope_u = (n·Σxy − Σx·Σy) div ((n·Σxx − Σx·Σx) div
+    // 1e6) — the denominator scales down FIRST (multiplying the
+    // numerator by 1e6 overflows int64 at these magnitudes), and
+    // intercept_u = (Σy − slope_u·Σx div 1e6) div n; truncating
+    // integer division matches DuckDB `//` on negatives (both toward
+    // zero, verified). One token-count shuffle + a 100-row TakeOrdered;
+    // the regression is a 1-row aggregate. Oracle hash-matches.
+    "q_zipf_fit" -> QueryDef(
+      (s, d) => {
+        val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+        def lnU(x: org.apache.spark.sql.Column) =
+          floor(round(log(x.cast("double")), 6) * 1000000 + 0.5).cast("long")
+        docs(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(100)
+          .select(lnU(row_number().over(w)).as("x"), lnU(col("cnt")).as("y"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x*y")).as("sxy"), sum(expr("x*x")).as("sxx"))
+          .select(col("n"),
+            expr("(n*sxy - sx*sy) div ((n*sxx - sx*sx) div 1000000)").as("slope_u"),
+            expr("(sy - ((n*sxy - sx*sy) div ((n*sxx - sx*sx) div 1000000)) * sx div 1000000) div n")
+              .as("intercept_u"))
+      },
+      Some {
+        val lnu = (c: String) =>
+          s"CAST(FLOOR(ROUND(LN(CAST($c AS DOUBLE)), 6) * 1000000 + 0.5E0) AS BIGINT)"
+        s"""WITH top AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+               SELECT UNNEST($toksSqlFrag) AS tok FROM documents)
+             GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100),
+           xy AS (SELECT ${lnu("ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)")} AS x,
+               ${lnu("cnt")} AS y FROM top),
+           s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx FROM xy)
+           SELECT n, CAST((n*sxy - sx*sy) // ((n*sxx - sx*sx) // 1000000) AS BIGINT) AS slope_u,
+             CAST((sy - ((n*sxy - sx*sy) // ((n*sxx - sx*sx) // 1000000)) * sx // 1000000) // n AS BIGINT) AS intercept_u
+           FROM s""".replaceAll("\\s+", " ")
+      }),
+
     // Exact duplicated-SPAN detection — the "remove duplicated text, not
     // whole documents" cleanup (the span-level form of suffix-array
     // substring dedup, done Spark-first): n-grams appearing in >= 2

@@ -239,6 +239,46 @@ object RelationalQueries {
           COUNT(*) AS n
         FROM events GROUP BY event_type""".replaceAll("\\s+", " "))),
 
+    // Robust (median/MAD) outlier detection per event type (round 11 —
+    // Hampel's rule, the heavy-tail-safe twin of q_zscore_outliers:
+    // mean/stddev are themselves dragged by the outliers they should
+    // flag; the median and the median-absolute-deviation are not).
+    // Flag |value − median| > 3 · 1.4826 · MAD (1.4826 scales MAD to
+    // σ under normality). Both medians are exact percentiles ROUND(6)
+    // (the documented cross-engine interpolation absorb); everything
+    // after is IEEE-exact double arithmetic on identical inputs, so
+    // the flagged row set hash-matches. Two grouped exact-percentile
+    // passes + one broadcast join back — the q_percentiles bounded-
+    // group caveat applies (per-type value buffers; the sketch pair
+    // q_percentiles_approx is the stated 100 TB path).
+    "q_anomaly_mad" -> QueryDef(
+      (s, d) => {
+        SedQueries.ensureConfs(s)
+        val ev = Tables.events(s, d)
+        val med = ev.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(round(expr("percentile(dev, 0.5D)"), 6).as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .filter(col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+          .select(col("event_id").cast("long").as("event_id"),
+            col("event_type"), col("value"), col("med"), col("mad"))
+      },
+      Some("""WITH med AS (SELECT event_type,
+              ROUND(quantile_cont(value, 0.5E0), 6) AS med
+            FROM events GROUP BY event_type),
+          dev AS (SELECT event_id, e.event_type, value, med,
+              abs(value - med) AS dev
+            FROM events e JOIN med USING (event_type)),
+          mad AS (SELECT event_type,
+              ROUND(quantile_cont(dev, 0.5E0), 6) AS mad
+            FROM dev GROUP BY event_type)
+          SELECT CAST(event_id AS BIGINT) AS event_id, d.event_type, value, med, mad
+          FROM dev d JOIN mad USING (event_type)
+          WHERE dev > 3.0E0 * 1.4826E0 * mad""".replaceAll("\\s+", " "))),
+
     // Sketch-based percentile twin of q_percentiles — the 100 TB path.
     // Exact `percentile` buffers every group value in the aggregation
     // state (fine for bounded groups, impossible for billions of rows
