@@ -22,6 +22,18 @@ object AnchorBench {
     // phase 2: full operator
     t("full")(graft.operators.Dedup.substringDedupAnchored(
       docs, "doc_id", "text", 40, 16, 25).queryExecution.toRdd.count())
+    // phase 3: the incremental ingestion loop — index the 9/10 corpus
+    // slice once, then classify + admit the 1/10 delta batch; the
+    // classify+append numbers are the recurring per-batch cost
+    val idx = java.nio.file.Files.createTempDirectory("graft-incrsub").toString
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    t("index-build")(graft.operators.Dedup.buildSubstringIndex(
+      corpus, "doc_id", "text", idx))
+    t("incr-classify")(graft.operators.Dedup.incrementalSubstringDedup(
+      spark, delta, "doc_id", "text", idx, 40).queryExecution.toRdd.count())
+    t("incr-append")(graft.operators.Dedup.appendToSubstringIndex(
+      spark, delta, "doc_id", "text", idx))
     spark.stop()
   }
 }

@@ -1069,6 +1069,176 @@ object Dedup {
       .select(col(idCol), col("pos"))
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental substring dedup over a persisted winnowed-anchor index
+  // ---------------------------------------------------------------------
+
+  /** Hash-bucket partition count of the substring index's text store —
+    * the static-pruning unit of the per-batch extension read (see
+    * [[incrementalSubstringDedup]]). */
+  val SubstrTextBuckets = 64
+
+  /** Persist the character-dedup anchor index of an ingested corpus — the
+    * ExactSubstr analog of [[buildDedupIndex]], the artifact that makes
+    * substring dedup INCREMENTAL: an arriving batch trims against the
+    * whole history with the corpus never re-anchored. Layout under
+    * `path`:
+    *  - `anchors/` (h, e_id, e_pos): the corpus-EARLIEST (id, pos)
+    *    occurrence of each winnowed k-gram anchor hash — exactly the
+    *    star-pairing targets of [[substringDedupAnchored]], ONE row per
+    *    distinct hash (not per occurrence), so the index is a sampled
+    *    fingerprint ~2/(w+1) the size of the corpus's gram stream;
+    *  - `texts/tb=N/` (id, text): corpus text hash-partitioned into
+    *    [[SubstrTextBuckets]] directories so a batch's extension walk
+    *    reads ONLY the buckets holding matched earlier docs (static
+    *    partition pruning — see the classify step).
+    * Both writes shuffle hashes and ids; text moves once, straight into
+    * its bucket. */
+  def buildSubstringIndex(corpus: DataFrame, idCol: String, textCol: String,
+                          path: String, k: Int = 16, w: Int = 25): Unit = {
+    earliestAnchors(corpus, idCol, textCol, k, w)
+      .write.mode("overwrite").parquet(s"$path/anchors")
+    corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("tb", pmod(col("id"), lit(SubstrTextBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/texts")
+  }
+
+  /** One (h, e_id, e_pos) row per distinct winnowed-anchor hash: the
+    * (id, pos)-earliest occurrence — the index unit of
+    * [[buildSubstringIndex]] and the probe unit of a batch. */
+  private def earliestAnchors(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, w: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.WinnowedAnchors(col(textCol), k, w)).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"), col("__a.h").as("h"))
+      .groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__e"))
+      .select(col("h"), col("__e")(idCol).as("e_id"), col("__e")("pos").as("e_pos"))
+
+  /** Substring-dedup an arriving batch against a [[buildSubstringIndex]]
+    * index plus itself — the ingestion shape at corpus scale, where
+    * re-running [[substringDedupAnchored]] over corpus ∪ batch per batch
+    * is off the table. Returns the batch docs' merged trim spans
+    * (idCol, span_id, span_start, span_end), and they are EQUAL to the
+    * from-scratch anchored operator on corpus ∪ batch restricted to
+    * batch ids (IncrementalSubstrSpec proves it): the star target of
+    * each anchor hash is min(index earliest, batch earliest) = the
+    * global earliest, and MatchExtend walks the same real characters.
+    * Batch ids must be disjoint from corpus ids (the ingestion
+    * contract; monotone ids satisfy it).
+    *
+    * Scale shape — per-batch cost O(|batch| + matched), corpus never
+    * rescanned: the batch anchor walk is batch-sized and persisted once
+    * (feeds the batch-earliest groupBy AND the pairing join); the index
+    * anchor scan is probed map-side with the batch side broadcast (AQE),
+    * shuffling only batch-sized rows, never the index; and the text
+    * read for extension statically prunes to the ≤ SubstrTextBuckets
+    * hash buckets that hold a matched earlier doc (the bucket set is a
+    * bounded driver value like the other guarded collects). Seeds group
+    * per doc PAIR before texts join, so each text crosses the wire once
+    * per pair and every seed extends in-row. */
+  def incrementalSubstringDedup(spark: org.apache.spark.sql.SparkSession,
+                                delta: DataFrame, idCol: String, textCol: String,
+                                path: String, minLen: Int,
+                                k: Int = 16, w: Int = 25): DataFrame = {
+    require(w + k - 1 <= minLen,
+      s"winnowing guarantee needs w + k - 1 <= minLen, got $w + $k - 1 > $minLen")
+    val dAnchors = delta
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graft.WinnowedAnchors(col(textCol), k, w)).as("__a"))
+      .select(col(idCol), col("__a.pos").as("pos"), col("__a.h").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxA = spark.read.parquet(s"$path/anchors")
+    // global earliest per batch-carried hash = min(corpus earliest from
+    // the index, batch earliest) — identical to the from-scratch star
+    // target over corpus ∪ batch for every hash the batch can pair on
+    val dEarl = dAnchors.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__de"))
+      .select(col("h"), col("__de")(idCol).as("d_id"), col("__de")("pos").as("d_pos"))
+    val idxWins = col("e_id").isNotNull &&
+      (col("e_id") < col("d_id") ||
+        (col("e_id") === col("d_id") && col("e_pos") <= col("d_pos")))
+    val ge = dEarl.join(idxA, Seq("h"), "left")
+      .select(col("h"),
+        when(idxWins, col("e_id")).otherwise(col("d_id")).as("__e_id"),
+        when(idxWins, col("e_pos")).otherwise(col("d_pos")).as("__e_pos"))
+    val pairs = dAnchors.join(ge, Seq("h"))
+      .filter(col(idCol) > col("__e_id"))
+      .groupBy(col(idCol), col("__e_id"))
+      .agg(collect_list(struct(col("pos"), col("__e_pos"))).as("__seeds"))
+      // shared by the bucket probe below and the extension job
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // text buckets holding a matched earlier doc: ≤ SubstrTextBuckets
+    // values — a hard-bounded driver collect — so the corpus text read
+    // prunes at plan time to the matched partitions only
+    val tbs = pairs
+      .select(pmod(col("__e_id"), lit(SubstrTextBuckets)).cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val corpusTxt = spark.read.parquet(s"$path/texts")
+      .filter(col("tb").isin(tbs: _*))
+      .select(col("id").as("__e_id"), col("text").as("__e_text"))
+    // the earlier side of a pair may also be a batch doc (in-batch
+    // repeat with no earlier corpus twin) — ids are disjoint, so the
+    // union resolves each __e_id exactly once
+    val etxt = corpusTxt.unionByName(
+      delta.select(col(idCol).as("__e_id"), col(textCol).as("__e_text")))
+    val ext = pairs
+      .join(delta.select(col(idCol), col(textCol)), Seq(idCol))
+      .join(etxt, Seq("__e_id"))
+      .select(col(idCol), explode(transform(col("__seeds"), sd =>
+        org.apache.spark.sql.graft.NoPushBarrier(
+          org.apache.spark.sql.graft.MatchExtend(
+            col("__e_text"), sd("__e_pos").cast("long"),
+            col(textCol), sd("pos").cast("long"), k)))).as("__se"))
+      .filter(col("__se").isNotNull)
+      .select(col(idCol), element_at(col("__se"), 1).as("__start"),
+        element_at(col("__se"), 2).as("__end"))
+      .filter(col("__end") - col("__start") >= minLen)
+      .distinct()
+    mergeSpans(ext, idCol, "__start", "__end")
+  }
+
+  /** Admit a batch into the substring index — the maintenance half of
+    * the incremental loop (classify → admit → next batch sees it),
+    * without any rebuild. The batch's per-hash earliest anchors append
+    * for hashes NOT yet indexed (an already-indexed hash keeps its
+    * first-ingested owner: with monotone ingestion ids arrival order IS
+    * (id, pos) order, so `anchors/` stays the global earliest without
+    * rewriting rows); the batch's text appends into its hash buckets.
+    * Unlike exact dedup's index, EVERY doc is admitted — a trimmed doc
+    * still owns its surviving text, and a future repeat of that text
+    * must pair against it. Append cost is O(|batch|): the anti-join
+    * probes the index scan with the batch side broadcast (AQE) and the
+    * writes are batch-sized. */
+  def appendToSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+                             delta: DataFrame, idCol: String, textCol: String,
+                             path: String, k: Int = 16, w: Int = 25): Unit = {
+    val idxH = spark.read.parquet(s"$path/anchors").select("h")
+    earliestAnchors(delta, idCol, textCol, k, w)
+      .join(idxH, Seq("h"), "left_anti")
+      .write.mode("append").parquet(s"$path/anchors")
+    delta.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("tb", pmod(col("id"), lit(SubstrTextBuckets)).cast("int"))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/texts")
+  }
+
+  /** Rewrite a substring index compactly: coalesce append-accumulated
+    * small files and re-min each anchor hash's owner to the true global
+    * earliest (relevant only if batches arrived with non-monotone ids —
+    * see [[appendToSubstringIndex]]). One shuffle per table, sized by
+    * the index, run at maintenance cadence — never per batch. */
+  def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, destPath: String): Unit = {
+    spark.read.parquet(s"$path/anchors")
+      .groupBy("h").agg(min(struct(col("e_id"), col("e_pos"))).as("__e"))
+      .select(col("h"), col("__e")("e_id").as("e_id"), col("__e")("e_pos").as("e_pos"))
+      .write.mode("overwrite").parquet(s"$destPath/anchors")
+    spark.read.parquet(s"$path/texts").repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$destPath/texts")
+  }
+
   /** Paragraph-level exact dedup (the Dolma/CCNet granularity between
     * whole-document exact dedup and n-gram span trims): documents split
     * into fixed-budget `paraTokens`-token paragraphs, and a paragraph

@@ -82,8 +82,8 @@ object Tokenizer {
     * if no pair remains. Returns the ordered merge table
     * (step, merge_left, merge_right, cnt) and the final vocab
     * (w, ws, freq) whose `ws` IS each training word's BPE encoding. */
-  def bpeFitWithVocab(docs: DataFrame, textCol: String, k: Int)
-      : (DataFrame, DataFrame) = {
+  def bpeFitWithVocab(docs: DataFrame, textCol: String, k: Int,
+                      byteLevel: Boolean = false): (DataFrame, DataFrame) = {
     require(k >= 1, "need at least one merge round")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -91,7 +91,7 @@ object Tokenizer {
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .filter(!col("w").contains(Sep)) // separator-carrying words would corrupt the packing
-      .withColumn("ws", concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep)))
+      .withColumn("ws", packedSyms(col("w"), byteLevel))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
@@ -112,6 +112,18 @@ object Tokenizer {
       }
     }
     (merges.result().toDF("step", "merge_left", "merge_right", "cnt"), vocab)
+  }
+
+  /** A word's initial packed symbol string: per-code-point split, or —
+    * in byte-level mode (the GPT-2 byte-fallback alphabet,
+    * [[org.apache.spark.sql.graft.ByteAlpha]]) — per-UTF-8-byte over
+    * the closed 256-symbol alphabet, which makes the trained vocab
+    * cover ANY input with zero unk. Byte symbols are single BMP chars
+    * at 0x100 + byte, so the `(.)` split and every downstream length
+    * computation work identically in both modes. */
+  private def packedSyms(w: Column, byteLevel: Boolean): Column = {
+    val base = if (byteLevel) org.apache.spark.sql.graft.ByteAlpha(w) else w
+    concat(lit(Sep), regexp_replace(base, "(.)", "$1" + Sep))
   }
 
   /** One greedy left-to-right application of merge (l, r) to a packed
@@ -158,12 +170,14 @@ object Tokenizer {
     * hash of the encoded stream (the compare-friendly projection of the
     * encoding). Per-doc state is bounded by doc length. */
   def bpeApplyTrained(docs: DataFrame, idCol: String, textCol: String,
-                      vocab: DataFrame): DataFrame = {
+                      vocab: DataFrame, byteLevel: Boolean = false): DataFrame = {
     val enc = docs
       .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("i", "w")))
       .join(vocab.select(col("w"), col("ws")), Seq("w"), "left")
-      .withColumn("__ws", coalesce(col("ws"),
-        concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep))))
+      // OOV fallback: character split — or, byte-level, the byte split
+      // over the closed alphabet (EVERY symbol is then in-vocab by
+      // construction: the 256 single-byte symbols always survive a fit)
+      .withColumn("__ws", coalesce(col("ws"), packedSyms(col("w"), byteLevel)))
       .withColumn("__syms", expr(s"filter(split(__ws, '$Sep'), x -> x <> '')"))
     enc
       .groupBy(col(idCol))

@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * also the empirical check of the greedy-fold argument in
   * `Tokenizer.Sep`'s doc). In-row, no shuffle; cost is
   * O(merges × word length) per token, the classic apply-BPE loop. */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     byteLevel: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
   override def name: String = prettyName
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -29,7 +30,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
 
   override def nullSafeEval(a: Any): Any =
-    BpeEncode.compute(a.asInstanceOf[ArrayData], mergeArr)
+    BpeEncode.compute(a.asInstanceOf[ArrayData], mergeArr, byteLevel)
 
   // eval-only (CodegenFallback shape is avoided by funneling through the
   // static compute — the expression sits in a cold, |doc|-bounded
@@ -38,7 +39,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("merges", mergeArr, "scala.Tuple2[]")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graft.BpeEncode.compute($a, $ref);")
+      s"${ev.value} = org.apache.spark.sql.graft.BpeEncode.compute($a, $ref, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -47,16 +48,19 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
 object BpeEncode {
   /** Shared by interpreted eval and generated code. */
-  def compute(toks: ArrayData, merges: Array[(String, String)]): ArrayData = {
+  def compute(toks: ArrayData, merges: Array[(String, String)],
+              byteLevel: Boolean = false): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     val n = toks.numElements()
     var t = 0
     while (t < n) {
       val w = toks.getUTF8String(t).toString
       // split by CODE POINT (= the fit's regex '(.)' split and DuckDB's
-      // regexp_replace — astral-plane chars stay one symbol)
-      var syms: Array[String] = w.codePoints().toArray
-        .map(cp => new String(Character.toChars(cp)))
+      // regexp_replace — astral-plane chars stay one symbol); byte-level
+      // mode splits per UTF-8 BYTE over the ByteAlpha closed alphabet
+      var syms: Array[String] =
+        if (byteLevel) ByteAlpha.encode(w).toCharArray.map(_.toString)
+        else w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
       var m = 0
       while (m < merges.length && syms.length > 1) {
         val (l, r) = merges(m)
@@ -79,4 +83,7 @@ object BpeEncode {
 
   def apply(toks: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(toks), merges))
+
+  def apply(toks: Column, merges: Seq[(String, String)], byteLevel: Boolean): Column =
+    ExpressionUtils.column(BpeEncode(ExpressionUtils.expression(toks), merges, byteLevel))
 }

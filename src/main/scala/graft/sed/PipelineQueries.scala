@@ -86,6 +86,18 @@ object PipelineQueries {
       path
     })
 
+  /** Persisted substring-dedup anchor index per sf dir, built once per
+    * JVM from the q_incremental_substring corpus slice (the offline half
+    * of character-level incremental ingestion — Dedup.buildSubstringIndex). */
+  private val substrIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def substrIndexFor(s: SparkSession, d: String): String =
+    substrIndexes.getOrElseUpdate(d, {
+      val path = java.nio.file.Files.createTempDirectory("graft-substridx").toString
+      Dedup.buildSubstringIndex(docs(s, d).filter(col("doc_id") % DeltaMod =!= 0),
+        "doc_id", "text", path)
+      path
+    })
+
   /** Persisted IVF index per sf dir, built once per JVM (the offline
     * indexing job of the fit-once/query-forever loop). */
   private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
@@ -1581,6 +1593,24 @@ object PipelineQueries {
     // 98.5% span recovery.
     "q_substring_anchored" -> QueryDef(
       (s, d) => Dedup.substringDedupAnchored(docs(s, d), "doc_id", "text", SubstrL)
+        .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end")),
+      None),
+
+    // Incremental substring dedup (round 11): an arriving batch
+    // (doc_id % DeltaMod == 0) trimmed against the PERSISTED winnowed-
+    // anchor index of the other docs (built once per JVM —
+    // Dedup.buildSubstringIndex) plus itself. The character-level
+    // ingestion shape at corpus scale: per-batch cost is O(|batch| +
+    // matched) — the corpus is never re-anchored, and the extension
+    // text read statically prunes to the matched hash buckets.
+    // Rows-only (winnowing has no SQL twin); IncrementalSubstrSpec
+    // proves span-exact equality vs the from-scratch anchored operator
+    // on corpus ∪ batch restricted to batch ids, plus append/compact
+    // maintenance equality.
+    "q_incremental_substring" -> QueryDef(
+      (s, d) => Dedup.incrementalSubstringDedup(s,
+        docs(s, d).filter(col("doc_id") % DeltaMod === 0),
+        "doc_id", "text", substrIndexFor(s, d), SubstrL)
         .select(col("doc_id"), col("span_id"), col("span_start"), col("span_end")),
       None),
 
