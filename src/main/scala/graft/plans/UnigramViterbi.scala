@@ -24,6 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnigramViterbi(child: Expression, pieces: Map[String, Long],
                           unkLogpU: Long)
     extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
+  require(pieces.size <= UnigramViterbi.MaxPieces,
+    s"piece table has ${pieces.size} entries, over the " +
+      s"${UnigramViterbi.MaxPieces} reference-object limit — the table " +
+      "serializes into every task's plan; fit with a smaller vocabSize " +
+      "or segment via a piece-table join instead")
   override def name: String = prettyName
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -47,6 +52,17 @@ case class UnigramViterbi(child: Expression, pieces: Map[String, Long],
 }
 
 object UnigramViterbi {
+  /** Hard cap on the piece-table size this expression will carry as a
+    * plan reference object (the same contract shape as
+    * Ann.MaxDefaultCentroids): the table serializes with the physical
+    * plan into every task, so a SentencePiece-scale 1M-piece inventory
+    * would ship tens of MB per stage. 250k pieces (~10 MB at typical
+    * piece lengths) is well past every production unigram vocab that
+    * makes sense to carry inline; beyond it, the fit should emit a
+    * smaller vocabSize, or segmentation should run as a corpus-side
+    * join against the piece table. UnigramSpec pins the boundary. */
+  val MaxPieces = 250000
+
   /** Piece table in lookup form; maxLen bounds the DP's inner loop. */
   case class Model(pieces: Map[String, Long], unkLogpU: Long) {
     @transient lazy val maxLen: Int =

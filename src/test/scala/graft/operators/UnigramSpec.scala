@@ -62,6 +62,21 @@ class UnigramSpec extends SparkSpecBase {
       .as[Seq[String]].head().isEmpty)
   }
 
+  test("UnigramViterbi refuses piece tables over the MaxPieces reference-object limit") {
+    // the table serializes into every task's plan — SentencePiece-scale
+    // 1M-piece inventories must not ride inline (UnigramViterbi.MaxPieces
+    // names the boundary; at the cap construction still succeeds)
+    val over = (0 to org.apache.spark.sql.graft.UnigramViterbi.MaxPieces)
+      .map(i => i.toString -> -1000000L).toMap
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.UnigramViterbi(lit("x"), over, -9000000L)
+    }
+    assert(e.getMessage.contains("reference-object limit"))
+    val at = over - "0"
+    assert(at.size == org.apache.spark.sql.graft.UnigramViterbi.MaxPieces)
+    org.apache.spark.sql.graft.UnigramViterbi(lit("x"), at, -9000000L) // no throw
+  }
+
   test("UnigramViterbi walks code points: an astral char is one symbol, never a split surrogate") {
     val emoji = new String(Character.toChars(0x1F600)) // 😀, a surrogate pair in UTF-16
     val pieces = Map("a" -> -1000000L, emoji -> -1500000L, ("a" + emoji) -> -1200000L)
