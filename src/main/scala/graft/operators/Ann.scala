@@ -951,4 +951,73 @@ object Ann {
       .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
         col("rank"), col("sim").as("cosine"))
   }
+
+  /** Hard cap on [[kcenterCoreset]]'s k: every round is a full corpus
+    * pass plus a 1-row driver pick, and the selected set rides the
+    * exclusion filter as a plan literal — 256 keeps both bounded the way
+    * [[MaxDefaultCentroids]] does for centroid tables. */
+  val MaxKcenterK = 256
+
+  /** Greedy k-center coreset selection (Gonzalez 1985, the classic
+    * 2-approximation of the metric k-center cover — the standard
+    * diversity/prototype sampler of data-pruning and coreset pipelines):
+    * the seed is the lowest-id vector, and each subsequent pick is the
+    * corpus point FARTHEST (cosine distance, ties to the lower id) from
+    * everything selected so far. Returns k rows (sel_rank, vec_id, r_u):
+    * r_u is the covering radius of the first `sel_rank` centers in exact
+    * integer micro-units — the picked point's min distance at pick time —
+    * and NULL for the seed. Fully deterministic, and every distance is an
+    * IEEE-identical double (FloatVecDot left fold, hardware sqrt, one
+    * divide), so the whole selection trajectory replays engine-exactly:
+    * the driver entry's oracle unrolls all k rounds, radii included.
+    *
+    * Scale shape: greedy k-center is inherently k-pass — per round ONE
+    * map-only running-min update over (id, vec, norm, mindist) and one
+    * 1-row TakeOrdered argmax (a bounded driver collect, like the
+    * classifier's gradient rows). The corpus state localCheckpoints per
+    * round so round i never re-derives rounds 0..i−1; nothing shuffles —
+    * the only exchanges are the k single-row picks. */
+  def kcenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= MaxKcenterK,
+      s"k must be in [1, $MaxKcenterK] — each round is a full corpus pass " +
+        "and a driver-side pick")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seedRows = base.orderBy(col("id")).limit(1).collect()
+    require(seedRows.nonEmpty, "kcenterCoreset needs a non-empty corpus")
+    def vecOf(r: org.apache.spark.sql.Row): Array[Float] = r.getSeq[Float](1).toArray
+    def distTo(cVec: Array[Float]): org.apache.spark.sql.Column = {
+      val cn = math.sqrt(fdot(cVec, cVec))
+      lit(1.0) - org.apache.spark.sql.graft.FloatVecDot(col("v"), typedlit(cVec)) /
+        (col("__n") * lit(cn))
+    }
+    val seedId = seedRows(0).getLong(0)
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+      (0L, seedId, None))
+    var cur = base
+      .withColumn("__n", sqrt(org.apache.spark.sql.graft.FloatVecDot(col("v"), col("v"))))
+      .withColumn("__m", distTo(vecOf(seedRows(0))))
+      .localCheckpoint(true)
+    (1 until k).foreach { i =>
+      val sel = picked.map(_._2).toSeq
+      val top = cur.filter(!col("id").isin(sel: _*))
+        .orderBy(col("__m").desc, col("id"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"kcenterCoreset: corpus has fewer than $k vectors")
+      val r = top(0)
+      picked += ((i.toLong, r.getLong(0),
+        Some(math.floor(r.getDouble(3) * 1e6 + 0.5).toLong)))
+      if (i < k - 1)
+        cur = cur.withColumn("__m", least(col("__m"), distTo(vecOf(r))))
+          .localCheckpoint(true)
+    }
+    picked.toSeq.toDF("sel_rank", "vec_id", "r_u")
+  }
 }

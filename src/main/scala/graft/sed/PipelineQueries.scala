@@ -34,6 +34,7 @@ object PipelineQueries {
   private val LshBits = 8
   private val IvfStride = 50 // centroid sample: every 50th vec_id
   private val IvfNprobe = 2
+  private val KcenterK = 8 // greedy k-center coreset size (q_kcenter)
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
   private val KnDiscount = 0.75 // Kneser-Ney absolute discount (q_lm_kn)
@@ -61,7 +62,7 @@ object PipelineQueries {
   private val DeltaMod = 3 // q_incremental_dedup: doc_id % this == 0 -> delta batch
   private val IncMinJ = 0.8 // q_incremental_dedup near-dup verify threshold
   private val PrIters = 8 // q_pagerank rounds (near-dup cliques are small/dense)
-  private val SubstrL = 40 // q_substring_dedup minimum repeat length (chars)
+  private[graft] val SubstrL = 40 // q_substring_dedup minimum repeat length (chars)
   private val BpeK = 8 // q_bpe_fit / q_bpe_apply merge rounds
   private val PmiMinPair = 5 // q_pmi_bigrams: min bigram occurrences scored
   private val PmiTopK = 50 // q_pmi_bigrams: collocations kept
@@ -154,6 +155,38 @@ object PipelineQueries {
          WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
            AND a.vec_id = e.vec_id AND p.q_id = q.vec_id AND p.cid = a.cid)
        WHERE rank <= $TopK""".replaceAll("\\s+", " ")
+  }
+
+  /** q_kcenter oracle: the greedy k-center trajectory unrolled — round
+    * i's pick is the (m DESC, id) argmax of the running min-distance
+    * table, which then folds into m via least(); MATERIALIZED per round
+    * (DuckDB inlines plain CTEs and the chain re-evaluates exponentially
+    * otherwise). Every distance is the identical left-fold double, so
+    * picks AND covering radii hash-match the engine. */
+  private lazy val kcenterOracleSql: String = {
+    def dots(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, " +
+      s"embedding AS v, sqrt(${dots("embedding", "embedding")}) AS n FROM embeddings), "
+    sb ++= "s0 AS MATERIALIZED (SELECT id, v, n FROM base ORDER BY id LIMIT 1), "
+    sb ++= "m0 AS MATERIALIZED (SELECT b.id, b.v, b.n, b.id = s.id AS sel, " +
+      s"1.0E0 - ${dots("b.v", "s.v")} / (b.n * s.n) AS m FROM base b, s0 s), "
+    (1 until KcenterK).foreach { i =>
+      sb ++= s"p$i AS MATERIALIZED (SELECT id, v, n, m FROM m${i - 1} " +
+        "WHERE NOT sel ORDER BY m DESC, id LIMIT 1), "
+      if (i < KcenterK - 1)
+        sb ++= s"m$i AS MATERIALIZED (SELECT b.id, b.v, b.n, " +
+          "b.sel OR b.id = p.id AS sel, " +
+          s"least(b.m, 1.0E0 - ${dots("b.v", "p.v")} / (b.n * p.n)) AS m " +
+          s"FROM m${i - 1} b, p$i p), "
+    }
+    val head = "SELECT CAST(0 AS BIGINT) AS sel_rank, id AS vec_id, CAST(NULL AS BIGINT) AS r_u FROM s0"
+    val rounds = (1 until KcenterK).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, id AS vec_id, " +
+        s"CAST(FLOOR(m * 1e6 + 0.5E0) AS BIGINT) AS r_u FROM p$i"
+    }
+    (sb.toString.stripSuffix(", ") + " " + (head +: rounds).mkString(" UNION ALL "))
+      .replaceAll("\\s+", " ")
   }
 
   /** Residual-int8 codes index over the persisted IVF index, built once
@@ -978,6 +1011,18 @@ object PipelineQueries {
     "q_knn_graph" -> QueryDef(
       (s, d) => Ann.knnGraph(emb(s, d), "vec_id", "embedding", 10, 3),
       None),
+
+    // Greedy k-center coreset (Gonzalez 1985) — the diversity/prototype
+    // sampler of data-pruning pipelines: each pick is the corpus point
+    // farthest (cosine) from everything selected so far. ORACLE-GREEN
+    // despite being iterative: every distance is the identical left-fold
+    // double in both engines (FloatVecDot ≡ list_reduce, hardware sqrt,
+    // one divide), so the oracle unrolls all K rounds as MATERIALIZED
+    // CTEs — picks AND covering radii replay engine-exactly, the same
+    // trajectory-certification shape as q_bpe_fit / q_classifier_fit.
+    "q_kcenter" -> QueryDef(
+      (s, d) => Ann.kcenterCoreset(emb(s, d), "vec_id", "embedding", KcenterK),
+      Some(kcenterOracleSql)),
 
     // ---------------- text analysis ----------------
     "q_lang_id" -> QueryDef(

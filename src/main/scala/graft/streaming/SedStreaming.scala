@@ -410,6 +410,63 @@ object SedStreaming {
       .filter(col("n_maybe_contam") > 0)
   }
 
+  /** Character-level substring dedup AT INGEST — the streaming form of the
+    * incremental ExactSubstr loop (Dedup.buildSubstringIndex /
+    * incrementalSubstringDedup / appendToSubstringIndex): each arriving
+    * micro-batch trims against the PERSISTED winnowed-anchor index plus
+    * itself, writes its merged trim spans under `outPath/batch=<id>`, and
+    * admits its own anchors + text into the index so the NEXT batch pairs
+    * against it. Per-batch cost O(|batch| + matched rows); the corpus is
+    * never rescanned. The very first batch (no index on disk yet) runs the
+    * from-scratch anchored operator on itself — identical to probing an
+    * empty index — and founds the index from its docs.
+    *
+    * Contracts and guarantees:
+    *  - batches must arrive in ascending-id order (the batch operator's
+    *    monotone ingestion contract; `stageFileStream` on the id column
+    *    satisfies it — range partitions are id-disjoint and replay in
+    *    order);
+    *  - foreachBatch runs micro-batches SERIALLY, so each append is
+    *    visible before the next probe by construction;
+    *  - a replayed feed's accumulated spans EQUAL the from-scratch
+    *    anchored operator over the whole corpus (StreamingSubstrSpec —
+    *    induction over IncrementalSubstrSpec's single-batch equality);
+    *  - RESTART-SAFE: span output is per-batch overwrite (a replayed
+    *    batch rewrites its own partition, never duplicates), and a
+    *    replayed index append is result-idempotent — anchors anti-join
+    *    away already-indexed hashes, and duplicate text rows only fan
+    *    out extension seeds that the operator's final `distinct`
+    *    re-collapses (compaction reclaims the space at maintenance
+    *    cadence). */
+  def streamingSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                              indexPath: String, outPath: String, ckPath: String,
+                              minLen: Int, k: Int = 16, w: Int = 25)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val delta = b.toDF()
+        val anchorsPath = new org.apache.hadoop.fs.Path(s"$indexPath/anchors")
+        val fs = anchorsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val hasIndex = fs.exists(anchorsPath)
+        val spans =
+          if (hasIndex)
+            graft.operators.Dedup.incrementalSubstringDedup(
+              s, delta, idCol, textCol, indexPath, minLen, k, w)
+          else
+            graft.operators.Dedup.substringDedupAnchored(
+              delta, idCol, textCol, minLen, k, w)
+        spans.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        if (hasIndex)
+          graft.operators.Dedup.appendToSubstringIndex(
+            s, delta, idCol, textCol, indexPath, k, w)
+        else
+          graft.operators.Dedup.buildSubstringIndex(
+            delta, idCol, textCol, indexPath, k, w)
+      }
+      .option("checkpointLocation", ckPath)
+      .start()
+
   /** Stage a batch table as an event-time-ordered FILE-SOURCE feed: rows
     * are range-partitioned on `tsCol` into `chunks` parquet files whose
     * modification times ascend in time order, so

@@ -389,6 +389,37 @@ object StreamingQueries {
       .withColumn("keep", col("score_u") > 0))
   }
 
+  /** Character-level substring dedup AT INGEST: the documents table
+    * replayed as an ascending-id file feed into the incremental
+    * ExactSubstr loop — each micro-batch probes the PERSISTED
+    * winnowed-anchor index (founded by the first batch), writes its trim
+    * spans, and admits its own anchors/text so later batches pair against
+    * it. The corpus is never rescanned: per-batch cost is O(|batch| +
+    * matched), which is the only ingestion shape that survives 100 TB.
+    * Rows-only BY DESIGN like q_substring_anchored (the winnowed path is
+    * a spec-gated approximation of the exact operator); the accumulated
+    * spans EQUAL the from-scratch anchored operator over the whole table
+    * (StreamingSubstrSpec pins stream == batch, plus restart recovery). */
+  def streamSubstring(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_substr_feed")
+    SedStreaming.stageFileStream(
+      Tables.documents(s0, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      "doc_id", dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val outPath = tmp("graft_substr_out")
+    val q = SedStreaming.streamingSubstringDedup(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
+      tmp("graft_substr_idx"), outPath,
+      tmp("graft_substr_ck"), graft.sed.PipelineQueries.SubstrL)
+    try q.processAllAvailable() finally q.stop()
+    s0.read.parquet(outPath)
+      .select("doc_id", "span_id", "span_start", "span_end")
+  }
+
   /** Streaming cohort retention: the events feed through per-user
     * week-set state (calendar-bounded), (user, week) emitted exactly
     * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
@@ -621,6 +652,7 @@ object StreamingQueries {
       Some(SedQueries.AsofJoinOracle)),
     "q_stream_quality" -> QueryDef((s, d) => streamQuality(s, d),
       Some(graft.sed.PipelineQueries.qualityClassifierOracle)),
+    "q_stream_substring" -> QueryDef((s, d) => streamSubstring(s, d), None),
     "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
       Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)
