@@ -35,6 +35,13 @@ object PipelineQueries {
   private val IvfStride = 50 // centroid sample: every 50th vec_id
   private val IvfNprobe = 2
   private val KcenterK = 8 // greedy k-center coreset size (q_kcenter)
+  /** q_blocklist pattern set (pre-lowered): a deterministic stand-in for
+    * a real badwords list over the synthetic vocabulary — includes
+    * phrases, the nested pair "value"/"hash value" (dictionary
+    * suffix-link coverage), and a guaranteed zero-hit entry. */
+  private val BlockPatterns = Seq(
+    "value", "hash value", "slow", "fast merge", "scan group",
+    "drop table", "blocklisted")
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
   private val KnDiscount = 0.75 // Kneser-Ney absolute discount (q_lm_kn)
@@ -1046,6 +1053,46 @@ object PipelineQueries {
                 WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
                 WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_pred
            FROM (SELECT doc_id, $cs FROM documents)""".replaceAll("\\s+", " ")}),
+
+    // C4-style blocklist filtering (round 11): per-doc occurrence counts
+    // of a fixed multi-pattern blocklist (words AND phrases — C4 drops
+    // any page containing a "List of Dirty, Naughty …" entry; the list
+    // here is a deterministic stand-in over the synthetic vocabulary,
+    // including a NESTED pair "value"/"hash value" that exercises the
+    // automaton's dictionary suffix links and a zero-hit entry). ONE
+    // Aho–Corasick byte walk per doc (native AcMatchCounts expression)
+    // instead of |patterns| regex passes — map-only, codegen'd, the scan
+    // cost is O(text + matches) regardless of list size. Count semantics
+    // are the per-position definition both engines replay exactly:
+    // pattern p hits once per position i with substr(lower(text), i,
+    // len(p)) = p (self-overlaps counted), which the oracle's
+    // generate_series position scan reproduces literally (oracle-exact;
+    // ASCII corpus, so lower() agrees cross-engine).
+    "q_blocklist" -> QueryDef(
+      (s, d) => {
+        val counts = org.apache.spark.sql.graft.AcMatchCounts(
+          lower(col("text")), BlockPatterns)
+        docs(s, d)
+          .withColumn("__c", counts)
+          .select(col("doc_id"),
+            aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_blocked"),
+            size(filter(col("__c"), x => x > lit(0L))).cast("long").as("n_patterns_hit"))
+          .withColumn("keep", col("n_blocked") === lit(0L))
+      },
+      Some {
+        val vals = BlockPatterns.map(p => s"('$p')").mkString(", ")
+        s"""WITH pats AS MATERIALIZED (SELECT * FROM (VALUES $vals) t(p)),
+           pos AS (SELECT doc_id, lower(text) AS lt,
+                     unnest(generate_series(1, length(text))) AS i FROM documents),
+           cnt AS (SELECT pos.doc_id, p.p, count(*) AS c
+                   FROM pos JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p
+                   GROUP BY 1, 2)
+           SELECT d.doc_id,
+             CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS n_blocked,
+             CAST(COUNT(c.p) AS BIGINT) AS n_patterns_hit,
+             COALESCE(SUM(c.c), 0) = 0 AS keep
+           FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+           GROUP BY d.doc_id""".replaceAll("\\s+", " ")}),
 
     "q_text_quality" -> QueryDef(
       (s, d) => docs(s, d)
