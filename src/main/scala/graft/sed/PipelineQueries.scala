@@ -531,6 +531,48 @@ object PipelineQueries {
       },
       Some(Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id"))),
 
+    // Tokenizer fertility / compression diagnostics per source domain
+    // (round 11): chars-per-token and tokens-per-word of the TRAINED BPE
+    // across the corpus mix — the standard "is this tokenizer efficient
+    // on my domains" report (multilingual fertility tables, tokenizer
+    // cards). Micro-unit truncating division over per-source sums, so
+    // the whole report is engine-exact; the oracle NESTS q_bpe_apply's
+    // unrolled-CTE chain verbatim (the two cannot drift). Docs whose
+    // text yields zero tokens carry no encodable content and drop from
+    // the report in both engines (inner join to the apply output).
+    "q_token_fertility" -> QueryDef(
+      (s, d) => {
+        val df = docs(s, d)
+        val (_, vocab) = Tokenizer.bpeFitWithVocab(df, "text", BpeK)
+        val enc = Tokenizer.bpeApplyTrained(df, "doc_id", "text", vocab)
+          .select(col("doc_id"), col("n_bpe_tokens"))
+        df.select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("__chars"),
+            size(tokens(col("text"))).cast("long").as("__words"))
+          .join(enc, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("__chars").as("n_chars"),
+            sum("__words").as("n_words"),
+            sum("n_bpe_tokens").as("n_bpe"))
+          .withColumn("chars_per_token_u", expr("n_chars * 1000000 div n_bpe"))
+          .withColumn("fertility_u", expr("n_bpe * 1000000 div n_words"))
+      },
+      Some {
+        val apply = Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id")
+        val toks = TextFunctions.tokensSql("d.text")
+        s"""SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+             CAST(SUM(len($toks)) AS BIGINT) AS n_words,
+             CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe,
+             CAST(SUM(length(d.text)) AS BIGINT) * 1000000
+               // CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS chars_per_token_u,
+             CAST(SUM(e.n_bpe_tokens) AS BIGINT) * 1000000
+               // CAST(SUM(len($toks)) AS BIGINT) AS fertility_u
+           FROM ($apply) e JOIN documents d USING (doc_id)
+           GROUP BY d.source""".replaceAll("\\s+", " ")}),
+
     // WordPiece training (round 11 — Schuster & Nakajima 2012, the BERT
     // tokenizer; with BPE and unigram-LM this completes all three
     // dominant tokenizer-training algorithms): BPE's loop with the
