@@ -1380,6 +1380,111 @@ object PipelineQueries {
 
     // Data-mixture pivot: doc counts per source × language as a wide
     // table. Pivot values are DECLARED (no driver pre-pass collecting
+    // Cross-stage pipeline funnel (round 11): the keep/drop report of
+    // the SEQUENTIAL cleaning chain quality → blocklist → exact dedup →
+    // decontamination over the train slice — the health dashboard every
+    // production corpus build publishes (how much each stage costs, in
+    // order, with the upstream stages applied). One row per stage:
+    // (stage, stage_name, n_in, n_kept, kept_ppm), all exact integers.
+    // The per-doc stage flags reuse the EXACT operator definitions of
+    // q_quality_classifier / q_blocklist / q_dedup_exact /
+    // q_decontaminate, and the oracle nests those oracles' fragments
+    // verbatim — certifying stage COMPOSITION, not just each stage alone
+    // (oracle-green). Plan: two map-only flag projections (classifier
+    // score, Aho–Corasick blocklist), one copy-cluster-bounded window
+    // (exact dedup), one shingle semi-join vs the broadcast eval set
+    // (decontam), ONE 1-row aggregate exploded to 4 stage rows — no
+    // corpus-wide sort anywhere.
+    "q_pipeline_funnel" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("__h"))
+        val base = docs(s, d).filter(col("doc_id") % DecontamMod =!= 0)
+          .withColumn("__toks", tokens(col("text")))
+          .withColumn("__h", md5(col("text").cast("binary")))
+          .withColumn("__qk",
+            TextFunctions.hashedLinearScoreU(col("__toks"), ClsDim) > 0)
+          .withColumn("__bk",
+            aggregate(org.apache.spark.sql.graft.AcMatchCounts(
+              lower(col("text")), BlockPatterns), lit(0L), (a, x) => a + x) === 0L)
+          .withColumn("__ek", col("doc_id") === min("doc_id").over(w))
+        val sh = docs(s, d)
+          .withColumn("__toks", tokens(col("text")))
+          .filter(size(col("__toks")) >= ShingleN)
+          .select(col("doc_id"),
+            explode(org.apache.spark.sql.graft.ShingleHashes(
+              col("__toks"), ShingleN)).as("h"))
+        val ev = sh.filter(col("doc_id") % DecontamMod === 0)
+          .select(col("h")).distinct().withColumn("__m", lit(1))
+        val contam = sh.filter(col("doc_id") % DecontamMod =!= 0)
+          .join(broadcast(ev), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(countDistinct(when(col("__m") === 1, col("h"))).as("__nc"))
+        base.join(contam, Seq("doc_id"), "left")
+          .withColumn("__dk", coalesce(col("__nc"), lit(0L)) === 0L)
+          .agg(count(lit(1)).as("n0"),
+            count(when(col("__qk"), 1)).as("n1"),
+            count(when(col("__qk") && col("__bk"), 1)).as("n2"),
+            count(when(col("__qk") && col("__bk") && col("__ek"), 1)).as("n3"),
+            count(when(col("__qk") && col("__bk") && col("__ek") && col("__dk"), 1))
+              .as("n4"))
+          .select(explode(array(
+            struct(lit(1L).as("stage"), lit("quality").as("stage_name"),
+              col("n0").as("n_in"), col("n1").as("n_kept")),
+            struct(lit(2L).as("stage"), lit("blocklist").as("stage_name"),
+              col("n1").as("n_in"), col("n2").as("n_kept")),
+            struct(lit(3L).as("stage"), lit("exact_dedup").as("stage_name"),
+              col("n2").as("n_in"), col("n3").as("n_kept")),
+            struct(lit(4L).as("stage"), lit("decontam").as("stage_name"),
+              col("n3").as("n_in"), col("n4").as("n_kept")))).as("s"))
+          .select(col("s.*"))
+          .withColumn("kept_ppm",
+            when(col("n_in") > 0, expr("n_kept * 1000000 div n_in")))
+      },
+      Some {
+        val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
+        val vals = BlockPatterns.map(p => s"('$p')").mkString(", ")
+        val shFrag = shinglesSqlFrag("l", ShingleN)
+        s"""WITH base AS MATERIALIZED (
+             SELECT doc_id, text, $toksSqlFrag AS l FROM documents
+             WHERE doc_id % $DecontamMod <> 0),
+           q AS (SELECT doc_id, $score > 0 AS qk FROM base),
+           pats AS (SELECT * FROM (VALUES $vals) t(p)),
+           bl AS (SELECT b.doc_id, COUNT(hits.p) = 0 AS bk
+             FROM base b LEFT JOIN (
+               SELECT pos.doc_id, p.p FROM (
+                 SELECT doc_id, lower(text) AS lt,
+                   unnest(generate_series(1, length(text))) AS i FROM base) pos
+               JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p) hits
+             ON b.doc_id = hits.doc_id GROUP BY b.doc_id),
+           e AS (SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS ek FROM base),
+           sh AS (SELECT doc_id, ${hash32Frag("sg")} AS h FROM (
+             SELECT doc_id, unnest($shFrag) AS sg
+             FROM (SELECT doc_id, $toksSqlFrag AS l FROM documents)
+             WHERE len(l) >= $ShingleN)),
+           evs AS (SELECT DISTINCT h FROM sh WHERE doc_id % $DecontamMod = 0),
+           dc AS (SELECT s.doc_id, COUNT(DISTINCT evs.h) AS nc
+             FROM (SELECT doc_id, h FROM sh WHERE doc_id % $DecontamMod <> 0) s
+             LEFT JOIN evs USING (h) GROUP BY s.doc_id),
+           flags AS (SELECT b.doc_id, q.qk, bl.bk, e.ek,
+               COALESCE(dc.nc, 0) = 0 AS dk
+             FROM base b JOIN q USING (doc_id) JOIN bl USING (doc_id)
+               JOIN e USING (doc_id) LEFT JOIN dc USING (doc_id)),
+           c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (WHERE qk) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (WHERE qk AND bk) AS BIGINT) AS n2,
+             CAST(COUNT(*) FILTER (WHERE qk AND bk AND ek) AS BIGINT) AS n3,
+             CAST(COUNT(*) FILTER (WHERE qk AND bk AND ek AND dk) AS BIGINT) AS n4
+             FROM flags)
+           SELECT stage, stage_name, n_in, n_kept,
+             CASE WHEN n_in > 0 THEN n_kept * 1000000 // n_in END AS kept_ppm
+           FROM (
+             SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,
+               n0 AS n_in, n1 AS n_kept FROM c
+             UNION ALL SELECT 2, 'blocklist', n1, n2 FROM c
+             UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM c
+             UNION ALL SELECT 4, 'decontam', n3, n4 FROM c)""".replaceAll("\\s+", " ")}),
+
     // distinct langs) so the plan is one ordinary partial-agg groupBy —
     // a pivot with explicit values costs the same as the long-form agg.
     "q_pivot" -> QueryDef(
