@@ -217,6 +217,30 @@ object PipelineQueries {
 
   /** q_quality_classifier's oracle — shared VERBATIM by its stream twin
     * (the stateless map-only scoring replays identically). */
+  /** q_lm_kn oracle, factored so q_ppl_buckets can nest it verbatim. */
+  private lazy val lmKnOracleSql: String = {
+        val sh2 = shinglesSqlFrag("l", 2)
+        s"""WITH toks AS (SELECT doc_id, $toksSqlFrag AS l FROM documents),
+           bg AS (SELECT doc_id, unnest($sh2) AS b FROM toks WHERE len(l) >= 2),
+           bc AS (SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+             CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2, 3),
+           uc AS (SELECT w1, CAST(SUM(c) AS DOUBLE) AS c1,
+             CAST(COUNT(*) AS DOUBLE) AS n1p_fwd FROM bc GROUP BY 1),
+           cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1p_rev FROM bc GROUP BY 1),
+           tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM bc),
+           model AS (SELECT b,
+             CAST(FLOOR(ROUND(LN((c - ${KnDiscount}E0) / c1
+               + (${KnDiscount}E0 * n1p_fwd / c1) * (n1p_rev / tt)), 6) * 1000000 + 0.5E0)
+               AS BIGINT) AS lp
+             FROM bc JOIN uc USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+           per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(lp) AS BIGINT) AS lp_u
+             FROM bg JOIN model USING (b) GROUP BY doc_id)
+           SELECT doc_id, n_bigrams, lp_u,
+             CAST(lp_u AS DOUBLE) / n_bigrams / 1000000.0E0 AS avg_lp
+           FROM per""".replaceAll("\\s+", " ")
+      }
+
   private[graft] lazy val qualityClassifierOracle: String = {
     val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
     s"""SELECT doc_id, n_tok, score_u, score_u > 0 AS keep FROM (
@@ -2400,28 +2424,56 @@ object PipelineQueries {
     // per-doc sum reduction-order-proof.
     "q_lm_kn" -> QueryDef(
       (s, d) => graft.operators.Lm.knScore(docs(s, d), "doc_id", "text", KnDiscount),
+      Some(lmKnOracleSql)),
+
+    // CCNet perplexity buckets (round 11; Wenzek et al. 2020): every doc
+    // labeled head/middle/tail per LANGUAGE by its KN bigram log-prob per
+    // bigram — the curriculum/filter signal CCNet ships corpora with.
+    // score_u = lp_u div n_bigrams is exact-integer (div ≡ DuckDB // on
+    // negatives, both toward zero); bucket cutoffs are DISCRETE per-lang
+    // thirds from the score HISTOGRAM (the q_quality_floor shape — window
+    // over distinct-score rows, never a doc-level sort): c1 = max score
+    // whose top-cumulative count covers ≥ n/3 (ties keep the whole score
+    // class together). The oracle NESTS q_lm_kn's chain verbatim
+    // (oracle-green). Docs with < 2 tokens carry no scoreable bigrams and
+    // drop in both engines.
+    "q_ppl_buckets" -> QueryDef(
+      (s, d) => {
+        val per = graft.operators.Lm.knScore(docs(s, d), "doc_id", "text", KnDiscount)
+          .select(col("doc_id"), expr("lp_u div n_bigrams").as("score_u"))
+        val scored = per.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val nl = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
+        val wc = Window.partitionBy("lang").orderBy(col("score_u").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cuts = scored.groupBy(col("lang"), col("score_u")).agg(count(lit(1)).as("__c"))
+          .withColumn("__cum", sum("__c").over(wc))
+          .join(broadcast(nl), "lang")
+          .groupBy("lang")
+          .agg(max(when(col("__cum") * 3 >= col("__n"), col("score_u"))).as("__c1"),
+            max(when(col("__cum") * 3 >= col("__n") * 2, col("score_u"))).as("__c2"))
+        scored.join(broadcast(cuts), "lang")
+          .select(col("doc_id"), col("lang"), col("score_u"),
+            when(col("score_u") >= col("__c1"), "head")
+              .when(col("score_u") >= col("__c2"), "middle")
+              .otherwise("tail").as("bucket"))
+      },
       Some {
-        val sh2 = shinglesSqlFrag("l", 2)
-        s"""WITH toks AS (SELECT doc_id, $toksSqlFrag AS l FROM documents),
-           bg AS (SELECT doc_id, unnest($sh2) AS b FROM toks WHERE len(l) >= 2),
-           bc AS (SELECT b, split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
-             CAST(COUNT(*) AS DOUBLE) AS c FROM bg GROUP BY 1, 2, 3),
-           uc AS (SELECT w1, CAST(SUM(c) AS DOUBLE) AS c1,
-             CAST(COUNT(*) AS DOUBLE) AS n1p_fwd FROM bc GROUP BY 1),
-           cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1p_rev FROM bc GROUP BY 1),
-           tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM bc),
-           model AS (SELECT b,
-             CAST(FLOOR(ROUND(LN((c - ${KnDiscount}E0) / c1
-               + (${KnDiscount}E0 * n1p_fwd / c1) * (n1p_rev / tt)), 6) * 1000000 + 0.5E0)
-               AS BIGINT) AS lp
-             FROM bc JOIN uc USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
-           per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-             CAST(SUM(lp) AS BIGINT) AS lp_u
-             FROM bg JOIN model USING (b) GROUP BY doc_id)
-           SELECT doc_id, n_bigrams, lp_u,
-             CAST(lp_u AS DOUBLE) / n_bigrams / 1000000.0E0 AS avg_lp
-           FROM per""".replaceAll("\\s+", " ")
-      }),
+        s"""WITH kn AS ($lmKnOracleSql),
+           sc AS (SELECT kn.doc_id, d.lang, lp_u // n_bigrams AS score_u
+             FROM kn JOIN documents d USING (doc_id)),
+           nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY lang),
+           cum AS (SELECT lang, score_u, SUM(c) OVER (
+               PARTITION BY lang ORDER BY score_u DESC) AS cum
+             FROM (SELECT lang, score_u, COUNT(*) AS c FROM sc GROUP BY 1, 2)),
+           cuts AS (SELECT cum.lang,
+               MAX(CASE WHEN cum * 3 >= n THEN score_u END) AS c1,
+               MAX(CASE WHEN cum * 3 >= 2 * n THEN score_u END) AS c2
+             FROM cum JOIN nl USING (lang) GROUP BY cum.lang)
+           SELECT sc.doc_id, sc.lang, sc.score_u,
+             CASE WHEN sc.score_u >= c.c1 THEN 'head'
+                  WHEN sc.score_u >= c.c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM sc JOIN cuts c USING (lang)""".replaceAll("\\s+", " ")}),
 
     // Cluster profiling: assign every embedding to its nearest stride-
     // sample centroid (same centroids + tie-break as the IVF index, so
