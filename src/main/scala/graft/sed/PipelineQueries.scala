@@ -39,7 +39,7 @@ object PipelineQueries {
     * a real badwords list over the synthetic vocabulary — includes
     * phrases, the nested pair "value"/"hash value" (dictionary
     * suffix-link coverage), and a guaranteed zero-hit entry. */
-  private val BlockPatterns = Seq(
+  private[graft] val BlockPatterns = Seq(
     "value", "hash value", "slow", "fast merge", "scan group",
     "drop table", "blocklisted")
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
@@ -170,10 +170,13 @@ object PipelineQueries {
     * (DuckDB inlines plain CTEs and the chain re-evaluates exponentially
     * otherwise). Every distance is the identical left-fold double, so
     * picks AND covering radii hash-match the engine. */
-  private lazy val kcenterOracleSql: String = {
+  /** The unrolled k-center CTE chain (base/s0/m0/p_i/m_i), shared by
+    * q_kcenter's trajectory select and q_kcenter_assign's coverage
+    * select so the two oracles cannot drift. */
+  private lazy val kcenterCtes: String = {
     def dots(a: String, b: String) = VectorFunctions.dotSql(a, b)
     val sb = new StringBuilder
-    sb ++= "WITH base AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, " +
+    sb ++= "base AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, " +
       s"embedding AS v, sqrt(${dots("embedding", "embedding")}) AS n FROM embeddings), "
     sb ++= "s0 AS MATERIALIZED (SELECT id, v, n FROM base ORDER BY id LIMIT 1), "
     sb ++= "m0 AS MATERIALIZED (SELECT b.id, b.v, b.n, b.id = s.id AS sel, " +
@@ -187,13 +190,32 @@ object PipelineQueries {
           s"least(b.m, 1.0E0 - ${dots("b.v", "p.v")} / (b.n * p.n)) AS m " +
           s"FROM m${i - 1} b, p$i p), "
     }
+    sb.toString.stripSuffix(", ")
+  }
+
+  private lazy val kcenterOracleSql: String = {
     val head = "SELECT CAST(0 AS BIGINT) AS sel_rank, id AS vec_id, CAST(NULL AS BIGINT) AS r_u FROM s0"
     val rounds = (1 until KcenterK).map { i =>
       s"SELECT CAST($i AS BIGINT) AS sel_rank, id AS vec_id, " +
         s"CAST(FLOOR(m * 1e6 + 0.5E0) AS BIGINT) AS r_u FROM p$i"
     }
-    (sb.toString.stripSuffix(", ") + " " + (head +: rounds).mkString(" UNION ALL "))
+    (s"WITH $kcenterCtes " + (head +: rounds).mkString(" UNION ALL "))
       .replaceAll("\\s+", " ")
+  }
+
+  private lazy val kcenterAssignOracleSql: String = {
+    def dots(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    val selRows = ("SELECT CAST(0 AS BIGINT) AS r, id, v, n FROM s0" +:
+      (1 until KcenterK).map(i => s"SELECT CAST($i AS BIGINT) AS r, id, v, n FROM p$i"))
+      .mkString(" UNION ALL ")
+    val cos = s"${dots("b.v", "sel.v")} / (b.n * sel.n)"
+    (s"""WITH $kcenterCtes, selt AS ($selRows),
+       a AS (SELECT b.id AS vec_id, sel.r AS center_rank, $cos AS cos,
+         ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY $cos DESC, sel.r) AS rn
+         FROM base b, selt sel)
+       SELECT vec_id, center_rank,
+         CAST(FLOOR(cos * 1e6 + 0.5E0) AS BIGINT) AS cos_u
+       FROM a WHERE rn = 1""").replaceAll("\\s+", " ")
   }
 
   /** Residual-int8 codes index over the persisted IVF index, built once
@@ -240,6 +262,33 @@ object PipelineQueries {
              CAST(lp_u AS DOUBLE) / n_bigrams / 1000000.0E0 AS avg_lp
            FROM per""".replaceAll("\\s+", " ")
       }
+
+  /** q_blocklist's per-doc flag projection and oracle, factored so the
+    * streaming twin shares both verbatim. */
+  private[graft] def blocklistFlags(df: DataFrame): DataFrame = {
+    val counts = org.apache.spark.sql.graft.AcMatchCounts(
+      lower(col("text")), BlockPatterns)
+    df.withColumn("__c", counts)
+      .select(col("doc_id"),
+        aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_blocked"),
+        size(filter(col("__c"), x => x > lit(0L))).cast("long").as("n_patterns_hit"))
+      .withColumn("keep", col("n_blocked") === lit(0L))
+  }
+
+  private[graft] lazy val blocklistOracle: String = {
+        val vals = BlockPatterns.map(p => s"('$p')").mkString(", ")
+        s"""WITH pats AS MATERIALIZED (SELECT * FROM (VALUES $vals) t(p)),
+           pos AS (SELECT doc_id, lower(text) AS lt,
+                     unnest(generate_series(1, length(text))) AS i FROM documents),
+           cnt AS (SELECT pos.doc_id, p.p, count(*) AS c
+                   FROM pos JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p
+                   GROUP BY 1, 2)
+           SELECT d.doc_id,
+             CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS n_blocked,
+             CAST(COUNT(c.p) AS BIGINT) AS n_patterns_hit,
+             COALESCE(SUM(c.c), 0) = 0 AS keep
+           FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+           GROUP BY d.doc_id""".replaceAll("\\s+", " ")}
 
   private[graft] lazy val qualityClassifierOracle: String = {
     val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
@@ -1097,6 +1146,28 @@ object PipelineQueries {
       (s, d) => Ann.kcenterCoreset(emb(s, d), "vec_id", "embedding", KcenterK),
       Some(kcenterOracleSql)),
 
+    // Coverage of the greedy coreset: every corpus vector assigned to its
+    // nearest selected center (ties to the earlier-selected rank) — the
+    // per-point pruning/quota decision a coreset is FOR. Same broadcast-
+    // map shape as q_cluster_assign (centers ride a k-row broadcast, the
+    // corpus streams once, no join); the oracle shares q_kcenter's
+    // unrolled CTE chain verbatim, so selection and coverage certify
+    // against one trajectory (oracle-green).
+    "q_kcenter_assign" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val centers = Ann.kcenterCoreset(e, "vec_id", "embedding", KcenterK)
+          .select(col("sel_rank"), col("vec_id"))
+          .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("sel_rank").cast("int"), col("embedding"))
+          .collect() // k rows — bounded like collectQueries
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        Ann.clusterAssign(e, "vec_id", "embedding", centers)
+          .select(col("vec_id"), col("cid").cast("long").as("center_rank"),
+            floor(col("cos") * 1000000 + 0.5).cast("long").as("cos_u"))
+      },
+      Some(kcenterAssignOracleSql)),
+
     // ---------------- text analysis ----------------
     "q_lang_id" -> QueryDef(
       (s, d) => {
@@ -1135,30 +1206,9 @@ object PipelineQueries {
     // generate_series position scan reproduces literally (oracle-exact;
     // ASCII corpus, so lower() agrees cross-engine).
     "q_blocklist" -> QueryDef(
-      (s, d) => {
-        val counts = org.apache.spark.sql.graft.AcMatchCounts(
-          lower(col("text")), BlockPatterns)
-        docs(s, d)
-          .withColumn("__c", counts)
-          .select(col("doc_id"),
-            aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_blocked"),
-            size(filter(col("__c"), x => x > lit(0L))).cast("long").as("n_patterns_hit"))
-          .withColumn("keep", col("n_blocked") === lit(0L))
-      },
-      Some {
-        val vals = BlockPatterns.map(p => s"('$p')").mkString(", ")
-        s"""WITH pats AS MATERIALIZED (SELECT * FROM (VALUES $vals) t(p)),
-           pos AS (SELECT doc_id, lower(text) AS lt,
-                     unnest(generate_series(1, length(text))) AS i FROM documents),
-           cnt AS (SELECT pos.doc_id, p.p, count(*) AS c
-                   FROM pos JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p
-                   GROUP BY 1, 2)
-           SELECT d.doc_id,
-             CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS n_blocked,
-             CAST(COUNT(c.p) AS BIGINT) AS n_patterns_hit,
-             COALESCE(SUM(c.c), 0) = 0 AS keep
-           FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
-           GROUP BY d.doc_id""".replaceAll("\\s+", " ")}),
+      (s, d) => blocklistFlags(docs(s, d)),
+      Some(blocklistOracle)),
+
 
     "q_text_quality" -> QueryDef(
       (s, d) => docs(s, d)

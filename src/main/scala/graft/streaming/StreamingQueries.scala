@@ -389,6 +389,25 @@ object StreamingQueries {
       .withColumn("keep", col("score_u") > 0))
   }
 
+  /** Blocklist filtering AT INGEST: arriving documents scored MAP-ONLY
+    * through the SAME Aho–Corasick flag projection as the batch operator
+    * (one codegen projection per arriving file — stateless, no watermark,
+    * no state store). A replayed stream equals the batch operator
+    * row-for-row, so this SHARES q_blocklist's oracle VERBATIM. */
+  def streamBlocklist(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_blk_feed")
+    SedStreaming.stageFileStream(
+      Tables.documents(s0, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+      "doc_id", dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    runToParquet(s, graft.sed.PipelineQueries.blocklistFlags(
+      SedStreaming.fileStream(s, dir, schema)))
+  }
+
   /** Character-level substring dedup AT INGEST: the documents table
     * replayed as an ascending-id file feed into the incremental
     * ExactSubstr loop — each micro-batch probes the PERSISTED
@@ -653,6 +672,8 @@ object StreamingQueries {
     "q_stream_quality" -> QueryDef((s, d) => streamQuality(s, d),
       Some(graft.sed.PipelineQueries.qualityClassifierOracle)),
     "q_stream_substring" -> QueryDef((s, d) => streamSubstring(s, d), None),
+    "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),
+      Some(graft.sed.PipelineQueries.blocklistOracle)),
     "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
       Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)
