@@ -536,6 +536,63 @@ object PipelineQueries {
              FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)"""
           .replaceAll("\\s+", " ")}),
 
+    // MinHash estimator CALIBRATION (round 11): over the production LSH
+    // candidate pairs, the per-pair matching-component count m (the
+    // estimator: ĵ = m/numHashes) bucketed against the EXACT n-gram
+    // Jaccard — the empirical check that the banding thresholds the
+    // dedup pipeline runs on mean what Broder's theory says they mean
+    // (E[m/k] = J). One row per m: pair count and exact-integer
+    // mean/min/max Jaccard in micro-units. Signatures join back to the
+    // candidate set (candidate-bounded, never quadratic); the oracle
+    // reuses the shared rep/sig/banded/cand/sh CTE chain verbatim
+    // (oracle-exact).
+    "q_minhash_calibration" -> QueryDef(
+      (s, d) => {
+        val reps = Dedup.exactRepresentatives(docs(s, d), "doc_id",
+          md5(col("text").cast("binary")))
+        val cand = Dedup.minhashCandidates(reps, "doc_id", "text",
+          NumHashes, RowsPerBand, ShingleN, MaxBucket)
+        val sig = Dedup.minhashSignatures(reps, "doc_id", "text", NumHashes, ShingleN)
+        val aSig = sig.select(col("doc_id").as("a_id") +:
+          (0 until NumHashes).map(i => col(s"s$i").as(s"a_s$i")): _*)
+        val bSig = sig.select(col("doc_id").as("b_id") +:
+          (0 until NumHashes).map(i => col(s"s$i").as(s"b_s$i")): _*)
+        val m = (0 until NumHashes).map(i =>
+          when(col(s"a_s$i") === col(s"b_s$i"), 1L).otherwise(0L)).reduce(_ + _)
+        val withM = cand.join(aSig, "a_id").join(bSig, "b_id")
+          .select(col("a_id"), col("b_id"), m.as("m"))
+        val j = Dedup.jaccardForPairs(reps, "doc_id", "text", ShingleN, cand)
+          .withColumn("jacc_u", expr("inter * 1000000 div uni"))
+          .select("a_id", "b_id", "jacc_u")
+        withM.join(j, Seq("a_id", "b_id"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_pairs"), sum("jacc_u").as("__sj"),
+            min("jacc_u").as("min_jacc_u"), max("jacc_u").as("max_jacc_u"))
+          .withColumn("est_jacc_u", expr(s"m * 1000000 div $NumHashes"))
+          .withColumn("mean_jacc_u", expr("__sj div n_pairs"))
+          .select("m", "est_jacc_u", "n_pairs", "mean_jacc_u",
+            "min_jacc_u", "max_jacc_u")
+      },
+      Some {
+        val mSum = (0 until NumHashes).map(i =>
+          s"(CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH ${repVerifiedCtesSql(0.8)},
+           mm AS (SELECT c.a_id, c.b_id, CAST($mSum AS BIGINT) AS m
+             FROM cand c JOIN sig a ON a.doc_id = c.a_id
+                         JOIN sig b ON b.doc_id = c.b_id),
+           jj AS (SELECT c.a_id, c.b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+                 // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                      AS BIGINT) AS jacc_u
+             FROM cand c JOIN sh a ON a.doc_id = c.a_id
+                         JOIN sh b ON b.doc_id = c.b_id)
+           SELECT m, CAST(m * 1000000 // $NumHashes AS BIGINT) AS est_jacc_u,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(jacc_u) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_jacc_u,
+             MIN(jacc_u) AS min_jacc_u, MAX(jacc_u) AS max_jacc_u
+           FROM mm JOIN jj USING (a_id, b_id)
+           GROUP BY m""".replaceAll("\\s+", " ")}),
+
     // n-gram CONTAINMENT over the LSH candidate pairs: |A∩B| /
     // min(|A|,|B|) — the near-SUPERSET metric (Broder's containment
     // split): a short doc embedded verbatim in a long one scores ~1.0
