@@ -536,6 +536,39 @@ object PipelineQueries {
              FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)"""
           .replaceAll("\\s+", " ")}),
 
+    // Duplicate n-gram fraction per source (round 11; the Lee et
+    // al./Gopher corpus-health pre-flight — "how duplicated is this
+    // crawl slice" BEFORE committing to a dedup run): per source, total
+    // vs distinct word-shingle hashes and the duplicate fraction in
+    // exact ppm. Two-stage aggregation — ONE (source, h) exchange with
+    // map-side partials, then a distinct-shingle-bounded rollup — never
+    // a countDistinct Expand, never text on the wire (oracle-exact).
+    "q_dup_ratio" -> QueryDef(
+      (s, d) => docs(s, d)
+        .withColumn("__toks", tokens(col("text")))
+        .filter(size(col("__toks")) >= ShingleN)
+        .select(col("source"),
+          explode(org.apache.spark.sql.graft.ShingleHashes(
+            col("__toks"), ShingleN)).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(sum("__c").as("n_shingles"),
+          count(lit(1)).as("n_distinct"))
+        .withColumn("dup_ppm",
+          expr("(n_shingles - n_distinct) * 1000000 div n_shingles")),
+      Some {
+        val shFrag = shinglesSqlFrag("l", ShingleN)
+        s"""WITH sh AS (SELECT source, ${hash32Frag("sg")} AS h FROM (
+             SELECT source, unnest($shFrag) AS sg
+             FROM (SELECT source, $toksSqlFrag AS l FROM documents)
+             WHERE len(l) >= $ShingleN)),
+           per AS (SELECT source, h, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+           SELECT source, CAST(SUM(c) AS BIGINT) AS n_shingles,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             (CAST(SUM(c) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 1000000
+               // CAST(SUM(c) AS BIGINT) AS dup_ppm
+           FROM per GROUP BY source""".replaceAll("\\s+", " ")}),
+
     // MinHash estimator CALIBRATION (round 11): over the production LSH
     // candidate pairs, the per-pair matching-component count m (the
     // estimator: ĵ = m/numHashes) bucketed against the EXACT n-gram
