@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpecBase {
   private val oneRowBroadcastOk =
     Set("q_energy_offsets", "q_offset_mean", "q_tfidf", "q_lm_score",
       "q_lm_kn", "q_domain_mix", "q_bm25", "q_dsir_weight", "q_pmi_bigrams",
-      "q_source_kl", "q_unigram_seed", "q_rank_fusion", "q_temperature_mix")
+      "q_source_kl", "q_unigram_seed", "q_rank_fusion", "q_temperature_mix",
+      // nests q_lm_kn's chain, inheriting its broadcast 1-row N1+(··) agg
+      "q_ppl_buckets")
 
   /** Every contract entry built exactly once, failures captured. */
   private lazy val built: Seq[(String, Either[Throwable, DataFrame])] =
