@@ -527,6 +527,44 @@ object Dedup {
         expr("1000000 div n_copies").as("weight_u"))
   }
 
+  /** Leakage-safe train/val/test split: the split unit is the NEAR-DUP
+    * CLUSTER, not the document — every member of a cluster (exact copies
+    * AND verified near-duplicates) lands in the same split, so a
+    * paraphrase of a test document can never sit in train (the
+    * eval-integrity failure a doc-level hash split cannot prevent, and
+    * the reason dedup-then-split is the published order of operations).
+    * Same rep/verified/CC chain as hard and soft dedup; the split key is
+    * the first 32 md5 bits of "seed:label" mod 10 (the q_train_order
+    * hash shape, CLUSTER-keyed) → 0–7 train, 8 val, 9 test. Returns one
+    * row per input doc: (idCol, cluster_label, split). Deterministic in
+    * `seed`; scale shape identical to [[softDedupWeights]]. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       seed: String, numHashes: Int = 12, rowsPerBand: Int = 3,
+                       shingleN: Int = 3, minJaccard: Double = 0.8,
+                       maxBucket: Int = 10000): DataFrame = {
+    require(!seed.contains("'"), "seed must not contain quotes")
+    val h = md5(col(textCol).cast("binary"))
+    val groups = docs.groupBy(h.as("__h")).agg(min(col(idCol)).as("__rep"))
+      .localCheckpoint(true)
+    val reps = docs.join(groups.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val cand = minhashCandidates(reps, idCol, textCol, numHashes, rowsPerBand,
+      shingleN, maxBucket)
+    val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
+      .filter(col("jaccard") >= minJaccard)
+    val comps = connectedComponentsStar(verified.select("a_id", "b_id"))
+    val repLab = groups
+      .join(comps.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .withColumn("__label", coalesce(col("label"), col("__rep")))
+    val k = conv(substring(
+      md5(concat(lit(seed + ":"), col("__label").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10
+    docs.select(col(idCol), h.as("__h"))
+      .join(repLab.select(col("__h"), col("__label")), "__h")
+      .select(col(idCol), col("__label").as("cluster_label"),
+        when(k <= 7, "train").when(k === 8, "val").otherwise("test").as("split"))
+  }
+
   // ---------------------------------------------------------------------
   // Incremental (delta-vs-corpus) dedup over a persisted index
   // ---------------------------------------------------------------------

@@ -35,6 +35,7 @@ object PipelineQueries {
   private val IvfStride = 50 // centroid sample: every 50th vec_id
   private val IvfNprobe = 2
   private val KcenterK = 8 // greedy k-center coreset size (q_kcenter)
+  private val SplitSeed = "graft-split" // q_leakage_split hash seed
   /** q_blocklist pattern set (pre-lowered): a deterministic stand-in for
     * a real badwords list over the synthetic vocabulary — includes
     * phrases, the nested pair "value"/"hash value" (dictionary
@@ -843,6 +844,42 @@ object PipelineQueries {
            cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
            SELECT cluster_size, COUNT(*) AS n_clusters FROM cs
            GROUP BY cluster_size""".replaceAll("\\s+", " ")
+      }),
+
+    // Leakage-safe train/val/test split (round 11): the split unit is
+    // the NEAR-DUP CLUSTER — exact copies and verified near-duplicates
+    // all land in the same split, so a paraphrase of a test doc can
+    // never sit in train (the eval-integrity failure a doc-level hash
+    // split cannot prevent; dedup-then-split is the published order of
+    // operations). Cluster labels come from the SAME rep/verified/CC
+    // chain as hard/soft dedup; the split key is the q_train_order hash
+    // shape, CLUSTER-keyed (80/10/10). The oracle nests the recursive-
+    // CTE component walk q_dedup_clusters uses, then hashes labels
+    // identically (oracle-exact).
+    "q_leakage_split" -> QueryDef(
+      (s, d) => Dedup.leakageSafeSplit(docs(s, d), "doc_id", "text",
+        SplitSeed, NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket),
+      Some {
+        s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
+           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+             UNION SELECT b_id AS src, a_id AS dst FROM verified),
+           walk(id, label) AS (
+             SELECT src AS id, src AS label FROM edges
+             UNION
+             SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id),
+           lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+           replab AS (SELECT r.h,
+               COALESCE(lab.label, r.doc_id) AS cluster_label
+             FROM rep r LEFT JOIN lab ON lab.id = r.doc_id),
+           keyed AS (SELECT h, cluster_label,
+               ('0x' || substr(md5('$SplitSeed:' || cluster_label::VARCHAR), 1, 8))::BIGINT
+                 % 10 AS k
+             FROM replab)
+           SELECT d.doc_id, keyed.cluster_label,
+             CASE WHEN k <= 7 THEN 'train' WHEN k = 8 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+           JOIN keyed USING (h)""".replaceAll("\\s+", " ")
       }),
 
     // Content-defined chunk dedup (round 10, Dedup.cdcDedup; the
