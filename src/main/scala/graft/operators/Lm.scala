@@ -33,13 +33,19 @@ object Lm {
     * Output: (doc_id, n_bigrams, lp_u, avg_lp).
     */
   def knScore(docs: DataFrame, idCol: String, textCol: String,
-              discount: Double): DataFrame = {
+              discount: Double): DataFrame =
+    knScoreWith(knModel(docs, textCol, discount), docs, idCol, textCol)
+
+  /** The |bigram-types|-bounded KN model of a corpus: (b, lp) with lp the
+    * ROUND(6) micro-unit log-prob. Fit ONCE offline and reuse across
+    * [[knScoreWith]] calls (the streaming twin scores every arriving
+    * micro-batch against this). */
+  def knModel(docs: DataFrame, textCol: String, discount: Double): DataFrame = {
     require(discount > 0 && discount < 1, "KN discount must be in (0,1)")
     val bg = docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .filter(size(col("__toks")) >= 2)
-      .select(col(idCol),
-        explode(TextFunctions.shingles(col("__toks"), 2)).as("b"))
+      .select(explode(TextFunctions.shingles(col("__toks"), 2)).as("b"))
     // whitespace tokens can't contain spaces, so "w1 w2" splits exactly
     val bc = bg.groupBy("b").agg(count(lit(1)).as("c"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
@@ -48,17 +54,29 @@ object Lm {
       .agg(sum("c").as("c1"), count(lit(1)).as("n1p_fwd"))
     val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1p_rev"))
     val tot = bc.agg(count(lit(1)).as("tt"))
-    val model = bc.join(uc, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+    bc.join(uc, "w1").join(cont, "w2").crossJoin(broadcast(tot))
       .withColumn("p",
         (col("c").cast("double") - lit(discount)) / col("c1").cast("double")
           + (lit(discount) * col("n1p_fwd").cast("double") / col("c1").cast("double"))
             * (col("n1p_rev").cast("double") / col("tt").cast("double")))
       .select(col("b"),
         floor(round(log(col("p")), 6) * 1000000 + 0.5).cast("long").as("lp"))
-    bg.join(model, "b")
+  }
+
+  /** Score documents against a fitted [[knModel]]: one join of the
+    * bigram stream to the model on the bigram key, then the
+    * reduction-order-proof micro-unit per-doc sum. Bigrams absent from
+    * the model drop (the fit corpus defines the event space). */
+  def knScoreWith(model: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col("__toks"), 2)).as("b"))
+      .join(model, "b")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lp_u"))
       .select(col(idCol), col("n_bigrams"), col("lp_u"),
         (col("lp_u").cast("double") / col("n_bigrams") / 1e6).as("avg_lp"))
-  }
 }

@@ -45,7 +45,7 @@ object PipelineQueries {
     "drop table", "blocklisted")
   private val ChunkTokens = 64 // context-window token budget (q_doc_chunks)
   private val DecontamMod = 97 // doc_id % this == 0 -> held-out "eval" doc
-  private val KnDiscount = 0.75 // Kneser-Ney absolute discount (q_lm_kn)
+  private[graft] val KnDiscount = 0.75 // Kneser-Ney absolute discount (q_lm_kn)
   private val UniMaxPiece = 6 // unigram-LM tokenizer: max piece length
   private val UniSeed = 500 // unigram seed: multi-char inventory cap
   private val UniRounds = 3 // unigram hard-EM rounds
@@ -290,6 +290,52 @@ object PipelineQueries {
              COALESCE(SUM(c.c), 0) = 0 AS keep
            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
            GROUP BY d.doc_id""".replaceAll("\\s+", " ")}
+
+  /** (doc_id, lang, score_u) of docs under a fitted KN model — shared by
+    * q_ppl_buckets and its streaming twin. */
+  private[graft] def pplScoreWith(model: DataFrame, df: DataFrame): DataFrame =
+    graft.operators.Lm.knScoreWith(model, df, "doc_id", "text")
+      .select(col("doc_id"), expr("lp_u div n_bigrams").as("score_u"))
+      .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+
+  /** Per-lang discrete third cutoffs (lang, __c1, __c2): histogram over
+    * distinct (lang, score) rows, never a doc-level sort. */
+  private[graft] def pplCuts(scored: DataFrame): DataFrame = {
+    val nl = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
+    val wc = Window.partitionBy("lang").orderBy(col("score_u").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.groupBy(col("lang"), col("score_u")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(wc))
+      .join(broadcast(nl), "lang")
+      .groupBy("lang")
+      .agg(max(when(col("__cum") * 3 >= col("__n"), col("score_u"))).as("__c1"),
+        max(when(col("__cum") * 3 >= col("__n") * 2, col("score_u"))).as("__c2"))
+  }
+
+  private[graft] def pplBucketize(scored: DataFrame, cuts: DataFrame): DataFrame =
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("score_u"),
+        when(col("score_u") >= col("__c1"), "head")
+          .when(col("score_u") >= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+
+  private[graft] lazy val pplBucketsOracle: String = {
+        s"""WITH kn AS ($lmKnOracleSql),
+           sc AS (SELECT kn.doc_id, d.lang, lp_u // n_bigrams AS score_u
+             FROM kn JOIN documents d USING (doc_id)),
+           nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY lang),
+           cum AS (SELECT lang, score_u, SUM(c) OVER (
+               PARTITION BY lang ORDER BY score_u DESC) AS cum
+             FROM (SELECT lang, score_u, COUNT(*) AS c FROM sc GROUP BY 1, 2)),
+           cuts AS (SELECT cum.lang,
+               MAX(CASE WHEN cum * 3 >= n THEN score_u END) AS c1,
+               MAX(CASE WHEN cum * 3 >= 2 * n THEN score_u END) AS c2
+             FROM cum JOIN nl USING (lang) GROUP BY cum.lang)
+           SELECT sc.doc_id, sc.lang, sc.score_u,
+             CASE WHEN sc.score_u >= c.c1 THEN 'head'
+                  WHEN sc.score_u >= c.c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM sc JOIN cuts c USING (lang)""".replaceAll("\\s+", " ")}
 
   private[graft] lazy val qualityClassifierOracle: String = {
     val score = TextFunctions.hashedLinearScoreUSql("l", ClsDim)
@@ -2632,41 +2678,13 @@ object PipelineQueries {
     // drop in both engines.
     "q_ppl_buckets" -> QueryDef(
       (s, d) => {
-        val per = graft.operators.Lm.knScore(docs(s, d), "doc_id", "text", KnDiscount)
-          .select(col("doc_id"), expr("lp_u div n_bigrams").as("score_u"))
-        val scored = per.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
-        val nl = scored.groupBy("lang").agg(count(lit(1)).as("__n"))
-        val wc = Window.partitionBy("lang").orderBy(col("score_u").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cuts = scored.groupBy(col("lang"), col("score_u")).agg(count(lit(1)).as("__c"))
-          .withColumn("__cum", sum("__c").over(wc))
-          .join(broadcast(nl), "lang")
-          .groupBy("lang")
-          .agg(max(when(col("__cum") * 3 >= col("__n"), col("score_u"))).as("__c1"),
-            max(when(col("__cum") * 3 >= col("__n") * 2, col("score_u"))).as("__c2"))
-        scored.join(broadcast(cuts), "lang")
-          .select(col("doc_id"), col("lang"), col("score_u"),
-            when(col("score_u") >= col("__c1"), "head")
-              .when(col("score_u") >= col("__c2"), "middle")
-              .otherwise("tail").as("bucket"))
+        val df = docs(s, d)
+        val model = graft.operators.Lm.knModel(df, "text", KnDiscount)
+        val scored = pplScoreWith(model, df)
+        pplBucketize(scored, pplCuts(scored))
       },
-      Some {
-        s"""WITH kn AS ($lmKnOracleSql),
-           sc AS (SELECT kn.doc_id, d.lang, lp_u // n_bigrams AS score_u
-             FROM kn JOIN documents d USING (doc_id)),
-           nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY lang),
-           cum AS (SELECT lang, score_u, SUM(c) OVER (
-               PARTITION BY lang ORDER BY score_u DESC) AS cum
-             FROM (SELECT lang, score_u, COUNT(*) AS c FROM sc GROUP BY 1, 2)),
-           cuts AS (SELECT cum.lang,
-               MAX(CASE WHEN cum * 3 >= n THEN score_u END) AS c1,
-               MAX(CASE WHEN cum * 3 >= 2 * n THEN score_u END) AS c2
-             FROM cum JOIN nl USING (lang) GROUP BY cum.lang)
-           SELECT sc.doc_id, sc.lang, sc.score_u,
-             CASE WHEN sc.score_u >= c.c1 THEN 'head'
-                  WHEN sc.score_u >= c.c2 THEN 'middle'
-                  ELSE 'tail' END AS bucket
-           FROM sc JOIN cuts c USING (lang)""".replaceAll("\\s+", " ")}),
+      Some(pplBucketsOracle)),
+
 
     // Cluster profiling: assign every embedding to its nearest stride-
     // sample centroid (same centroids + tie-break as the IVF index, so

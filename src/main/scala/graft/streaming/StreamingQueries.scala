@@ -408,6 +408,44 @@ object StreamingQueries {
       SedStreaming.fileStream(s, dir, schema)))
   }
 
+  /** CCNet perplexity bucketing AT INGEST: the KN model and the per-lang
+    * third cutoffs fit OFFLINE on the batch table (materialized once —
+    * the stream-static lesson), then every arriving micro-batch scores
+    * its docs against the model and labels them head/middle/tail via
+    * foreachBatch (per-doc scoring needs a per-doc aggregation, which a
+    * pure append stream cannot do statelessly — the q_stream_index_ingest
+    * precedent). Full-corpus model + cutoffs make the replayed stream
+    * equal the batch operator row-for-row, so this SHARES
+    * q_ppl_buckets' oracle VERBATIM. Span output is per-batch overwrite
+    * (restart-idempotent). */
+  def streamPpl(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val batch = Tables.documents(s0, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+    val model = graft.operators.Lm.knModel(
+      batch, "text", graft.sed.PipelineQueries.KnDiscount).localCheckpoint(true)
+    val cuts = graft.sed.PipelineQueries.pplCuts(
+      graft.sed.PipelineQueries.pplScoreWith(model, batch)).localCheckpoint(true)
+    val dir = tmp("graft_ppl_feed")
+    SedStreaming.stageFileStream(batch, "doc_id", dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val outPath = tmp("graft_ppl_out")
+    val q = SedStreaming.fileStream(s, dir, schema).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sed.PipelineQueries.pplBucketize(
+            graft.sed.PipelineQueries.pplScoreWith(model, b.toDF()), cuts)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", tmp("graft_ppl_ck"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s0.read.parquet(outPath)
+      .select("doc_id", "lang", "score_u", "bucket")
+  }
+
   /** Character-level substring dedup AT INGEST: the documents table
     * replayed as an ascending-id file feed into the incremental
     * ExactSubstr loop — each micro-batch probes the PERSISTED
@@ -674,6 +712,8 @@ object StreamingQueries {
     "q_stream_substring" -> QueryDef((s, d) => streamSubstring(s, d), None),
     "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),
       Some(graft.sed.PipelineQueries.blocklistOracle)),
+    "q_stream_ppl" -> QueryDef((s, d) => streamPpl(s, d),
+      Some(graft.sed.PipelineQueries.pplBucketsOracle)),
     "q_stream_ffill" -> QueryDef((s, d) => streamForwardFill(s, d),
       Some("""SELECT CAST(user_id AS VARCHAR) AS user_id, epoch_us(ts) AS ts_us,
           LAST_VALUE(CASE WHEN event_id % 10 = 0 THEN value ELSE NULL END IGNORE NULLS)
