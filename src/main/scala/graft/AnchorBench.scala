@@ -26,8 +26,11 @@ object AnchorBench {
     // slice once, then classify + admit the 1/10 delta batch; the
     // classify+append numbers are the recurring per-batch cost
     val idx = java.nio.file.Files.createTempDirectory("graft-incrsub").toString
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val delta = docs.filter(col("doc_id") % 10 === 0)
+    // delta = top 1/10 id range, honoring appendToSubstringIndex's
+    // monotone-id ingestion contract (corpus ids all below delta ids)
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.9)")).head().getLong(0)
+    val corpus = docs.filter(col("doc_id") < cut)
+    val delta = docs.filter(col("doc_id") >= cut)
     t("index-build")(graft.operators.Dedup.buildSubstringIndex(
       corpus, "doc_id", "text", idx))
     t("incr-classify")(graft.operators.Dedup.incrementalSubstringDedup(

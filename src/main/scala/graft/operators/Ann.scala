@@ -972,23 +972,27 @@ object Ann {
     * the driver entry's oracle unrolls all k rounds, radii included.
     *
     * Scale shape: greedy k-center is inherently k-pass — per round ONE
-    * map-only running-min update over (id, vec, norm, mindist) and one
-    * 1-row TakeOrdered argmax (a bounded driver collect, like the
-    * classifier's gradient rows). The corpus state localCheckpoints per
-    * round so round i never re-derives rounds 0..i−1; nothing shuffles —
-    * the only exchanges are the k single-row picks. */
+    * map-only running-min update over (id, vec, norm, mindist, picked)
+    * and ONE single-row partial aggregation (`max_by` over a unique
+    * (mindist, −id) key: per-partition top-1 partials tournament-merge
+    * into the global argmax — never a sort, and the driver receives
+    * exactly one row per round, like the classifier's gradient rows).
+    * Pick exclusion rides a boolean `__sel` column folded into the
+    * per-round checkpointed state, so the plan holds NO literal that
+    * grows with k. The corpus state localCheckpoints per round so round
+    * i never re-derives rounds 0..i−1; nothing shuffles — the only
+    * exchanges are the k single-row picks. Zero-norm embeddings fail
+    * loudly in-plan (cosine distance is undefined; same posture as
+    * [[clusterAssign]]). For k beyond [[MaxKcenterK]] use
+    * [[kcenterSampled]] — sample-then-solve with no per-round corpus
+    * pass at all. */
   def kcenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     require(k >= 1 && k <= MaxKcenterK,
-      s"k must be in [1, $MaxKcenterK] — each round is a full corpus pass " +
-        "and a driver-side pick")
+      s"k must be in [1, $MaxKcenterK] — each round is a full corpus pass; " +
+        "for k beyond the cap use kcenterSampled")
     val spark = corpus.sparkSession
     import spark.implicits._
-    def fdot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val seedRows = base.orderBy(col("id")).limit(1).collect()
     require(seedRows.nonEmpty, "kcenterCoreset needs a non-empty corpus")
@@ -1001,22 +1005,123 @@ object Ann {
     val seedId = seedRows(0).getLong(0)
     val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
       (0L, seedId, None))
+    // __n + coalesce(assert_true(..), 0): the guard can't be pruned (the
+    // norm every distance divides by depends on it) and adds exactly 0.0
+    // on the pass path, keeping every double IEEE-identical to the
+    // unguarded form the unrolled oracle replays.
     var cur = base
       .withColumn("__n", sqrt(org.apache.spark.sql.graft.FloatVecDot(col("v"), col("v"))))
+      .withColumn("__n", col("__n") + coalesce(
+        assert_true(col("__n") > lit(0.0),
+          concat(lit("kcenterCoreset: zero-norm embedding at id="), col("id"),
+            lit(" — cosine distance is undefined; filter zero vectors upstream")))
+          .cast("double"), lit(0.0)))
       .withColumn("__m", distTo(vecOf(seedRows(0))))
+      .withColumn("__sel", col("id") === lit(seedId))
       .localCheckpoint(true)
     (1 until k).foreach { i =>
-      val sel = picked.map(_._2).toSeq
-      val top = cur.filter(!col("id").isin(sel: _*))
-        .orderBy(col("__m").desc, col("id"))
-        .limit(1).collect()
-      require(top.nonEmpty, s"kcenterCoreset: corpus has fewer than $k vectors")
+      val top = cur.filter(!col("__sel"))
+        .agg(max_by(struct(col("id"), col("v"), col("__m")),
+          struct(col("__m"), negate(col("id")))).as("__t"))
+        .select(col("__t.id"), col("__t.v"), col("__t.__m"))
+        .collect()
+      require(top.nonEmpty && !top(0).isNullAt(0),
+        s"kcenterCoreset: corpus has fewer than $k vectors")
       val r = top(0)
-      picked += ((i.toLong, r.getLong(0),
-        Some(math.floor(r.getDouble(3) * 1e6 + 0.5).toLong)))
+      val pid = r.getLong(0)
+      picked += ((i.toLong, pid,
+        Some(math.floor(r.getDouble(2) * 1e6 + 0.5).toLong)))
       if (i < k - 1)
         cur = cur.withColumn("__m", least(col("__m"), distTo(vecOf(r))))
+          .withColumn("__sel", col("__sel") || col("id") === lit(pid))
           .localCheckpoint(true)
+    }
+    picked.toSeq.toDF("sel_rank", "vec_id", "r_u")
+  }
+
+  private def fdot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Ceiling on [[kcenterSampled]]'s driver-resident sample: 1<<16 rows
+    * of a dim-64 float vector is 16 MiB — the same bounded-collect class
+    * as [[MaxDefaultCentroids]]' centroid table. */
+  val MaxKcenterSample = 1 << 16
+
+  /** Greedy k-center for k in the THOUSANDS — sample-then-solve, the
+    * standard scale continuation of [[kcenterCoreset]] (a uniform sample
+    * preserves k-center structure for well-clustered data; Gonzalez on
+    * the sample is then exact). Three bounded steps, none per-round:
+    * (1) ONE corpus pass takes the m rows with the smallest
+    * xxhash64(id, seed) — a deterministic uniform sample, TakeOrdered
+    * per-partition top-m then driver merge; (2) Gonzalez runs to k picks
+    * driver-locally over the sample arrays, O(k·m·dim) flops with no
+    * Spark job per round; (3) results return as a DataFrame. Seeding and
+    * tie-breaks mirror [[kcenterCoreset]] exactly (lowest sampled id
+    * seeds; farthest-then-lowest-id picks; IEEE-identical left-fold
+    * dot/sqrt/divide arithmetic), so when m >= corpus size the output
+    * EQUALS the exact operator row-for-row (KcenterSpec pins it) — the
+    * oracle-eligible certification path. k has no MaxKcenterK cap here;
+    * it is bounded only by the sample (k <= m <= [[MaxKcenterSample]]).
+    * Zero-norm embeddings fail loudly, as in [[clusterAssign]]. */
+  def kcenterSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, m: Int, seed: Long = 42L): DataFrame = {
+    require(m >= 1 && m <= MaxKcenterSample,
+      s"sample size m must be in [1, $MaxKcenterSample] — the sample is driver-resident")
+    require(k >= 1 && k <= m, s"k must be in [1, m=$m]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        xxhash64(col(idCol).cast("long"), lit(seed)).as("__h"))
+      .orderBy(col("__h"), col("id")).limit(m)
+      .collect()
+    require(sample.length >= k,
+      s"kcenterSampled: corpus has fewer than $k vectors")
+    val ids = sample.map(_.getLong(0))
+    val vecs = sample.map(_.getSeq[Float](1).toArray)
+    val norms = vecs.zip(ids).map { case (v, id) =>
+      val n = math.sqrt(fdot(v, v))
+      require(n > 0.0,
+        s"kcenterSampled: zero-norm embedding at $idCol=$id — " +
+          "cosine distance is undefined; filter zero vectors upstream")
+      n
+    }
+    val n = sample.length
+    // seed = lowest sampled id (mirrors kcenterCoreset's lowest-id seed)
+    var seedIx = 0
+    (1 until n).foreach(i => if (ids(i) < ids(seedIx)) seedIx = i)
+    val mind = new Array[Double](n)
+    def updateFrom(c: Int): Unit = {
+      val cv = vecs(c); val cn = norms(c)
+      var i = 0
+      while (i < n) {
+        val d = 1.0 - fdot(vecs(i), cv) / (norms(i) * cn)
+        if (d < mind(i)) mind(i) = d
+        i += 1
+      }
+    }
+    java.util.Arrays.fill(mind, Double.PositiveInfinity)
+    val selected = new Array[Boolean](n)
+    selected(seedIx) = true
+    updateFrom(seedIx)
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+      (0L, ids(seedIx), None))
+    (1 until k).foreach { r =>
+      var best = -1
+      var i = 0
+      while (i < n) {
+        if (!selected(i) &&
+            (best == -1 || mind(i) > mind(best) ||
+              (mind(i) == mind(best) && ids(i) < ids(best)))) best = i
+        i += 1
+      }
+      picked += ((r.toLong, ids(best),
+        Some(math.floor(mind(best) * 1e6 + 0.5).toLong)))
+      selected(best) = true
+      if (r < k - 1) updateFrom(best)
     }
     picked.toSeq.toDF("sel_rank", "vec_id", "r_u")
   }

@@ -1179,7 +1179,21 @@ object Dedup {
   def incrementalSubstringDedup(spark: org.apache.spark.sql.SparkSession,
                                 delta: DataFrame, idCol: String, textCol: String,
                                 path: String, minLen: Int,
-                                k: Int = 16, w: Int = 25): DataFrame = {
+                                k: Int = 16, w: Int = 25): DataFrame =
+    incrementalSubstringDedupManaged(spark, delta, idCol, textCol, path,
+      minLen, k, w)._1
+
+  /** [[incrementalSubstringDedup]] plus a cleanup thunk that unpersists
+    * the two intermediate caches (batch anchors, seed pairs) once the
+    * caller has fully consumed the spans. Long-running ingest loops
+    * (the streaming twin calls the operator EVERY micro-batch) must use
+    * this form — without it the cached blocks accumulate unboundedly
+    * across batches. */
+  def incrementalSubstringDedupManaged(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, idCol: String, textCol: String,
+      path: String, minLen: Int,
+      k: Int = 16, w: Int = 25): (DataFrame, () => Unit) = {
     require(w + k - 1 <= minLen,
       s"winnowing guarantee needs w + k - 1 <= minLen, got $w + $k - 1 > $minLen")
     val dAnchors = delta
@@ -1235,7 +1249,8 @@ object Dedup {
         element_at(col("__se"), 2).as("__end"))
       .filter(col("__end") - col("__start") >= minLen)
       .distinct()
-    mergeSpans(ext, idCol, "__start", "__end")
+    (mergeSpans(ext, idCol, "__start", "__end"),
+      () => { dAnchors.unpersist(); pairs.unpersist(); () })
   }
 
   /** Admit a batch into the substring index — the maintenance half of

@@ -9,18 +9,32 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-pattern occurrence counts of a fixed multi-pattern set over a
   * string — ONE Aho–Corasick (1975) walk of the text's UTF-8 bytes for
-  * the whole set, instead of |patterns| regex/substring passes. Count
-  * semantics are the per-position definition both engines can replay
-  * exactly: pattern p scores one hit for EVERY position i with
-  * substring(s, i, len(p)) = p (self-overlaps included — "aa" hits
-  * "aaa" twice), which is what the automaton's end-position emissions
-  * count, and what a DuckDB `substr(s, i, len(p)) = p` position scan
-  * counts. Matching is raw bytes: UTF-8 is self-synchronizing, so a
-  * pattern can only match at code-point boundaries and byte equality is
-  * code-point equality; case folding is the CALLER's job (pass
-  * `lower(text)` and pre-lowered patterns). Result array aligns with
-  * the constructor's pattern order. */
-case class AcMatchCounts(child: Expression, patterns: Seq[String])
+  * the whole set, instead of |patterns| regex/substring passes. Two
+  * count modes:
+  *
+  *  - `boundary = false` (per-position): pattern p scores one hit for
+  *    EVERY position i with substring(s, i, len(p)) = p (self-overlaps
+  *    included — "aa" hits "aaa" twice), which is what the automaton's
+  *    end-position emissions count, and what a DuckDB
+  *    `substr(s, i, len(p)) = p` position scan counts.
+  *  - `boundary = true` (word-boundary — the published C4 badwords
+  *    rule): a hit additionally requires both neighbors of the match to
+  *    be non-word or absent, word chars being ASCII [0-9A-Za-z_] (the
+  *    regex \w class C4's `\b`-delimited badwords pattern uses), so
+  *    "ass" never fires inside "class" but does after punctuation,
+  *    start/end, or any non-ASCII code point. The check is byte-local:
+  *    every word byte is single-byte ASCII and every byte of a
+  *    multi-byte code point has the high bit set, so the byte test
+  *    equals the code-point test and a DuckDB per-CHARACTER neighbor
+  *    predicate replays it exactly.
+  *
+  * Matching is raw bytes: UTF-8 is self-synchronizing, so a pattern can
+  * only match at code-point boundaries and byte equality is code-point
+  * equality; case folding is the CALLER's job (pass `lower(text)` and
+  * pre-lowered patterns). Result array aligns with the constructor's
+  * pattern order. */
+case class AcMatchCounts(child: Expression, patterns: Seq[String],
+                         boundary: Boolean)
     extends UnaryExpression with ExpectsInputTypes with UserDefinedExpression {
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
     "AcMatchCounts needs a non-empty pattern set of non-empty patterns")
@@ -37,13 +51,13 @@ case class AcMatchCounts(child: Expression, patterns: Seq[String])
     AcMatchCounts.build(patterns)
 
   override def nullSafeEval(a: Any): Any =
-    AcMatchCounts.compute(a.asInstanceOf[UTF8String], auto)
+    AcMatchCounts.compute(a.asInstanceOf[UTF8String], auto, boundary)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("auto", auto,
       "org.apache.spark.sql.graft.AcMatchCounts.Automaton")
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = org.apache.spark.sql.graft.AcMatchCounts.compute($a, $ref);")
+      s"${ev.value} = org.apache.spark.sql.graft.AcMatchCounts.compute($a, $ref, $boundary);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -52,8 +66,13 @@ case class AcMatchCounts(child: Expression, patterns: Seq[String])
 
 object AcMatchCounts {
   def apply(text: org.apache.spark.sql.Column, patterns: Seq[String]): org.apache.spark.sql.Column =
+    apply(text, patterns, boundary = false)
+
+  def apply(text: org.apache.spark.sql.Column, patterns: Seq[String],
+            boundary: Boolean): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(
-      AcMatchCounts(org.apache.spark.sql.classic.ExpressionUtils.expression(text), patterns))
+      AcMatchCounts(org.apache.spark.sql.classic.ExpressionUtils.expression(text),
+        patterns, boundary))
 
   /** Cap on the pattern set's total bytes: the built automaton is a plan
     * reference object shipped to every task (the UnigramViterbi.MaxPieces
@@ -65,10 +84,13 @@ object AcMatchCounts {
     * long→int table keyed (state << 8 | byte) — memory O(total pattern
     * bytes), no dense 256-way rows. `emits(s)` lists every pattern id
     * ending at state s INCLUDING via suffix (fail) links, precomputed so
-    * the hot walk never chases fail chains for output. */
+    * the hot walk never chases fail chains for output. `patLens(p)` is
+    * pattern p's byte length, used by boundary mode to locate the match
+    * start from its emit position. */
   final class Automaton(val nPatterns: Int,
                         val fail: Array[Int],
                         val emits: Array[Array[Int]],
+                        val patLens: Array[Int],
                         keys: Array[Long], vals: Array[Int]) extends Serializable {
     private val mask = keys.length - 1
     /** goto(state, byte) or -1. */
@@ -136,11 +158,18 @@ object AcMatchCounts {
         keys(i) = k; vals(i) = c
       }
     }
-    new Automaton(pats.length, fail, emits, keys, vals)
+    new Automaton(pats.length, fail, emits, pats.map(_.length), keys, vals)
   }
 
+  /** ASCII word byte ([0-9A-Za-z_]) — the \w class of the C4 boundary
+    * rule. Multi-byte UTF-8 bytes are negative, so they fall through
+    * every range test to non-word, matching the per-code-point check. */
+  private def isWordByte(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+      (b >= 'a' && b <= 'z') || b == '_'
+
   /** Shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, auto: Automaton): ArrayData = {
+  def compute(text: UTF8String, auto: Automaton, boundary: Boolean): ArrayData = {
     val out = new Array[Long](auto.nPatterns)
     val bytes = text.getBytes
     var state = 0
@@ -155,7 +184,15 @@ object AcMatchCounts {
       state = if (next == -1) 0 else next
       val em = auto.emits(state)
       var j = 0
-      while (j < em.length) { out(em(j)) += 1L; j += 1 }
+      if (boundary) {
+        val endOk = i == bytes.length - 1 || !isWordByte(bytes(i + 1))
+        if (endOk) while (j < em.length) {
+          val p = em(j)
+          val start = i - auto.patLens(p) + 1
+          if (start == 0 || !isWordByte(bytes(start - 1))) out(p) += 1L
+          j += 1
+        }
+      } else while (j < em.length) { out(em(j)) += 1L; j += 1 }
       i += 1
     }
     new GenericArrayData(out)

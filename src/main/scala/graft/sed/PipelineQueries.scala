@@ -265,16 +265,27 @@ object PipelineQueries {
       }
 
   /** q_blocklist's per-doc flag projection and oracle, factored so the
-    * streaming twin shares both verbatim. */
+    * streaming twin shares both verbatim. WORD-BOUNDARY mode — the
+    * published C4 badwords rule: a pattern counts only with non-word
+    * ([0-9a-z_]) or absent neighbors on both sides, so "ass" never
+    * fires inside "class". */
   private[graft] def blocklistFlags(df: DataFrame): DataFrame = {
     val counts = org.apache.spark.sql.graft.AcMatchCounts(
-      lower(col("text")), BlockPatterns)
+      lower(col("text")), BlockPatterns, boundary = true)
     df.withColumn("__c", counts)
       .select(col("doc_id"),
         aggregate(col("__c"), lit(0L), (a, x) => a + x).as("n_blocked"),
         size(filter(col("__c"), x => x > lit(0L))).cast("long").as("n_patterns_hit"))
       .withColumn("keep", col("n_blocked") === lit(0L))
   }
+
+  /** The C4 boundary predicate of the oracle's position scan: neighbor
+    * CHARACTER non-word or absent on both sides (substr past either end
+    * is '', which never matches the class — byte test ≡ char test, see
+    * AcMatchCounts). */
+  private def blBoundFrag(lt: String, i: String, plen: String): String =
+    s"""($i = 1 OR NOT regexp_matches(substr($lt, $i - 1, 1), '[0-9a-z_]'))
+       AND NOT regexp_matches(substr($lt, $i + $plen, 1), '[0-9a-z_]')"""
 
   private[graft] lazy val blocklistOracle: String = {
         val vals = BlockPatterns.map(p => s"('$p')").mkString(", ")
@@ -283,6 +294,7 @@ object PipelineQueries {
                      unnest(generate_series(1, length(text))) AS i FROM documents),
            cnt AS (SELECT pos.doc_id, p.p, count(*) AS c
                    FROM pos JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p
+                     AND ${blBoundFrag("pos.lt", "pos.i", "length(p.p)")}
                    GROUP BY 1, 2)
            SELECT d.doc_id,
              CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS n_blocked,
@@ -1319,6 +1331,21 @@ object PipelineQueries {
       (s, d) => Ann.kcenterCoreset(emb(s, d), "vec_id", "embedding", KcenterK),
       Some(kcenterOracleSql)),
 
+    // Sample-then-solve k-center — the scale continuation for k in the
+    // THOUSANDS, where the exact operator's k full corpus passes are off
+    // the table: ONE deterministic min-xxhash64 sample pass (TakeOrdered
+    // tournament), then Gonzalez runs driver-locally over the bounded
+    // sample with no per-round Spark job. Seeding/tie-breaks/arithmetic
+    // mirror the exact operator bit-for-bit, so with a covering sample
+    // (m >= corpus, as here and in KcenterSpec) the trajectory EQUALS
+    // the exact one and the SAME unrolled oracle certifies it
+    // oracle-green; under real subsampling the planted-cluster spec
+    // gates quality and KcenterBench receipts k=2048 at 1000×.
+    "q_kcenter_sampled" -> QueryDef(
+      (s, d) => Ann.kcenterSampled(emb(s, d), "vec_id", "embedding",
+        KcenterK, Ann.MaxKcenterSample),
+      Some(kcenterOracleSql)),
+
     // Coverage of the greedy coreset: every corpus vector assigned to its
     // nearest selected center (ties to the earlier-selected rank) — the
     // per-point pruning/quota decision a coreset is FOR. Same broadcast-
@@ -1373,11 +1400,12 @@ object PipelineQueries {
     // Aho–Corasick byte walk per doc (native AcMatchCounts expression)
     // instead of |patterns| regex passes — map-only, codegen'd, the scan
     // cost is O(text + matches) regardless of list size. Count semantics
-    // are the per-position definition both engines replay exactly:
-    // pattern p hits once per position i with substr(lower(text), i,
-    // len(p)) = p (self-overlaps counted), which the oracle's
-    // generate_series position scan reproduces literally (oracle-exact;
-    // ASCII corpus, so lower() agrees cross-engine).
+    // (round 12) are the EXACT C4 word-boundary rule: pattern p hits at
+    // position i iff substr(lower(text), i, len(p)) = p AND both
+    // neighbors are non-word ([0-9a-z_]) or absent — "ass" never fires
+    // inside "class" — which the oracle's generate_series position scan
+    // reproduces with the same boundary predicates (oracle-exact; the
+    // byte-local check equals the per-character one, see AcMatchCounts).
     "q_blocklist" -> QueryDef(
       (s, d) => blocklistFlags(docs(s, d)),
       Some(blocklistOracle)),
@@ -1668,7 +1696,8 @@ object PipelineQueries {
             TextFunctions.hashedLinearScoreU(col("__toks"), ClsDim) > 0)
           .withColumn("__bk",
             aggregate(org.apache.spark.sql.graft.AcMatchCounts(
-              lower(col("text")), BlockPatterns), lit(0L), (a, x) => a + x) === 0L)
+              lower(col("text")), BlockPatterns, boundary = true),
+              lit(0L), (a, x) => a + x) === 0L)
           .withColumn("__ek", col("doc_id") === min("doc_id").over(w))
         val sh = docs(s, d)
           .withColumn("__toks", tokens(col("text")))
@@ -1717,7 +1746,8 @@ object PipelineQueries {
                SELECT pos.doc_id, p.p FROM (
                  SELECT doc_id, lower(text) AS lt,
                    unnest(generate_series(1, length(text))) AS i FROM base) pos
-               JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p) hits
+               JOIN pats p ON substr(pos.lt, pos.i, length(p.p)) = p.p
+                 AND ${blBoundFrag("pos.lt", "pos.i", "length(p.p)")}) hits
              ON b.doc_id = hits.doc_id GROUP BY b.doc_id),
            e AS (SELECT doc_id,
              doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS ek FROM base),

@@ -447,22 +447,28 @@ object SedStreaming {
         val s = b.sparkSession
         val delta = b.toDF()
         val anchorsPath = new org.apache.hadoop.fs.Path(s"$indexPath/anchors")
+        val textsPath = new org.apache.hadoop.fs.Path(s"$indexPath/texts")
         val fs = anchorsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val hasIndex = fs.exists(anchorsPath)
-        val spans =
-          if (hasIndex)
-            graft.operators.Dedup.incrementalSubstringDedup(
+        // both halves must exist: a crash between buildSubstringIndex's
+        // two writes leaves anchors/ without texts/, and the incremental
+        // path would wedge on the missing texts read — an incomplete
+        // index re-founds from scratch instead (overwrite repairs it)
+        val hasIndex = fs.exists(anchorsPath) && fs.exists(textsPath)
+        if (hasIndex) {
+          val (spans, cleanup) = graft.operators.Dedup
+            .incrementalSubstringDedupManaged(
               s, delta, idCol, textCol, indexPath, minLen, k, w)
-          else
-            graft.operators.Dedup.substringDedupAnchored(
-              delta, idCol, textCol, minLen, k, w)
-        spans.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        if (hasIndex)
+          spans.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           graft.operators.Dedup.appendToSubstringIndex(
             s, delta, idCol, textCol, indexPath, k, w)
-        else
+          cleanup()
+        } else {
+          graft.operators.Dedup.substringDedupAnchored(
+              delta, idCol, textCol, minLen, k, w)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           graft.operators.Dedup.buildSubstringIndex(
             delta, idCol, textCol, indexPath, k, w)
+        }
       }
       .option("checkpointLocation", ckPath)
       .start()

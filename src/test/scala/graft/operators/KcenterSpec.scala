@@ -99,4 +99,63 @@ class KcenterSpec extends SparkSpecBase {
       Ann.kcenterCoreset(df, "vec_id", "embedding", 0)
     }
   }
+
+  test("zero-norm embedding fails loudly in both variants (clusterAssign posture)") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.kcenterCoreset(df, "vec_id", "embedding", 2).collect()
+    }
+    assert(e.getMessage.contains("zero-norm") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero-norm")))
+    val e2 = intercept[Exception] {
+      Ann.kcenterSampled(df, "vec_id", "embedding", 2, m = 8).collect()
+    }
+    assert(e2.getMessage.contains("zero-norm"))
+  }
+
+  test("sampled variant with a covering sample equals the exact operator row-for-row") {
+    (0 until 3).foreach { trial =>
+      val vs = (1L to 25L).map(id =>
+        (id, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      val df = vs.toDF("vec_id", "embedding")
+      val exact = got(Ann.kcenterCoreset(df, "vec_id", "embedding", 7))
+      val sampled = got(Ann.kcenterSampled(df, "vec_id", "embedding", 7, m = 64))
+      assert(sampled == exact, s"trial $trial")
+    }
+  }
+
+  test("sampled variant under subsampling still covers every planted cluster") {
+    // 5 orthogonal clusters × 40 members; m = 32 of 200 sampled — a
+    // uniform sample hits every cluster whp and greedy max-min must then
+    // take one prototype per cluster before any revisit
+    val dirs = (0 until 5).map { c =>
+      val v = Array.fill(20)(0f); v(c * 4) = 1f; v
+    }
+    val vs = (0 until 200).map { i =>
+      val c = i % 5
+      val v = dirs(c).clone()
+      v(c * 4 + 1 + (i / 5) % 3) = 0.04f * ((i / 5) % 7 + 1)
+      ((i + 1).toLong, v)
+    }
+    val res = got(Ann.kcenterSampled(vs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 5, m = 32))
+    val clusters = res.map { case (_, id, _) => ((id - 1) % 5) }
+    assert(clusters.toSet.size == 5, s"picked clusters $clusters")
+  }
+
+  test("sampled variant has no MaxKcenterK cap — k is bounded by the sample alone") {
+    val vs = (1L to 300L).map(id => (id, Array.fill(6)(rng.nextFloat() + 0.01f)))
+    val df = vs.toDF("vec_id", "embedding")
+    val res = got(Ann.kcenterSampled(df, "vec_id", "embedding",
+      Ann.MaxKcenterK + 4, m = Ann.MaxKcenterK + 44))
+    assert(res.length == Ann.MaxKcenterK + 4)
+    assert(res.map(_._2).distinct.length == res.length)
+    intercept[IllegalArgumentException] {
+      Ann.kcenterSampled(df, "vec_id", "embedding", 9, m = 8) // k > m
+    }
+    intercept[IllegalArgumentException] {
+      Ann.kcenterSampled(df, "vec_id", "embedding", 4, m = Ann.MaxKcenterSample + 1)
+    }
+  }
 }
