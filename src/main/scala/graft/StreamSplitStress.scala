@@ -1,0 +1,51 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Operational stress for leakage-safe splitting AT INGEST
+  * (SedStreaming.streamingLeakageSplit) on a MakeBig corpus (duplicate-
+  * saturated — the near-dup-heavy shape that actually exercises cluster
+  * growth and merges): the whole documents table replayed as an
+  * ascending-id file feed, one chunk per micro-batch, each clustering
+  * against and then extending the persisted split index. Reports
+  * per-batch trigger times (must stay ~flat as the index grows —
+  * per-batch cost is O(|batch| + matched), never O(corpus)), total wall
+  * time, split distribution, and index sizes. */
+object StreamSplitStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sfbig")
+    val chunks = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val feed = java.nio.file.Files.createTempDirectory("graft_spl_feed").toString
+    graft.streaming.SedStreaming.stageFileStream(docs, "doc_id", feed, chunks)
+    val idx = java.nio.file.Files.createTempDirectory("graft_spl_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_spl_out").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val t0 = System.nanoTime()
+    val q = graft.streaming.SedStreaming.streamingLeakageSplit(
+      graft.streaming.SedStreaming.fileStream(s2, feed, schema),
+      "doc_id", "text", "graft-split", idx, out,
+      java.nio.file.Files.createTempDirectory("graft_spl_ck").toString)
+    try q.processAllAvailable() finally q.stop()
+    val total = (System.nanoTime() - t0) / 1e9
+    q.recentProgress.foreach { p =>
+      println(f"BATCH ${p.batchId} ${p.durationMs.get("triggerExecution") / 1000.0}%.1f s " +
+        f"rows=${p.numInputRows}")
+    }
+    val assigned = spark.read.parquet(out)
+    println(f"TOTAL $total%.1f s assigned=${assigned.count()}")
+    assigned.groupBy("split").count().orderBy("split").collect()
+      .foreach(r => println(s"SPLIT ${r.getString(0)} ${r.getLong(1)}"))
+    println(s"INDEX reps=${spark.read.parquet(s"$idx/hashes").count()} " +
+      s"labelRows=${spark.read.parquet(s"$idx/clusters").count()}")
+    spark.stop()
+  }
+}

@@ -730,6 +730,222 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$destPath/shingles")
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental leakage-safe split over a persisted SPLIT index
+  // ---------------------------------------------------------------------
+
+  /** The cluster-label → split rule shared by [[leakageSafeSplit]] and
+    * the incremental [[splitIndexIngest]]: first 32 md5 bits of
+    * "seed:label" mod 10 → 0–7 train, 8 val, 9 test. */
+  private def splitOf(label: Column, seed: String): Column = {
+    val k = conv(substring(
+      md5(concat(lit(seed + ":"), label.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10
+    when(k <= 7, "train").when(k === 8, "val").otherwise("test")
+  }
+
+  /** Ingest a batch into a persisted SPLIT index and return the batch
+    * docs' at-ingest assignment (idCol, cluster_label, split) — the
+    * streaming face of [[leakageSafeSplit]]: the train/val/test decision
+    * made AS DATA ARRIVES, with every exact copy and verified near-dup
+    * of already-ingested content routed to its cluster's split, so a
+    * paraphrase of a test document can never land in train even across
+    * batches. Batch ids must exceed all ingested ids (the monotone
+    * ingestion contract of the dedup family).
+    *
+    * Index layout under `path` — ALL tables append-only, which is what
+    * makes replay after a crash idempotent by construction:
+    *  - `hashes/`  (content_hash, keeper): one row per distinct content
+    *    ever ingested (unlike the dedup index, near-dup reps ARE
+    *    admitted — their bands must catch future docs that match them
+    *    but not their cluster's older members);
+    *  - `bands/`, `shingles/`: the reps' LSH band keys and shingle sets
+    *    ([[buildDedupIndex]] shapes);
+    *  - `clusters/` (keeper, label): label HISTORY per rep — the current
+    *    label is min(label), sound because a cluster label can only
+    *    DECREASE (it is the component's min doc id, new ids are larger,
+    *    and merges take the min of the merged labels). A merge appends
+    *    correction rows for the losing cluster's keepers; a replayed
+    *    append is absorbed by the min.
+    *
+    * MERGE CASE (the hard one): a batch doc that verifies against reps
+    * of two clusters previously labeled L1 < L2 — possibly assigned
+    * DIFFERENT splits — merges them; the resolution rule is that the
+    * min label's split wins (the whole merged cluster re-keys to L1),
+    * the same corpus-order-first convention every dedup operator uses,
+    * and exactly what the from-scratch [[leakageSafeSplit]] computes
+    * over the accumulated corpus (SplitIngestSpec pins equality,
+    * including the merge and the restart-mid-feed cases; equality holds
+    * whenever no LSH bucket exceeds `maxBucket` — the cap is a skew
+    * guard applied per-batch here but globally from scratch).
+    *
+    * Scale shape — per-batch cost O(|batch| + matched), the corpus
+    * never rescanned and never reshuffled: the batch side broadcasts
+    * into every index probe (hash join on content_hash, band join on
+    * (band, key), remap filter on label), so index scans are map-side
+    * and only batch-sized or matched rows shuffle; the batch-local CC
+    * runs over batch-sized edges; appends are batch/matched-sized. */
+  def splitIndexIngest(spark: org.apache.spark.sql.SparkSession,
+                       delta: DataFrame, idCol: String, textCol: String,
+                       seed: String, path: String,
+                       numHashes: Int = 12, rowsPerBand: Int = 3,
+                       shingleN: Int = 3, minJaccard: Double = 0.8,
+                       maxBucket: Int = 10000): DataFrame = {
+    require(!seed.contains("'"), "seed must not contain quotes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$path/hashes"))
+    val idxHashes =
+      if (hasIndex) spark.read.parquet(s"$path/hashes")
+      else spark.range(0).select(lit("").as("content_hash"), lit(0L).as("keeper"))
+    val idxBands =
+      if (hasIndex) spark.read.parquet(s"$path/bands")
+      else spark.range(0).select(lit(0L).as("keeper"), lit(0).as("band"), lit(0L).as("key"))
+    val idxSh =
+      if (hasIndex) spark.read.parquet(s"$path/shingles")
+      else spark.range(0).select(lit(0L).as("keeper"),
+        typedlit(Array.empty[Long]).as("sh"))
+    val idxClusters =
+      if (hasIndex) spark.read.parquet(s"$path/clusters")
+      else spark.range(0).select(lit(0L).as("keeper"), lit(0L).as("label"))
+
+    val hashed = delta.select(col(idCol), col(textCol))
+      .withColumn("__h", md5(col(textCol).cast("binary")))
+    val dkeep = hashed.groupBy("__h").agg(min(col(idCol)).as("__dk"))
+    val tagged = hashed
+      .join(idxHashes.select(col("content_hash").as("__h"),
+        col("keeper").as("__ck")), Seq("__h"), "left")
+      .join(dkeep, "__h")
+      .localCheckpoint(true) // feeds reps, the output join, and the admit
+    // new reps: batch-unique content not yet in the corpus
+    val reps = tagged.filter(col("__ck").isNull && col(idCol) === col("__dk"))
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    // in-batch candidate pairs (a < b) + cross pairs vs indexed reps
+    val candIn = minhashCandidates(reps, idCol, textCol, numHashes,
+      rowsPerBand, shingleN, maxBucket)
+    val numBands = numHashes / rowsPerBand
+    val banded = withBandKeys(
+      minhashSignatures(reps, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand)
+    val dBands = banded.select(col(idCol),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(true) // feeds the candidate join AND the admit
+    val candX = dBands.join(idxBands, Seq("band", "key"))
+      .select(col(idCol).as("a_id"), col("keeper").as("b_id")).distinct()
+    // verify: in-batch over fresh shingle sets; cross against the index's
+    val shB = shingleSets(reps, idCol, textCol, shingleN)
+      .localCheckpoint(true)
+    val verIn = jaccardOf(candIn
+        .join(shB.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(shB.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id"))
+      .filter(col("jaccard") >= minJaccard).select("a_id", "b_id")
+    val verX = jaccardOf(candX
+        .join(shB.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(idxSh.select(col("keeper").as("b_id"), col("sh").as("b_sh")), "b_id"))
+      .filter(col("jaccard") >= minJaccard).select("a_id", "b_id")
+      .localCheckpoint(true) // feeds the label lookup AND the edge union
+    // current labels of the touched corpus keepers: matched rows only
+    // (batch side broadcasts into the clusters scan), min = current
+    val kLab = idxClusters
+      .join(verX.select(col("b_id").as("keeper")).distinct(), Seq("keeper"), "left_semi")
+      .groupBy("keeper").agg(min("label").as("__lab"))
+    // batch-local graph: nodes are new reps and TOUCHED cluster labels
+    // (label ids double as proxy nodes for their whole cluster)
+    val edges = verIn.unionByName(
+        verX.join(kLab.withColumnRenamed("keeper", "b_id"), "b_id")
+          .select(col("a_id"), col("__lab").as("b_id")))
+      .localCheckpoint(true)
+    val comps = connectedComponentsStar(edges).localCheckpoint(true)
+    // new label per new rep (own id when untouched)
+    val repLab = reps.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol).as("keeper"), coalesce(col("label"), col(idCol)).as("label"))
+      .localCheckpoint(true) // feeds the clusters append AND the output join
+    // merge corrections: a touched label whose component min moved down
+    val remaps = kLab.select(col("__lab").as("old_label")).distinct()
+      .join(comps.withColumnRenamed("id", "old_label"), Seq("old_label"))
+      .filter(col("label") < col("old_label"))
+      .localCheckpoint(true)
+    val corrections = idxClusters
+      .join(remaps.select(col("old_label").as("label"),
+        col("label").as("__new")), Seq("label"))
+      .select(col("keeper"), col("__new").as("label"))
+      .localCheckpoint(true) // materialized BEFORE the clusters/ append reads+writes the same path
+    // at-ingest assignment for EVERY batch doc: corpus-dup docs resolve
+    // their keeper's post-batch label; batch docs take their rep's
+    val corpusLab = idxClusters
+      .join(tagged.filter(col("__ck").isNotNull)
+        .select(col("__ck").as("keeper")).distinct(), Seq("keeper"), "left_semi")
+      .groupBy("keeper").agg(min("label").as("__lab0"))
+      .join(remaps.select(col("old_label").as("__lab0"),
+        col("label").as("__r")), Seq("__lab0"), "left")
+      .select(col("keeper").as("__ck"),
+        coalesce(col("__r"), col("__lab0")).as("__clab"))
+    val batchLab = repLab.select(col("keeper").as("__dk"), col("label").as("__blab"))
+    val assigned = tagged
+      .join(corpusLab, Seq("__ck"), "left")
+      .join(batchLab, Seq("__dk"), "left")
+      .select(col(idCol),
+        coalesce(col("__clab"), col("__blab")).as("cluster_label"))
+      .withColumn("split", splitOf(col("cluster_label"), seed))
+      .localCheckpoint(true)
+    // writes: hashes/ LAST — it is the gate that decides what counts as
+    // a new rep, so it acts as the batch's commit marker. A crash before
+    // it replays the whole batch identically (same reps re-derived);
+    // the earlier appends' duplicates are harmless by construction
+    // (label rows absorb into min-resolution, duplicate band rows into
+    // the candidate distinct, duplicate shingle rows only re-emit edges
+    // CC already contracts) and compaction reclaims the space.
+    corrections.unionByName(repLab)
+      .write.mode("append").parquet(s"$path/clusters")
+    dBands.select(col(idCol).as("keeper"), col("band"), col("key"))
+      .write.mode("append").parquet(s"$path/bands")
+    shB.withColumnRenamed(idCol, "keeper")
+      .write.mode("append").parquet(s"$path/shingles")
+    repLab.select(col("keeper").as(idCol))
+      .join(tagged.select(col(idCol), col("__h")), Seq(idCol))
+      .select(col("__h").as("content_hash"), col(idCol).as("keeper"))
+      .write.mode("append").parquet(s"$path/hashes")
+    assigned
+  }
+
+  /** Rewrite a split index compactly: collapse each rep's label history
+    * to its current (min) label and drop the duplicate band/shingle rows
+    * a crash-replay may have appended. One shuffle per table, sized by
+    * the index, run at maintenance cadence — never per batch. */
+  def compactSplitIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, destPath: String): Unit = {
+    spark.read.parquet(s"$path/clusters")
+      .groupBy("keeper").agg(min("label").as("label"))
+      .write.mode("overwrite").parquet(s"$destPath/clusters")
+    spark.read.parquet(s"$path/bands").distinct()
+      .write.mode("overwrite").parquet(s"$destPath/bands")
+    spark.read.parquet(s"$path/shingles")
+      .groupBy("keeper").agg(first("sh").as("sh"))
+      .write.mode("overwrite").parquet(s"$destPath/shingles")
+    spark.read.parquet(s"$path/hashes").distinct()
+      .write.mode("overwrite").parquet(s"$destPath/hashes")
+  }
+
+  /** The split index's final per-doc assignment — docs resolve via
+    * content hash to their rep's CURRENT (min) label; equals
+    * [[leakageSafeSplit]] over everything ingested (SplitIngestSpec). */
+  def splitIndexAssignment(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, idCol: String, textCol: String,
+                           seed: String, path: String): DataFrame = {
+    val cur = spark.read.parquet(s"$path/clusters")
+      .groupBy("keeper").agg(min("label").as("label"))
+    docs.select(col(idCol), md5(col(textCol).cast("binary")).as("__h"))
+      .join(spark.read.parquet(s"$path/hashes")
+        .select(col("content_hash").as("__h"), col("keeper")), "__h")
+      .join(cur, "keeper")
+      .select(col(idCol), col("label").as("cluster_label"),
+        splitOf(col("label"), seed).as("split"))
+  }
+
   /** Embedding-cosine near-dup via banded sign-LSH: `tables` independent
     * hash tables of `bitsPerTable` hyperplane sign bits each; a pair is a
     * candidate if it collides in any table, and survives if cosine >=

@@ -22,20 +22,20 @@ object PipelineQueries {
     SedQueries.ensureConfs(s); Tables.embeddings(s, d)
   }
 
-  private val NumHashes = 12
-  private val RowsPerBand = 3
-  private val ShingleN = 3
+  private[graft] val NumHashes = 12
+  private[graft] val RowsPerBand = 3
+  private[graft] val ShingleN = 3
   private val TopK = 5
   private val NumQueries = 10 // ANN query set: vec_id < 10
   private val EmbDim = 64
   private val NearDupCos = 0.35
-  private val MaxBucket = 10000 // LSH skew guard (Dedup default)
+  private[graft] val MaxBucket = 10000 // LSH skew guard (Dedup default)
   private val LshTables = 8
   private val LshBits = 8
   private val IvfStride = 50 // centroid sample: every 50th vec_id
   private val IvfNprobe = 2
   private val KcenterK = 8 // greedy k-center coreset size (q_kcenter)
-  private val SplitSeed = "graft-split" // q_leakage_split hash seed
+  private[graft] val SplitSeed = "graft-split" // q_leakage_split hash seed
   /** q_blocklist pattern set (pre-lowered): a deterministic stand-in for
     * a real badwords list over the synthetic vocabulary — includes
     * phrases, the nested pair "value"/"hash value" (dictionary
@@ -302,6 +302,32 @@ object PipelineQueries {
              COALESCE(SUM(c.c), 0) = 0 AS keep
            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
            GROUP BY d.doc_id""".replaceAll("\\s+", " ")}
+
+  /** q_leakage_split's oracle — shared VERBATIM by q_stream_leakage_split
+    * (the incremental split index's final assignment equals the
+    * from-scratch cluster-keyed split; SplitIngestSpec pins it including
+    * the cluster-merge and restart cases). */
+  private[graft] lazy val leakageSplitOracle: String =
+        s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
+           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+             UNION SELECT b_id AS src, a_id AS dst FROM verified),
+           walk(id, label) AS (
+             SELECT src AS id, src AS label FROM edges
+             UNION
+             SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id),
+           lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+           replab AS (SELECT r.h,
+               COALESCE(lab.label, r.doc_id) AS cluster_label
+             FROM rep r LEFT JOIN lab ON lab.id = r.doc_id),
+           keyed AS (SELECT h, cluster_label,
+               ('0x' || substr(md5('$SplitSeed:' || cluster_label::VARCHAR), 1, 8))::BIGINT
+                 % 10 AS k
+             FROM replab)
+           SELECT d.doc_id, keyed.cluster_label,
+             CASE WHEN k <= 7 THEN 'train' WHEN k = 8 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+           JOIN keyed USING (h)""".replaceAll("\\s+", " ")
 
   /** (doc_id, lang, score_u) of docs under a fitted KN model — shared by
     * q_ppl_buckets and its streaming twin. */
@@ -917,28 +943,7 @@ object PipelineQueries {
     "q_leakage_split" -> QueryDef(
       (s, d) => Dedup.leakageSafeSplit(docs(s, d), "doc_id", "text",
         SplitSeed, NumHashes, RowsPerBand, ShingleN, 0.8, MaxBucket),
-      Some {
-        s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
-           edges AS (SELECT a_id AS src, b_id AS dst FROM verified
-             UNION SELECT b_id AS src, a_id AS dst FROM verified),
-           walk(id, label) AS (
-             SELECT src AS id, src AS label FROM edges
-             UNION
-             SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id),
-           lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
-           replab AS (SELECT r.h,
-               COALESCE(lab.label, r.doc_id) AS cluster_label
-             FROM rep r LEFT JOIN lab ON lab.id = r.doc_id),
-           keyed AS (SELECT h, cluster_label,
-               ('0x' || substr(md5('$SplitSeed:' || cluster_label::VARCHAR), 1, 8))::BIGINT
-                 % 10 AS k
-             FROM replab)
-           SELECT d.doc_id, keyed.cluster_label,
-             CASE WHEN k <= 7 THEN 'train' WHEN k = 8 THEN 'val'
-                  ELSE 'test' END AS split
-           FROM (SELECT doc_id, md5(text) AS h FROM documents) d
-           JOIN keyed USING (h)""".replaceAll("\\s+", " ")
-      }),
+      Some(leakageSplitOracle)),
 
     // Content-defined chunk dedup (round 10, Dedup.cdcDedup; the
     // LBFS/FastCDC boundary family on text): boundaries where the

@@ -473,6 +473,48 @@ object SedStreaming {
       .option("checkpointLocation", ckPath)
       .start()
 
+  /** Leakage-safe train/val/test splitting AT INGEST — the streaming
+    * face of Dedup.leakageSafeSplit and the last offline-only decision
+    * of the cleaning pipeline: each arriving micro-batch is clustered
+    * against the persisted split index (exact hash + LSH + Jaccard
+    * verify + batch-local CC over label proxies), assigned its clusters'
+    * splits, written under `outPath/batch=<id>`, and admitted so later
+    * batches join the same clusters. When a batch MERGES two clusters
+    * previously assigned different splits, the min label's split wins
+    * (corpus-order-first, like every dedup operator) — exactly the
+    * from-scratch result, so the accumulated index's final assignment
+    * (Dedup.splitIndexAssignment) EQUALS leakageSafeSplit over the whole
+    * corpus, merge case included (SplitIngestSpec; q_stream_leakage_split
+    * shares the batch oracle verbatim on that equality).
+    *
+    * Contracts: ascending-id batches (stageFileStream on doc_id);
+    * foreachBatch serializes batches so each admit is visible to the
+    * next probe; RESTART-SAFE because every index table is append-only
+    * with replay-absorbing semantics (label corrections resolve by min,
+    * duplicate band/shingle rows collapse in candidate distinct/CC) and
+    * hashes/ — the new-rep gate — commits last; span output is
+    * per-batch overwrite. Per-batch cost O(|batch| + matched): the
+    * batch side broadcasts into every index probe, the corpus is never
+    * rescanned into a shuffle (StreamSplitStress receipts flat
+    * per-batch cost as the index grows). */
+  def streamingLeakageSplit(docs: DataFrame, idCol: String, textCol: String,
+                            seed: String, indexPath: String, outPath: String,
+                            ckPath: String,
+                            numHashes: Int = 12, rowsPerBand: Int = 3,
+                            shingleN: Int = 3, minJaccard: Double = 0.8,
+                            maxBucket: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        graft.operators.Dedup.splitIndexIngest(
+            s, b.toDF(), idCol, textCol, seed, indexPath,
+            numHashes, rowsPerBand, shingleN, minJaccard, maxBucket)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", ckPath)
+      .start()
+
   /** Stage a batch table as an event-time-ordered FILE-SOURCE feed: rows
     * are range-partitioned on `tsCol` into `chunks` parquet files whose
     * modification times ascend in time order, so

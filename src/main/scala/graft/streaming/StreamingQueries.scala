@@ -477,6 +477,38 @@ object StreamingQueries {
       .select("doc_id", "span_id", "span_start", "span_end")
   }
 
+  /** Leakage-safe splitting AT INGEST: the documents table replayed as
+    * an ascending-id file feed into the incremental split-index loop
+    * (SedStreaming.streamingLeakageSplit) — each micro-batch clusters
+    * against the persisted index, takes its clusters' splits (merges
+    * re-key to the min label, whose split wins), and admits itself.
+    * ORACLE-ELIGIBLE despite being incremental: the final index
+    * assignment provably equals the from-scratch cluster-keyed split
+    * over the whole corpus (labels are component minima, which only
+    * decrease and merge to minima — SplitIngestSpec pins equality incl.
+    * the merge and restart cases), so this shares q_leakage_split's
+    * DuckDB oracle VERBATIM. */
+  def streamLeakageSplit(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_split_feed")
+    val docsDf = Tables.documents(s0, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    SedStreaming.stageFileStream(docsDf, "doc_id", dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val idxPath = tmp("graft_split_idx")
+    val q = SedStreaming.streamingLeakageSplit(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
+      graft.sed.PipelineQueries.SplitSeed, idxPath, tmp("graft_split_out"),
+      tmp("graft_split_ck"),
+      graft.sed.PipelineQueries.NumHashes, graft.sed.PipelineQueries.RowsPerBand,
+      graft.sed.PipelineQueries.ShingleN, 0.8, graft.sed.PipelineQueries.MaxBucket)
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Dedup.splitIndexAssignment(
+      s0, docsDf, "doc_id", "text", graft.sed.PipelineQueries.SplitSeed, idxPath)
+  }
+
   /** Streaming cohort retention: the events feed through per-user
     * week-set state (calendar-bounded), (user, week) emitted exactly
     * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
@@ -710,6 +742,8 @@ object StreamingQueries {
     "q_stream_quality" -> QueryDef((s, d) => streamQuality(s, d),
       Some(graft.sed.PipelineQueries.qualityClassifierOracle)),
     "q_stream_substring" -> QueryDef((s, d) => streamSubstring(s, d), None),
+    "q_stream_leakage_split" -> QueryDef((s, d) => streamLeakageSplit(s, d),
+      Some(graft.sed.PipelineQueries.leakageSplitOracle)),
     "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),
       Some(graft.sed.PipelineQueries.blocklistOracle)),
     "q_stream_ppl" -> QueryDef((s, d) => streamPpl(s, d),
