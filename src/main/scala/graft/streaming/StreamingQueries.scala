@@ -60,6 +60,10 @@ object StreamingQueries {
     s2
   }
 
+  /** SessionGap in µs — the oracle's break/end arithmetic must use the
+    * same literal the session_window gap parses to. */
+  private val SessionGapUs = 600000000L
+
   /** Session gap (streaming sessionize) and enrich tolerance, seconds. */
   private val SessionGap = "10 minutes"
   private val Watermark = "30 minutes"
@@ -124,11 +128,15 @@ object StreamingQueries {
   private val histSchema = StructType(Seq(
     StructField("ts_us", LongType), StructField("value", DoubleType)))
 
+  /** q_stream_hist's axis — shared by the chain and its oracle so the
+    * bin arithmetic cannot drift. */
+  private val HistAxis = graft.operators.BinAxis("value", 50, 0.0, 500.0)
+
   private def histChain(src: DataFrame): DataFrame =
     SedStreaming.streamingHistogram(
       src.withColumn("ts", expr("timestamp_micros(ts_us)")),
       "ts", Watermark, "1 hour",
-      Seq(graft.operators.BinAxis("value", 50, 0.0, 500.0)))
+      Seq(HistAxis))
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("value_bin"), col("cnt"))
 
@@ -720,9 +728,40 @@ object StreamingQueries {
 
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
   val defs: Map[String, QueryDef] = Map(
-    "q_stream_sessionize" -> QueryDef((s, d) => streamSessionize(s, d), None),
+    // ORACLE-ELIGIBLE (promoted round 12): complete-mode session_window
+    // over an event-time-ordered feed retains every session and merges
+    // exactly like batch gap-break sessionization — two events share a
+    // session iff the later one starts strictly inside the earlier's
+    // [ts, ts+gap) window, so the oracle's break condition is
+    // `diff >= gap` and session_end = max(ts) + gap. No event is ever
+    // late (the feed ascends in ts), so the watermark only bounds state,
+    // never output.
+    "q_stream_sessionize" -> QueryDef((s, d) => streamSessionize(s, d),
+      Some(s"""SELECT user_id, MIN(us) AS session_start_us,
+            MAX(us) + $SessionGapUs AS session_end_us,
+            CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM (
+            SELECT user_id, us, CAST(SUM(brk) OVER w2 AS BIGINT) AS sess FROM (
+              SELECT user_id, us,
+                CASE WHEN us - LAG(us) OVER w >= $SessionGapUs THEN 1 ELSE 0 END AS brk
+              FROM (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us
+                    FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY us))
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY us))
+          GROUP BY user_id, sess""".replaceAll("\\s+", " "))),
     "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None),
-    "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d), None),
+    // ORACLE-ELIGIBLE (promoted round 12): complete-mode tumbling-window
+    // counts over an event-time-ordered feed retain every window and no
+    // event is ever late, so the result IS the batch epoch-aligned
+    // hour-window histogram; bin arithmetic comes from the same BinAxis
+    // the chain bins with.
+    "q_stream_hist" -> QueryDef((s, d) => streamHistogram(s, d),
+      Some(s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+            ${HistAxis.idxSql("CAST(value AS DOUBLE)")} AS value_bin,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events
+          WHERE ${HistAxis.inRangeSql("CAST(value AS DOUBLE)")}
+          GROUP BY 1, 2""".replaceAll("\\s+", " "))),
     "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
     "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
