@@ -257,7 +257,8 @@ object Tokenizer {
     * bit-identical cross-engine; the double PRODUCT in the denominator
     * also avoids int64 overflow at corpus-scale symbol counts);
     * ties break (lft ASC, rgt ASC). */
-  def wordpieceFitWithVocab(docs: DataFrame, textCol: String, k: Int)
+  def wordpieceFitWithVocab(docs: DataFrame, textCol: String, k: Int,
+                            byteLevel: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(k >= 1, "need at least one merge round")
     val spark = docs.sparkSession
@@ -266,7 +267,7 @@ object Tokenizer {
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .filter(!col("w").contains(Sep))
-      .withColumn("ws", concat(lit(Sep), regexp_replace(col("w"), "(.)", "$1" + Sep)))
+      .withColumn("ws", packedSyms(col("w"), byteLevel))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
@@ -307,8 +308,8 @@ object Tokenizer {
     * in the vocab, and a WordPiece-trained `ws` IS the word's greedy
     * segmentation), renamed to the WordPiece contract columns. */
   def wordpieceApplyTrained(docs: DataFrame, idCol: String, textCol: String,
-                            vocab: DataFrame): DataFrame =
-    bpeApplyTrained(docs, idCol, textCol, vocab)
+                            vocab: DataFrame, byteLevel: Boolean = false): DataFrame =
+    bpeApplyTrained(docs, idCol, textCol, vocab, byteLevel)
       .withColumnRenamed("n_bpe_tokens", "n_wp_tokens")
       .withColumnRenamed("bpe_md5", "wp_md5")
 
@@ -372,10 +373,20 @@ object Tokenizer {
       .toDouble * 1000000 + 0.5).toLong
 
   /** The distinct-word table (w, freq) — every unigram stage runs over
-    * this, never the corpus. */
-  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    * this, never the corpus. In byte-level mode, `w` is the word's
+    * [[org.apache.spark.sql.graft.ByteAlpha]] encoding (injective, so
+    * the counts are identical); pieces are then substrings over the
+    * closed 256-symbol alphabet and the coverage guarantee extends to
+    * every byte the corpus contains. */
+  private def wordTable(docs: DataFrame, textCol: String,
+                        byteLevel: Boolean = false): DataFrame = {
+    val tok = explode(TextFunctions.tokens(col(textCol))).as("w")
+    val base = docs.select(tok)
+    (if (byteLevel)
+       base.select(org.apache.spark.sql.graft.ByteAlpha(col("w")).as("w"))
+     else base)
       .groupBy("w").agg(count(lit(1)).as("freq"))
+  }
 
   /** Seed piece inventory of the unigram fit: every substring of every
     * word up to `maxPieceLen` chars, frequency-weighted; ALL single
@@ -386,9 +397,10 @@ object Tokenizer {
     * substring explode is |vocab| × maxPieceLen × word-length, the total
     * is a broadcast 1-row aggregate. */
   def unigramSeed(docs: DataFrame, textCol: String,
-                  maxPieceLen: Int, seedSize: Int): DataFrame = {
+                  maxPieceLen: Int, seedSize: Int,
+                  byteLevel: Boolean = false): DataFrame = {
     require(maxPieceLen >= 1 && seedSize >= 1)
-    val pieces = wordTable(docs, textCol)
+    val pieces = wordTable(docs, textCol, byteLevel)
       .select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)),
               s -> transform(sequence(s, least(length(w), s + ${maxPieceLen - 1})),
@@ -423,13 +435,13 @@ object Tokenizer {
     * M-step maximizes the E-step's objective; UnigramSpec pins it). */
   def unigramFit(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
                  seedSize: Int = 2000, emRounds: Int = 3,
-                 vocabSize: Int = 1000): DataFrame = {
+                 vocabSize: Int = 1000, byteLevel: Boolean = false): DataFrame = {
     require(emRounds >= 1 && vocabSize >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordTable(docs, textCol).localCheckpoint(true)
+    val words = wordTable(docs, textCol, byteLevel).localCheckpoint(true)
     var pieces: Array[(String, Long)] =
-      unigramSeed(docs, textCol, maxPieceLen, seedSize)
+      unigramSeed(docs, textCol, maxPieceLen, seedSize, byteLevel)
         .select("piece", "logp_u").as[(String, Long)].collect().sortBy(_._1)
     var round = 0
     while (round < emRounds) {
@@ -463,12 +475,16 @@ object Tokenizer {
     * re-assemble in token order to (idCol, n_pieces, pieces_md5) — the
     * same compare-friendly projection as [[bpeApplyTrained]]. */
   def unigramApplyTrained(docs: DataFrame, idCol: String, textCol: String,
-                          pieces: Map[String, Long]): DataFrame = {
-    val enc = wordTable(docs, textCol)
+                          pieces: Map[String, Long],
+                          byteLevel: Boolean = false): DataFrame = {
+    val enc = wordTable(docs, textCol, byteLevel)
       .select(col("w"), org.apache.spark.sql.graft.UnigramViterbi(
         col("w"), pieces, UnkLogpU).as("__syms"))
-    docs
+    val toks = docs
       .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("i", "w")))
+    (if (byteLevel)
+       toks.withColumn("w", org.apache.spark.sql.graft.ByteAlpha(col("w")))
+     else toks)
       .join(enc, Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(size(col("__syms"))).as("n_pieces"),

@@ -303,6 +303,24 @@ object PipelineQueries {
            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
            GROUP BY d.doc_id""".replaceAll("\\s+", " ")}
 
+  /** The tokenizer-selection report shared by q_token_fertility (bpe +
+    * wordpiece, oracle-green) and q_token_fertility_unigram: per
+    * (source, algorithm) — doc/char/word/subword counts and the two
+    * exact-integer ratios a tokenizer choice is judged by. `enc` is
+    * (doc_id, __n_sub, algorithm). */
+  private[graft] def fertilityReport(df: DataFrame, enc: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("__chars"),
+        size(tokens(col("text"))).cast("long").as("__words"))
+      .join(enc, Seq("doc_id"))
+      .groupBy(col("source"), col("algorithm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__chars").as("n_chars"),
+        sum("__words").as("n_words"),
+        sum("__n_sub").as("n_sub"))
+      .withColumn("chars_per_token_u", expr("n_chars * 1000000 div n_sub"))
+      .withColumn("fertility_u", expr("n_sub * 1000000 div n_words"))
+
   /** q_leakage_split's oracle — shared VERBATIM by q_stream_leakage_split
     * (the incremental split index's final assignment equals the
     * from-scratch cluster-keyed split; SplitIngestSpec pins it including
@@ -788,38 +806,66 @@ object PipelineQueries {
     // unrolled-CTE chain verbatim (the two cannot drift). Docs whose
     // text yields zero tokens carry no encodable content and drop from
     // the report in both engines (inner join to the apply output).
+    // Tokenizer-selection table (reshaped round 12): one row per
+    // (source, algorithm) for BOTH trainable-and-oracle-able algorithms
+    // — BPE and WordPiece side by side, each nesting its apply chain's
+    // oracle verbatim (oracle-green). The unigram rows ride the separate
+    // q_token_fertility_unigram entry: its Viterbi DP has no SQL twin
+    // (same rows-only-by-design status as q_unigram_fit/apply), and
+    // folding it in here would demote this entry's exactness.
     "q_token_fertility" -> QueryDef(
       (s, d) => {
         val df = docs(s, d)
-        val (_, vocab) = Tokenizer.bpeFitWithVocab(df, "text", BpeK)
-        val enc = Tokenizer.bpeApplyTrained(df, "doc_id", "text", vocab)
-          .select(col("doc_id"), col("n_bpe_tokens"))
-        df.select(col("doc_id"), col("source"),
-            length(col("text")).cast("long").as("__chars"),
-            size(tokens(col("text"))).cast("long").as("__words"))
-          .join(enc, Seq("doc_id"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum("__chars").as("n_chars"),
-            sum("__words").as("n_words"),
-            sum("n_bpe_tokens").as("n_bpe"))
-          .withColumn("chars_per_token_u", expr("n_chars * 1000000 div n_bpe"))
-          .withColumn("fertility_u", expr("n_bpe * 1000000 div n_words"))
+        val (_, bpeVocab) = Tokenizer.bpeFitWithVocab(df, "text", BpeK)
+        val (_, wpVocab) = Tokenizer.wordpieceFitWithVocab(df, "text", BpeK)
+        val enc = Tokenizer.bpeApplyTrained(df, "doc_id", "text", bpeVocab)
+          .select(col("doc_id"), col("n_bpe_tokens").as("__n_sub"),
+            lit("bpe").as("algorithm"))
+          .unionByName(
+            Tokenizer.wordpieceApplyTrained(df, "doc_id", "text", wpVocab)
+              .select(col("doc_id"), col("n_wp_tokens").as("__n_sub"),
+                lit("wordpiece").as("algorithm")))
+        fertilityReport(df, enc)
       },
       Some {
-        val apply = Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id")
+        val bpe = Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id")
+        val wp = Tokenizer.wordpieceApplySql("documents", "text", BpeK, "doc_id")
         val toks = TextFunctions.tokensSql("d.text")
-        s"""SELECT d.source,
+        s"""SELECT d.source, e.algorithm,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
              CAST(SUM(len($toks)) AS BIGINT) AS n_words,
-             CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS n_bpe,
+             CAST(SUM(e.n_sub) AS BIGINT) AS n_sub,
              CAST(SUM(length(d.text)) AS BIGINT) * 1000000
-               // CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS chars_per_token_u,
-             CAST(SUM(e.n_bpe_tokens) AS BIGINT) * 1000000
+               // CAST(SUM(e.n_sub) AS BIGINT) AS chars_per_token_u,
+             CAST(SUM(e.n_sub) AS BIGINT) * 1000000
                // CAST(SUM(len($toks)) AS BIGINT) AS fertility_u
-           FROM ($apply) e JOIN documents d USING (doc_id)
-           GROUP BY d.source""".replaceAll("\\s+", " ")}),
+           FROM (SELECT doc_id, n_bpe_tokens AS n_sub, 'bpe' AS algorithm FROM ($bpe)
+                 UNION ALL
+                 SELECT doc_id, n_wp_tokens AS n_sub, 'wordpiece' AS algorithm FROM ($wp)) e
+           JOIN documents d USING (doc_id)
+           GROUP BY d.source, e.algorithm""".replaceAll("\\s+", " ")}),
+
+    // The unigram row of the tokenizer-selection table — same report
+    // shape over the trained unigram-LM inventory (rows-only BY DESIGN:
+    // the Viterbi segmentation has no SQL twin; UnigramSpec pins the
+    // segmentation against brute force and FertilitySpec pins this
+    // report's arithmetic against the oracle-green entry's on shared
+    // inputs).
+    "q_token_fertility_unigram" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val df = docs(s, d)
+        val pieces = Tokenizer.unigramFit(df, "text", UniMaxPiece,
+          UniSeed, UniRounds, UniVocab)
+          .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+          .collect().toMap
+        val enc = Tokenizer.unigramApplyTrained(df, "doc_id", "text", pieces)
+          .select(col("doc_id"), col("n_pieces").as("__n_sub"),
+            lit("unigram").as("algorithm"))
+        fertilityReport(df, enc)
+      },
+      None),
 
     // WordPiece training (round 11 — Schuster & Nakajima 2012, the BERT
     // tokenizer; with BPE and unigram-LM this completes all three
