@@ -77,14 +77,25 @@ object Bench {
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = names.map(_ -> Array.fill(runs)(-1.0)).toMap
+    // plan-stability fingerprints (round 12): hashed from the final
+    // measured round's already-planned DataFrame (free — sparkPlan is
+    // materialized by the run), emitted into BENCH_LOCAL.json so an
+    // accidental BHJ→SMJ or added exchange diffs across rounds even when
+    // sf0.1 wall-clock hides it; PlanAuditSpec gates the same
+    // fingerprints against a committed snapshot.
+    val fps = scala.collection.mutable.Map.empty[String, String]
     // rounds below 0 = unmeasured warmup passes; rounds 0..runs-1 are measured
     for (r <- -warmups until runs) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val elapsed =
-          try { fn(spark, sfDir).queryExecution.toRdd.count()
-            (System.nanoTime() - t0) / 1e9
+          try {
+            val df = fn(spark, sfDir)
+            df.queryExecution.toRdd.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (r == runs - 1) fps(name) = graft.sed.PlanFingerprint.hash(df)
+            dt
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
           }
@@ -125,7 +136,9 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val failedJson = failed.map(q).mkString("[", ",", "]")
     val env = s""""load1":${rd(load1, 100)},"host_cpus":$hostCpus,"failed":$failedJson"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(0.0)},"queries":${qmap(10000)}}"""
+    val plansJson = names.flatMap(n => fps.get(n).map(h => s"${q(n)}:${q(h)}"))
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(0.0)},"plans":$plansJson,"queries":${qmap(10000)}}"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(1.3)},"queries":${qmap(1000)}}"""
     // the TRUE last stdout line must fit the driver's bounded tail
     // capture (~2 KB, keeps the END of the stream — the 8 KB per-query

@@ -379,7 +379,15 @@ object Multimodal {
     * image collapse (aHash buckets) at corpus scale: work is one decode
     * pass + a |distinct hash|-sized aggregation. */
   def imageDupGroups(docs: DataFrame, idCol: String, payloadCol: String,
-                     batchSize: Int = 64): DataFrame = {
+                     batchSize: Int = 64): DataFrame =
+    imageHashes(docs, idCol, payloadCol, batchSize)
+      .groupBy("is_image", "phash")
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_id"))
+
+  /** One (doc_id, is_image, phash) row per payload — the decode + aHash
+    * pass shared by [[imageDupGroups]] and [[imageNearDupGraph]]. */
+  def imageHashes(docs: DataFrame, idCol: String, payloadCol: String,
+                  batchSize: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     val rows = nonNull(docs, idCol, payloadCol).rdd
       .mapPartitions { it =>
@@ -396,8 +404,103 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rows, dupGroupSchema)
-      .groupBy("is_image", "phash")
-      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("keeper_id"))
+  }
+
+  /** Exact Hamming near-dup graph over 64-bit perceptual hashes via
+    * multi-index hashing (Norouzi, Punjani & Fleet 2012): the hash
+    * splits into 4 disjoint 16-bit bands; by pigeonhole, any pair within
+    * Hamming distance `maxHamming` <= 3 agrees EXACTLY on at least one
+    * band, so one equality self-join per band surfaces every such pair
+    * — no n² comparison, no recall loss (ImageAnnSpec pins equality with
+    * the brute-force graph). Candidates collapse with `distinct` (a pair
+    * can collide in several bands), verify with one bit_count(xor), and
+    * each node keeps its top-`k` by (hamming ASC, id ASC). Buckets over
+    * `maxBucket` (a degenerate band value — the solid-color-image
+    * analogue of LSH boilerplate) are dropped, the standard skew guard.
+    * Returns symmetric edges (src, dst, hamming, rank). */
+  def hammingNearDupGraph(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int = 3, k: Int = 5,
+                          maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4 disjoint 16-bit bands guarantee exact retrieval only up to Hamming 3 " +
+        "(pigeonhole); raise the band count for larger radii")
+    require(k >= 1)
+    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    val bands = h.select(col("id"), col("ph"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("ph"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val ok = bands.groupBy("b", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("b", "key")
+    val bb = bands.join(ok, Seq("b", "key"), "left_semi")
+    val cand = bb.select(col("b"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
+      .join(bb.select(col("b"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
+        Seq("b", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_ph", "b_id", "b_ph").distinct()
+    val edges = cand
+      .withColumn("hamming",
+        expr("bit_count(a_ph ^ b_ph)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"), col("hamming"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"), col("hamming")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("hamming"), col("dst"))
+    sym.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Image near-dup graph over a payload column: decode → aHash → exact
+    * collapse (distance-0 copies share one representative) → the
+    * [[hammingNearDupGraph]] over distinct hashes → one NODE row per
+    * representative image (n_exact, n_neighbors, nearest_id,
+    * nearest_hamming; NULLs when isolated) — the per-image near-dup
+    * decision table, robust to brightness shifts like aHash itself. */
+  def imageNearDupGraph(docs: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 3, k: Int = 5,
+                        batchSize: Int = 64): DataFrame = {
+    val reps = imageHashes(docs, idCol, payloadCol, batchSize)
+      .filter(col("is_image"))
+      .groupBy("phash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_exact"))
+    val g = hammingNearDupGraph(reps, "doc_id", "phash", maxHamming, k)
+    val per = g.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        min(struct(col("hamming"), col("dst"))).as("__nn"))
+      .select(col("doc_id"), col("n_neighbors"),
+        col("__nn.dst").as("nearest_id"), col("__nn.hamming").as("nearest_hamming"))
+    reps.select(col("doc_id"), col("n_exact"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_neighbors"))
+  }
+
+  /** Frame-sampled video dedup THROUGH the CDC chunker: sampled frames
+    * ([[sampleFrames]] — real decode for MJPEG-AVI/GIF, deterministic
+    * slicing for codec-bound payloads) hash to 8-hex tokens, each
+    * video's token sequence concatenates in frame order into one string,
+    * and [[Dedup.cdcDedup]] chunks THAT with content-defined boundaries
+    * — so two videos sharing a frame run (a clip, a re-post with an
+    * inserted intro) share chunks even though fixed-width chunking would
+    * shift every boundary after the insertion. Returns per video
+    * (idCol, n_frames, n_chunks, n_dup_chunks, dup_chars) with dup_chars
+    * in token characters (8 per sampled frame). */
+  def videoCdcDedup(docs: DataFrame, idCol: String, payloadCol: String,
+                    frameBytes: Int, stride: Int,
+                    w: Int = 16, div: Int = 32, batchSize: Int = 64): DataFrame = {
+    val frames = sampleFrames(docs, idCol, payloadCol, frameBytes, stride, batchSize)
+    val seqs = frames
+      .select(col("doc_id"), col("frame_idx"),
+        substring(md5(col("frame")), 1, 8).as("__tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("frame_idx"), col("__tok")))),
+          p => p("__tok"))).as("__fstr"))
+      .localCheckpoint(true) // feeds the chunker AND the final join
+    graft.operators.Dedup.cdcDedup(seqs, "doc_id", "__fstr", w, div)
+      .join(seqs.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_frames"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_chars"))
   }
 
   /** Rows with a NULL payload carry nothing to decode — drop them before

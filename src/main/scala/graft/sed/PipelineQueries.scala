@@ -3015,6 +3015,33 @@ object PipelineQueries {
         Multimodal.withPgmPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
       None),
 
+    // Image NEAR-dup graph (round 12): decode -> aHash -> exact collapse
+    // -> multi-index Hamming graph (4 disjoint 16-bit bands; by
+    // pigeonhole every pair within Hamming 3 agrees exactly on >= 1
+    // band, so the band equality self-joins find ALL of them — no n²
+    // pass, no recall loss) -> one node row per representative image
+    // with its nearest neighbor. Rows-only (pixel decode has no SQL
+    // twin); ImageAnnSpec pins graph equality vs brute-force Hamming and
+    // planted near-dup retrieval; HammingBench receipts 2M hashes.
+    "q_image_knn" -> QueryDef(
+      (s, d) => Multimodal.imageNearDupGraph(
+        Multimodal.withPgmPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
+      None),
+
+    // Frame-sampled video dedup through the CDC chunker (round 12): each
+    // video's sampled-frame hash tokens concatenate in frame order and
+    // content-defined chunking runs over THAT sequence — shared clips
+    // surface as shared chunks even behind an inserted intro (fixed
+    // windows would shift every later boundary). Real frame decode for
+    // MJPEG-AVI/GIF; deterministic slicing for codec-bound payloads
+    // (documented fallback — no pure-JVM H.26x decoder exists).
+    // Rows-only; ImageAnnSpec pins the shared-clip/insertion semantics.
+    "q_video_cdc_dedup" -> QueryDef(
+      (s, d) => Multimodal.videoCdcDedup(
+        Multimodal.withPayload(docs(s, d), "text", "payload"), "doc_id", "payload",
+        frameBytes = 64, stride = 1),
+      None),
+
     "q_multimodal_meta" -> QueryDef(
       (s, d) => Multimodal.decodeMeta(
         Multimodal.withPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),

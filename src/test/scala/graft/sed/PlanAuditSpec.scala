@@ -92,6 +92,50 @@ class PlanAuditSpec extends SparkSpecBase {
     * is a native Expression (FloatVecDot, Bilinear2D, SimHash32,
     * BloomMightContainLong), never a UDF. Gate every contract plan so a
     * convenience UDF can't creep back into a hot path. */
+  /** Plan-stability gate (round 12): every entry's canonical physical
+    * fingerprint (operator-class tree + join strategies/types + exchange
+    * count — PlanFingerprint) must match the committed snapshot, so an
+    * accidental BHJ→SMJ flip or an added shuffle fails LOUDLY here even
+    * when wall-clock medians hide it. Fingerprints come from the
+    * pre-AQE sparkPlan at the spec's fixed SF, so they are deterministic.
+    * Intentional plan changes are blessed explicitly:
+    * `SPARK_GRAFT_BLESS_PLANS=1 sbt "testOnly graft.sed.PlanAuditSpec"`
+    * rewrites the snapshot (review the git diff — the tree text IS the
+    * change record). */
+  private val snapshotPath =
+    java.nio.file.Paths.get("src/test/resources/plan_fingerprints.tsv")
+
+  test("plan fingerprints match the committed snapshot (bless: SPARK_GRAFT_BLESS_PLANS=1)") {
+    val current = builtOk
+      .filterNot { case (n, _) => n.startsWith("q_stream_") }
+      .map { case (n, df) => n -> PlanFingerprint.of(df) }
+    if (sys.env.get("SPARK_GRAFT_BLESS_PLANS").contains("1")) {
+      java.nio.file.Files.createDirectories(snapshotPath.getParent)
+      val body = current.map { case (n, fp) => s"$n\t$fp" }.mkString("", "\n", "\n")
+      java.nio.file.Files.write(snapshotPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      info(s"blessed ${current.size} fingerprints into $snapshotPath")
+    } else {
+      assert(java.nio.file.Files.exists(snapshotPath),
+        s"no committed snapshot at $snapshotPath — bless once with SPARK_GRAFT_BLESS_PLANS=1")
+      val want = scala.io.Source.fromFile(snapshotPath.toFile).getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, fp) = l.split("\t", 2); n -> fp
+        }.toMap
+      val missing = current.collect { case (n, _) if !want.contains(n) => n }
+      val drifted = current.collect {
+        case (n, fp) if want.contains(n) && want(n) != fp =>
+          s"$n:\n  committed: ${want(n)}\n  current:   $fp"
+      }
+      val removed = want.keySet -- current.map(_._1).toSet
+      assert(missing.isEmpty && drifted.isEmpty && removed.isEmpty,
+        s"plan drift — bless intentional changes with SPARK_GRAFT_BLESS_PLANS=1\n" +
+          s"new entries without snapshot: ${missing.mkString(", ")}\n" +
+          s"removed entries still in snapshot: ${removed.mkString(", ")}\n" +
+          s"drifted:\n${drifted.mkString("\n")}")
+    }
+  }
+
   test("no driver query plans a ScalaUDF") {
     val offenders = builtOk.flatMap {
       case (name, _) if streamEntries(name) => None
