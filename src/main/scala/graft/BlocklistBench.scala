@@ -33,10 +33,15 @@ object BlocklistBench {
     def ac(pats: Seq[String], bound: Boolean) = docs.select(
       aggregate(org.apache.spark.sql.graft.AcMatchCounts(lower(col("text")), pats, bound),
         lit(0L), (a, x) => a + x).as("n"))
-    def rx(pats: Seq[String]) = docs.select(
-      pats.map(p => size(regexp_extract_all(lower(col("text")),
-        lit(java.util.regex.Pattern.quote(p)), lit(0))).cast("long"))
-        .reduce(_ + _).as("n"))
+    def rx(pats: Seq[String]) = {
+      // balanced sum — a linear reduce of 400+ columns overflows the
+      // analyzer's recursion before the query even plans
+      def bal(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+        if (cs.size == 1) cs.head
+        else { val (l, r) = cs.splitAt(cs.size / 2); bal(l) + bal(r) }
+      docs.select(bal(pats.map(p => size(regexp_extract_all(lower(col("text")),
+        lit(java.util.regex.Pattern.quote(p)), lit(0))).cast("long"))).as("n"))
+    }
     for (pats <- Seq(small, big, c4sz)) {
       t(s"ac-${pats.size}")(ac(pats, bound = false))
       t(s"ac-boundary-${pats.size}")(ac(pats, bound = true))

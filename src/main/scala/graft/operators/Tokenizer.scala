@@ -517,6 +517,141 @@ object Tokenizer {
        FROM sel CROSS JOIN tot""".replaceAll("\\s+", " ")
   }
 
+  // ---------------------------------------------------------------------
+  // Unrolled Viterbi-DP oracle for the unigram fit/apply (round 12) —
+  // promotes q_unigram_fit / q_unigram_apply / q_token_fertility_unigram
+  // from rows-only to oracle-green.
+  // ---------------------------------------------------------------------
+
+  /** The Viterbi DP as a DuckDB RECURSIVE CTE, replaying
+    * [[org.apache.spark.sql.graft.UnigramViterbi]] exactly: the working
+    * row per word carries a sliding window of the last `maxPieceLen`
+    * best scores (s1 = best(j), s2 = best(j−1), …) plus the backpointer
+    * string `backs` (one digit per position — piece lengths are ≤ 9),
+    * so each iteration advances j by one for EVERY word with ONE scan
+    * and `maxPieceLen` LEFT JOINs into the model — no aggregate in the
+    * recursive term. Candidates for piece length l coalesce to a
+    * sentinel far below any reachable score; `greatest` takes the max
+    * and the descending CASE resolves score ties to the LARGER l — the
+    * expression's exact tie rule. A second recursive CTE walks `backs`
+    * from the end, prepending pieces, reproducing the engine's
+    * backtrace. Emits `dp$tag`/`fin$tag`/`rec$tag`/`seg$tag(w, pieces)`
+    * against model CTE `$model(piece, logp_u)` over word CTE
+    * `vw(w, freq)`. */
+  private def viterbiCtes(tag: String, model: String, maxPieceLen: Int): String = {
+    require(maxPieceLen <= 9, "backs packs one digit per position")
+    val S = "-900000000000000"
+    val ls = 1 to maxPieceLen
+    val joins = ls.map { l =>
+      s"LEFT JOIN $model m$l ON d.j + 1 >= $l AND m$l.piece = substr(d.w, d.j + 2 - $l, $l)"
+    }.mkString(" ")
+    val cands = ls.map { l =>
+      val cost = if (l == 1) s"COALESCE(m1.logp_u, $UnkLogpU)" else s"m$l.logp_u"
+      s"COALESCE(CASE WHEN d.j + 1 >= $l THEN d.s$l + ($cost) END, $S) AS c$l"
+    }.mkString(", ")
+    val sCols = ls.map(l => s"CAST($S AS BIGINT) AS s$l").mkString(", ")
+    val shift = (2 to maxPieceLen).map(l => s"s${l - 1}").mkString(", ")
+    val backl = ls.reverse.init.map(l => s"WHEN c$l = best THEN $l").mkString(" ")
+    s"""dp$tag(w, L, j, ${ls.map("s" + _).mkString(", ")}, backs) AS (
+         SELECT w, len(w), 0, CAST(0 AS BIGINT) AS s1,
+           ${ls.tail.map(l => s"CAST($S AS BIGINT) AS s$l").mkString(", ")}, '' FROM vw
+         UNION ALL
+         SELECT w, L, j + 1, best, $shift,
+           backs || CAST((CASE $backl ELSE 1 END) AS VARCHAR)
+         FROM (
+           SELECT q.*, greatest(${ls.map("c" + _).mkString(", ")}) AS best FROM (
+             SELECT d.w, d.L, d.j, ${ls.map(l => s"d.s$l").mkString(", ")}, d.backs, $cands
+             FROM dp$tag d $joins
+             WHERE d.j < d.L) q)
+       ),
+       fin$tag AS (SELECT w, backs FROM dp$tag WHERE j = L),
+       rec$tag(w, p, pieces) AS (
+         SELECT w, len(w), CAST([] AS VARCHAR[]) FROM fin$tag
+         UNION ALL
+         SELECT r.w, r.p - CAST(substr(f.backs, r.p, 1) AS INT),
+           list_prepend(substr(r.w,
+             r.p - CAST(substr(f.backs, r.p, 1) AS INT) + 1,
+             CAST(substr(f.backs, r.p, 1) AS INT)), r.pieces)
+         FROM rec$tag r JOIN fin$tag f ON f.w = r.w
+         WHERE r.p > 0
+       ),
+       seg$tag AS MATERIALIZED (SELECT w, pieces FROM rec$tag WHERE p = 0)"""
+  }
+
+  /** The full unrolled fit chain: word table → seed model → `emRounds` ×
+    * (Viterbi-segment every distinct word → re-estimate scores → floor
+    * unused chars, drop unused multis) → prune to chars + top
+    * `vocabSize` multi-char pieces. Replays [[unigramFit]]'s hard-EM
+    * loop CTE-for-collect: counts share the corpus total (unk pieces
+    * included, as the engine's `counts.values.sum` does), scores are the
+    * same ROUND(LN(·),6) micro-units every iterative oracle uses, and
+    * the floor is min(used) − 1e6 with the UnkLogpU fallback. Ends in
+    * `modelF(piece, logp_u)` plus `seg_f$emRounds` helpers. */
+  private def unigramFitCtes(table: String, textCol: String, maxPieceLen: Int,
+                             seedSize: Int, emRounds: Int, vocabSize: Int): String = {
+    val toks = TextFunctions.tokensSql(textCol)
+    val head =
+      s"""vw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT unnest($toks) AS w FROM $table) GROUP BY w),
+          model0 AS MATERIALIZED (SELECT piece, logp_u FROM
+            (${unigramSeedSql(table, textCol, maxPieceLen, seedSize)}))"""
+    val rounds = (0 until emRounds).map { r =>
+      s"""${viterbiCtes(s"_f$r", s"model$r", maxPieceLen)},
+          cnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT v.freq, unnest(s.pieces) AS piece
+            FROM seg_f$r s JOIN vw v USING (w)) GROUP BY piece),
+          tot$r AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM cnt$r),
+          used$r AS (SELECT m.piece,
+              CAST(FLOOR(ROUND(LN(CAST(c.cnt AS DOUBLE) / t.t), 6) * 1000000 + 0.5E0)
+                AS BIGINT) AS logp_u
+            FROM model$r m JOIN cnt$r c USING (piece) CROSS JOIN tot$r t),
+          flo$r AS (SELECT COALESCE(MIN(logp_u), $UnkLogpU) - 1000000 AS f FROM used$r),
+          model${r + 1} AS MATERIALIZED (
+            SELECT piece, logp_u FROM used$r
+            UNION ALL
+            SELECT m.piece, flo.f AS logp_u FROM model$r m CROSS JOIN flo$r flo
+            WHERE len(m.piece) = 1
+              AND m.piece NOT IN (SELECT piece FROM cnt$r))"""
+    }
+    val prune =
+      s"""modelF AS MATERIALIZED (
+            SELECT piece, logp_u FROM model$emRounds WHERE len(piece) = 1
+            UNION ALL
+            SELECT piece, logp_u FROM (
+              SELECT piece, logp_u FROM model$emRounds WHERE len(piece) > 1
+              ORDER BY logp_u DESC, piece ASC LIMIT $vocabSize))"""
+    (head +: rounds :+ prune).mkString(", ")
+  }
+
+  /** DuckDB oracle for [[unigramFit]] — the pruned (piece, logp_u). */
+  def unigramFitSql(table: String, textCol: String, maxPieceLen: Int,
+                    seedSize: Int, emRounds: Int, vocabSize: Int): String =
+    (s"WITH RECURSIVE ${unigramFitCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize)} " +
+      "SELECT piece, logp_u FROM modelF").replaceAll("\\s+", " ")
+
+  /** The fit chain plus one more Viterbi pass under the PRUNED model —
+    * `segA(w, pieces)` is each distinct word's final segmentation. */
+  private def unigramApplyCtes(table: String, textCol: String, maxPieceLen: Int,
+                               seedSize: Int, emRounds: Int, vocabSize: Int): String =
+    s"""${unigramFitCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize)},
+       ${viterbiCtes("A", "modelF", maxPieceLen)}"""
+
+  /** DuckDB oracle for [[unigramApplyTrained]] over the fit's corpus. */
+  def unigramApplySql(table: String, textCol: String, maxPieceLen: Int,
+                      seedSize: Int, emRounds: Int, vocabSize: Int,
+                      idCol: String): String = {
+    val toks = TextFunctions.tokensSql(textCol)
+    s"""WITH RECURSIVE ${unigramApplyCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize)},
+       tok AS (SELECT $idCol, i, l[i] AS w FROM (
+         SELECT $idCol, $toks AS l FROM $table), UNNEST(range(1, len(l) + 1)) AS t(i)),
+       sym AS (SELECT tok.$idCol, tok.i, unnest(s.pieces) AS piece,
+         unnest(range(1, len(s.pieces) + 1)) AS j2
+         FROM tok JOIN segA s USING (w))
+       SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         md5(string_agg(piece, ' ' ORDER BY i, j2)) AS pieces_md5
+       FROM sym GROUP BY $idCol""".replaceAll("\\s+", " ")
+  }
+
   /** DuckDB oracle for [[bpeApplyTrained]] over the fit's own corpus. */
   def bpeApplySql(table: String, textCol: String, k: Int, idCol: String): String = {
     val toks = TextFunctions.tokensSql(textCol)

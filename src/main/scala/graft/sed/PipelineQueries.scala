@@ -847,11 +847,10 @@ object PipelineQueries {
            GROUP BY d.source, e.algorithm""".replaceAll("\\s+", " ")}),
 
     // The unigram row of the tokenizer-selection table — same report
-    // shape over the trained unigram-LM inventory (rows-only BY DESIGN:
-    // the Viterbi segmentation has no SQL twin; UnigramSpec pins the
-    // segmentation against brute force and FertilitySpec pins this
-    // report's arithmetic against the oracle-green entry's on shared
-    // inputs).
+    // shape over the trained unigram-LM inventory. ORACLE-GREEN since
+    // round 12 via the unrolled Viterbi-DP chain (nests
+    // q_unigram_apply's oracle verbatim); FertilitySpec additionally
+    // pins the shared report arithmetic on hand inputs.
     "q_token_fertility_unigram" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.Encoders
@@ -865,7 +864,21 @@ object PipelineQueries {
             lit("unigram").as("algorithm"))
         fertilityReport(df, enc)
       },
-      None),
+      Some {
+        val apply = Tokenizer.unigramApplySql("documents", "text", UniMaxPiece,
+          UniSeed, UniRounds, UniVocab, "doc_id")
+        val toks = TextFunctions.tokensSql("d.text")
+        s"""SELECT d.source, 'unigram' AS algorithm,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(length(d.text)) AS BIGINT) AS n_chars,
+             CAST(SUM(len($toks)) AS BIGINT) AS n_words,
+             CAST(SUM(e.n_pieces) AS BIGINT) AS n_sub,
+             CAST(SUM(length(d.text)) AS BIGINT) * 1000000
+               // CAST(SUM(e.n_pieces) AS BIGINT) AS chars_per_token_u,
+             CAST(SUM(e.n_pieces) AS BIGINT) * 1000000
+               // CAST(SUM(len($toks)) AS BIGINT) AS fertility_u
+           FROM ($apply) e JOIN documents d USING (doc_id)
+           GROUP BY d.source""".replaceAll("\\s+", " ")}),
 
     // WordPiece training (round 11 — Schuster & Nakajima 2012, the BERT
     // tokenizer; with BPE and unigram-LM this completes all three
@@ -901,18 +914,26 @@ object PipelineQueries {
       Some(Tokenizer.unigramSeedSql("documents", "text", UniMaxPiece, UniSeed))),
 
     // The hard-EM (Viterbi-training) refinement of that seed — the
-    // actual unigram tokenizer FIT (rows-only: Viterbi DP has no SQL
-    // twin; UnigramSpec pins brute-force segmentation equality, EM
-    // monotonicity, OOV coverage, determinism).
+    // actual unigram tokenizer FIT. ORACLE-GREEN since round 12: the
+    // Viterbi DP unrolls as a recursive CTE carrying a sliding window of
+    // the last maxPieceLen best scores plus a backpointer digit string
+    // (exact micro-unit arithmetic, larger-piece tie rule), and the
+    // hard-EM loop unrolls round-by-round like q_bpe_fit/q_kcenter —
+    // the trajectory-certification shape applied to the last
+    // previously-uncertifiable trainer. UnigramSpec still pins
+    // brute-force segmentation equality, EM monotonicity, OOV coverage.
     "q_unigram_fit" -> QueryDef(
       (s, d) => Tokenizer.unigramFit(docs(s, d), "text", UniMaxPiece,
         UniSeed, UniRounds, UniVocab),
-      None),
+      Some(Tokenizer.unigramFitSql("documents", "text", UniMaxPiece,
+        UniSeed, UniRounds, UniVocab))),
 
     // Encoding the corpus with the TRAINED inventory: distinct words
     // Viterbi-segment once, corpus tokens join their encoding, docs
-    // re-assemble in order → (doc_id, n_pieces, pieces_md5) (rows-only;
-    // spec pins the join path ≡ direct per-token segmentation).
+    // re-assemble in order → (doc_id, n_pieces, pieces_md5).
+    // ORACLE-GREEN since round 12: nests the fit's unrolled chain plus
+    // one more Viterbi pass under the pruned model; counts AND the
+    // order-exact piece md5 hash-match.
     "q_unigram_apply" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.Encoders
@@ -922,7 +943,8 @@ object PipelineQueries {
           .collect().toMap
         Tokenizer.unigramApplyTrained(docs(s, d), "doc_id", "text", pieces)
       },
-      None),
+      Some(Tokenizer.unigramApplySql("documents", "text", UniMaxPiece,
+        UniSeed, UniRounds, UniVocab, "doc_id"))),
 
     // End-to-end near-dup removal, EXACT-FIRST (round 8): md5 exact-dedup
     // collapses identical copies to their min-id representative BEFORE
