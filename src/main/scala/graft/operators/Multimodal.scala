@@ -421,33 +421,73 @@ object Multimodal {
   def hammingNearDupGraph(hashes: DataFrame, idCol: String, hashCol: String,
                           maxHamming: Int = 3, k: Int = 5,
                           maxBucket: Int = 100000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4 disjoint 16-bit bands guarantee exact retrieval only up to Hamming 3 " +
-        "(pigeonhole); raise the band count for larger radii")
     require(k >= 1)
-    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
-    val bands = h.select(col("id"), col("ph"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("ph"), col("bk.b").as("b"), col("bk.key").as("key"))
-    val ok = bands.groupBy("b", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select("b", "key")
-    val bb = bands.join(ok, Seq("b", "key"), "left_semi")
-    val cand = bb.select(col("b"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
-      .join(bb.select(col("b"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
-        Seq("b", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "a_ph", "b_id", "b_ph").distinct()
-    val edges = cand
-      .withColumn("hamming",
-        expr("bit_count(a_ph ^ b_ph)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
+    val edges = hammingEdges(hashes, idCol, hashCol, maxHamming, maxBucket)
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"), col("hamming"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"), col("hamming")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("hamming"), col("dst"))
     sym.withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** The exact Hamming candidate-pair stage behind [[hammingNearDupGraph]]
+    * and [[imageDupClusters]]: `maxHamming + 1` disjoint contiguous bit
+    * bands (sizes ⌊64/b⌋/⌈64/b⌉ — any partition works for the pigeonhole:
+    * a pair within Hamming ≤ b−1 must agree exactly on some band), one
+    * equality self-join per band, `distinct` over the collisions, one
+    * bit_count(xor) verify. Radii up to 7 (8 × 8-bit bands); beyond
+    * that band buckets degenerate (2^8 keys over millions of hashes)
+    * and a different shape is needed. Returns (a_id, b_id, hamming)
+    * with a_id < b_id. */
+  def hammingEdges(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "multi-index bands thinner than 8 bits degenerate — radius capped at 7")
+    val nb = maxHamming + 1
+    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    val bandCols = (0 until nb).map { b =>
+      val lo = b * 64 / nb
+      val hi = (b + 1) * 64 / nb
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(b).as("b"),
+        shiftright(col("ph"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val bands = h.select(col("id"), col("ph"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("ph"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val ok = bands.groupBy("b", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("b", "key")
+    val bb = bands.join(ok, Seq("b", "key"), "left_semi")
+    bb.select(col("b"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
+      .join(bb.select(col("b"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
+        Seq("b", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_ph", "b_id", "b_ph").distinct()
+      .withColumn("hamming", expr("bit_count(a_ph ^ b_ph)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Image near-dup CLUSTERS — the q_dedup_clusters shape in the image
+    * domain: decode → aHash → exact collapse → [[hammingEdges]] within
+    * `maxHamming` → connected components (min-label) → one row per
+    * cluster (cluster_label, n_reps, n_images) where n_images counts
+    * exact copies through their representative. Edge-untouched reps are
+    * their own singleton cluster. */
+  def imageDupClusters(docs: DataFrame, idCol: String, payloadCol: String,
+                       maxHamming: Int = 3, batchSize: Int = 64): DataFrame = {
+    val reps = imageHashes(docs, idCol, payloadCol, batchSize)
+      .filter(col("is_image"))
+      .groupBy("phash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_exact"))
+    val edges = hammingEdges(reps, "doc_id", "phash", maxHamming)
+    val comps = graft.operators.Dedup.connectedComponentsStar(
+      edges.select("a_id", "b_id"))
+    reps.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("cluster_label"),
+        col("n_exact"))
+      .groupBy("cluster_label")
+      .agg(count(lit(1)).as("n_reps"), sum("n_exact").as("n_images"))
   }
 
   /** Image near-dup graph over a payload column: decode → aHash → exact

@@ -303,6 +303,28 @@ object PipelineQueries {
            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
            GROUP BY d.doc_id""".replaceAll("\\s+", " ")}
 
+  /** The SQL replay of withPgmPayload + aHash8 for the synthetic P5
+    * payloads (32×32 gray, 1 channel): gray byte at 0-based index i is
+    * the rpad-cycled `text || 'x'` byte at i (ASCII corpus — ISO-8859-1
+    * byte = char code = ord()); the 8×8 downsample reads offsets
+    * gy*128 + gx*4; mean is integer; bit i (= gy*8+gx) is strictly
+    * above-mean; bit 63 contributes the signed Long minimum (DuckDB
+    * refuses 1<<63). Ends in `ihash(doc_id, phash)`. */
+  private lazy val imageHashCtes: String =
+    """rp AS MATERIALIZED (SELECT doc_id,
+         rpad(text || 'x', 1024, text || 'x') AS rp FROM documents),
+       gg AS (SELECT doc_id, i,
+         ord(substr(rp, CAST((i // 8) * 128 + (i % 8) * 4 AS INT) + 1, 1)) AS g
+         FROM rp, UNNEST(range(0, 64)) AS t(i)),
+       mm AS (SELECT doc_id, CAST(SUM(g) // 64 AS BIGINT) AS mean
+         FROM gg GROUP BY doc_id),
+       ihash AS MATERIALIZED (SELECT gg.doc_id, CAST(SUM(
+           CASE WHEN gg.g > mm.mean THEN
+             CASE WHEN gg.i = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                  ELSE (1::BIGINT << CAST(gg.i AS INT)) END
+           ELSE 0 END) AS BIGINT) AS phash
+         FROM gg JOIN mm USING (doc_id) GROUP BY gg.doc_id)"""
+
   /** The tokenizer-selection report shared by q_token_fertility (bpe +
     * wordpiece, oracle-green) and q_token_fertility_unigram: per
     * (source, algorithm) — doc/char/word/subword counts and the two
@@ -3027,6 +3049,12 @@ object PipelineQueries {
       }),
 
     // ---------------- multimodal ----------------
+    // (q_image_dedup / q_image_knn oracles: the P5 payload is synthesized
+    // deterministically from text — gray grid = rpad-cycled text bytes —
+    // so the whole decode → 8×8 aHash arithmetic replays in SQL: 64
+    // fixed sample offsets into the SAME rpad() cycle, integer mean,
+    // strictly-above bits, bit 63 as the signed minimum. See
+    // imageHashCtes below the defs map.)
     // Perceptual-hash image dedup: REAL P5 images synthesized from text
     // (rpad-cycled gray bytes — identical text => identical image),
     // batched decode -> 8x8 aHash -> ONE hash-key shuffle to the
@@ -3035,7 +3063,10 @@ object PipelineQueries {
     "q_image_dedup" -> QueryDef(
       (s, d) => Multimodal.imageDupGroups(
         Multimodal.withPgmPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
-      None),
+      Some(s"""WITH $imageHashCtes
+        SELECT TRUE AS is_image, phash, CAST(COUNT(*) AS BIGINT) AS n_images,
+          MIN(doc_id) AS keeper_id
+        FROM ihash GROUP BY phash""".replaceAll("\\s+", " "))),
 
     // Image NEAR-dup graph (round 12): decode -> aHash -> exact collapse
     // -> multi-index Hamming graph (4 disjoint 16-bit bands; by
@@ -3048,7 +3079,51 @@ object PipelineQueries {
     "q_image_knn" -> QueryDef(
       (s, d) => Multimodal.imageNearDupGraph(
         Multimodal.withPgmPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
-      None),
+      Some(s"""WITH $imageHashCtes,
+        reps AS (SELECT phash, MIN(doc_id) AS doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ihash GROUP BY phash),
+        e AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          FROM reps a JOIN reps b ON a.doc_id <> b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        per AS (SELECT src AS doc_id,
+            CAST(LEAST(COUNT(*), 5) AS BIGINT) AS n_neighbors,
+            MIN(struct_pack(hamming := hamming, dst := dst)) AS nn
+          FROM e GROUP BY src)
+        SELECT r.doc_id, r.n_exact,
+          COALESCE(p.n_neighbors, 0) AS n_neighbors,
+          (p.nn).dst AS nearest_id, (p.nn).hamming AS nearest_hamming
+        FROM reps r LEFT JOIN per p USING (doc_id)""".replaceAll("\\s+", " "))),
+
+    // Image near-dup CLUSTERS (round 12) — the q_dedup_clusters shape in
+    // the image domain: decode → aHash → exact collapse → banded exact
+    // Hamming edges (radius 3) → min-label connected components → one
+    // row per cluster with rep and total-image counts. ORACLE-GREEN: the
+    // aHash SQL replay feeds an n² bit_count(xor) edge join and the
+    // recursive min-reachable walk every CC oracle uses.
+    "q_image_clusters" -> QueryDef(
+      (s, d) => Multimodal.imageDupClusters(
+        Multimodal.withPgmPayload(docs(s, d), "text", "payload"), "doc_id", "payload"),
+      Some(s"""WITH RECURSIVE $imageHashCtes,
+        reps AS MATERIALIZED (SELECT phash, MIN(doc_id) AS doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ihash GROUP BY phash),
+        e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM e
+          UNION SELECT b_id AS src, a_id AS dst FROM e),
+        walk(id, label) AS (
+          SELECT src AS id, src AS label FROM edges
+          UNION
+          SELECT e2.dst AS id, w.label FROM walk w JOIN edges e2 ON e2.src = w.id),
+        lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+        SELECT COALESCE(lab.label, r.doc_id) AS cluster_label,
+          CAST(COUNT(*) AS BIGINT) AS n_reps,
+          CAST(SUM(r.n_exact) AS BIGINT) AS n_images
+        FROM reps r LEFT JOIN lab ON lab.id = r.doc_id
+        GROUP BY 1""".replaceAll("\\s+", " "))),
 
     // Frame-sampled video dedup through the CDC chunker (round 12): each
     // video's sampled-frame hash tokens concatenate in frame order and
@@ -3062,7 +3137,38 @@ object PipelineQueries {
       (s, d) => Multimodal.videoCdcDedup(
         Multimodal.withPayload(docs(s, d), "text", "payload"), "doc_id", "payload",
         frameBytes = 64, stride = 1),
-      None),
+      // ORACLE-GREEN (same-round promotion): the codec-bound fallback
+      // slices the UTF-8 payload into fixed 64-byte frames, and on the
+      // ASCII corpus a byte slice IS a char substr — so the frame
+      // tokens (md5 prefix per slice), the token-string assembly, and
+      // the whole CDC chunk pass replay in SQL (the q_cdc_dedup oracle
+      // over the derived frame-token relation).
+      Some(s"""WITH fr AS (SELECT doc_id, f,
+             substr(md5(substr(text, CAST(f * 64 + 1 AS INT), 64)), 1, 8) AS tok
+           FROM documents, UNNEST(range(0, len(text) // 64)) AS t(f)),
+         vseq AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             string_agg(tok, '' ORDER BY f) AS fstr FROM fr GROUP BY doc_id),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(substr(fstr, CAST(i AS INT), 16)), 1, 15))::BIGINT AS h
+           FROM vseq, UNNEST(range(1, len(fstr) - 16 + 2)) AS t(i)
+           WHERE len(fstr) >= 16),
+         cuts AS (SELECT doc_id, 0 AS cut FROM vseq WHERE len(fstr) > 0
+           UNION SELECT doc_id, pos FROM g WHERE h % 32 = 0
+           UNION SELECT doc_id, len(fstr) FROM vseq WHERE len(fstr) > 0),
+         ch AS (SELECT doc_id, cut AS s,
+             LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e FROM cuts),
+         chunk AS (SELECT ch.doc_id, s, e - s AS clen,
+             md5(substr(fstr, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS ph
+           FROM ch JOIN vseq v ON v.doc_id = ch.doc_id WHERE e IS NOT NULL),
+         marked AS (SELECT doc_id, clen,
+             ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, s) = 1 AS keep
+           FROM chunk),
+         rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dup_chunks,
+             CAST(COALESCE(SUM(clen) FILTER (WHERE NOT keep), 0) AS BIGINT) AS dup_chars
+           FROM marked GROUP BY doc_id)
+         SELECT v.doc_id, v.n_frames, r.n_chunks, r.n_dup_chunks, r.dup_chars
+         FROM vseq v JOIN rep r USING (doc_id)""".replaceAll("\\s+", " "))),
 
     "q_multimodal_meta" -> QueryDef(
       (s, d) => Multimodal.decodeMeta(

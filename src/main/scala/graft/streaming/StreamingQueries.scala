@@ -749,7 +749,25 @@ object StreamingQueries {
               WINDOW w AS (PARTITION BY user_id ORDER BY us))
             WINDOW w2 AS (PARTITION BY user_id ORDER BY us))
           GROUP BY user_id, sess""".replaceAll("\\s+", " "))),
-    "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d), None),
+    // ORACLE-ELIGIBLE (promoted round 12): an INNER stream-stream join
+    // over in-ts-order feeds emits every in-tolerance pair exactly once
+    // regardless of chunking — a sensor row needed by a future event
+    // cannot have been evicted, because events arrive in ts order, so
+    // any future match has ets > max(processed event ts) while eviction
+    // requires sts + tolerance < min(max per source) - watermark delay;
+    // with delay (30 min) > tolerance (10 min) the needed row always
+    // survives. The bucketed equality key is a pure rewrite (each pair
+    // shares exactly one bucket). So the result IS the batch tolerance
+    // join, and the oracle states it directly.
+    "q_stream_enrich" -> QueryDef((s, d) => streamEnrich(s, d),
+      Some("""SELECT e.event_id, epoch_us(e.ts) AS ets_us,
+            s.sensor_id, s.sts_us, s.reading
+          FROM (SELECT CAST(event_id AS BIGINT) AS event_id, ts FROM events) e
+          JOIN (SELECT CAST(event_id AS BIGINT) AS sensor_id, epoch_us(ts) AS sts_us,
+                  CAST(value AS DOUBLE) AS reading
+                FROM events WHERE event_id % 100 = 0) s
+            ON s.sts_us <= epoch_us(e.ts)
+           AND s.sts_us >= epoch_us(e.ts) - 600000000""".replaceAll("\\s+", " "))),
     // ORACLE-ELIGIBLE (promoted round 12): complete-mode tumbling-window
     // counts over an event-time-ordered feed retain every window and no
     // event is ever late, so the result IS the batch epoch-aligned

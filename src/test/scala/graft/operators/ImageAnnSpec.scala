@@ -54,11 +54,54 @@ class ImageAnnSpec extends SparkSpecBase {
     assert(got == Seq((2L, 1L, 1L), (5L, 1L, 2L)))
   }
 
-  test("maxHamming above the pigeonhole guarantee is refused") {
+  test("radius 7 via 8 uneven bands still equals brute force") {
+    val rng = new scala.util.Random(1213)
+    val hs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var id = 0L
+    (0 until 20).foreach { _ =>
+      val seed = rng.nextLong()
+      id += 1; hs += ((id, seed))
+      (0 until 2).foreach { _ =>
+        var v = seed
+        (0 until 1 + rng.nextInt(9)).foreach(_ => v ^= 1L << rng.nextInt(64))
+        id += 1; hs += ((id, v))
+      }
+    }
+    val df = hs.toSeq.toDF("id", "ph")
+    val got = Multimodal.hammingEdges(df, "id", "ph", maxHamming = 7)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 3), "fixture planted no 4..7-distance pairs")
+  }
+
+  test("maxHamming above the band guarantee is refused") {
     val df = Seq((1L, 0L)).toDF("id", "ph")
     intercept[IllegalArgumentException] {
-      Multimodal.hammingNearDupGraph(df, "id", "ph", maxHamming = 4)
+      Multimodal.hammingNearDupGraph(df, "id", "ph", maxHamming = 8)
     }
+  }
+
+  test("image clusters: transitive near-dup chains collapse, exact copies counted through") {
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 200.toByte else 0.toByte)
+    def flips(n: Int): Array[Byte] = {
+      val v = base.clone()
+      (0 until n).foreach(j => v(j * 2) = 0.toByte)
+      v
+    }
+    // chain: base —1— f2 —2— f4 (4 > 3 from base, linked via f2); f20 isolated
+    val imgs = Seq(
+      (1L, pgm(base, 8, 8)), (2L, pgm(flips(2), 8, 8)),
+      (3L, pgm(flips(4), 8, 8)), (4L, pgm(flips(20), 8, 8)),
+      (5L, pgm(base.clone(), 8, 8))) // exact copy of 1
+    val got = Multimodal.imageDupClusters(imgs.toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .select("cluster_label", "n_reps", "n_images")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map(1L -> ((3L, 4L)), 4L -> ((1L, 1L))))
   }
 
   // ---- imageNearDupGraph over real decoded images ----
