@@ -1377,7 +1377,10 @@ object PipelineQueries {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString)
           .start()
-        try q.processAllAvailable() finally q.stop()
+        try {
+          q.processAllAvailable()
+          graft.streaming.StreamingQueries.record("q_stream_index_ingest", q)
+        } finally q.stop()
         val queries = Ann.collectQueries(
           e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
         Ann.searchIvfIndex(s, idx, queries, TopK, IvfNprobe)

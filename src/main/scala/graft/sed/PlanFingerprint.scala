@@ -14,7 +14,12 @@ import org.apache.spark.sql.execution.SparkPlan
   * stats and expression ids are all excluded by construction — only
   * node classes (plus join type) enter the string. */
 object PlanFingerprint {
-  def of(df: DataFrame): String = {
+  def of(df: DataFrame): String = ofPlan(df.queryExecution.executedPlan)
+
+  /** Fingerprint an already-resolved physical plan — the entry point for
+    * streaming micro-batch plans (StreamPlan.lastExecutedPlan), which
+    * never pass through a DataFrame. */
+  def ofPlan(plan: SparkPlan): String = {
     def walk(p: SparkPlan): String = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         walk(a.initialPlan)
@@ -26,7 +31,7 @@ object PlanFingerprint {
         val kids = p.children.map(walk)
         if (kids.isEmpty) label else label + "(" + kids.mkString(",") + ")"
     }
-    val tree = walk(df.queryExecution.executedPlan)
+    val tree = walk(plan)
     val nEx = "Exchange".r.findAllIn(tree).length
     s"ex=$nEx|$tree"
   }

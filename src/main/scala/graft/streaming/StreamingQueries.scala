@@ -32,6 +32,28 @@ object StreamingQueries {
 
   private val runCounter = new AtomicLong(0)
 
+  /** Plan-stability capture for streaming entries (round 12): batch
+    * entries fingerprint their DataFrame, but a streaming chain's
+    * physical plan only exists per micro-batch inside StreamExecution —
+    * so each contract entry records its LAST executed micro-batch plan's
+    * fingerprint here (keyed by entry name via a thread-local the defs
+    * wrapper sets), and StreamPlanAuditSpec gates the map against a
+    * committed snapshot. MemoryStream twins (spec rig) run with no
+    * current entry and record nothing. */
+  private[graft] val lastPlans =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val currentEntry = new ThreadLocal[String]
+  private def recordPlan(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    Option(currentEntry.get()).foreach(record(_, q))
+
+  /** Record a stream's fingerprint under an explicit entry name — for
+    * streaming contract entries defined OUTSIDE this object
+    * (q_stream_index_ingest lives with the ANN block). */
+  private[graft] def record(name: String,
+                            q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    org.apache.spark.sql.graft.StreamPlan.lastExecutedPlan(q)
+      .foreach(pl => lastPlans(name) = graft.sed.PlanFingerprint.ofPlan(pl))
+
   /** State partitions for these entries. A streaming query fixes its state
     * partitioning at first start from `spark.sql.shuffle.partitions`, and
     * every micro-batch commits one state-store delta PER PARTITION PER
@@ -77,7 +99,7 @@ object StreamingQueries {
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runCounter.incrementAndGet()}"
     val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     s.table(name)
   }
 
@@ -90,7 +112,7 @@ object StreamingQueries {
       .option("path", outDir)
       .option("checkpointLocation", tmp("graft_stream_ck"))
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     s.read.parquet(outDir)
   }
 
@@ -449,7 +471,7 @@ object StreamingQueries {
       }
       .option("checkpointLocation", tmp("graft_ppl_ck"))
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     s0.read.parquet(outPath)
       .select("doc_id", "lang", "score_u", "bucket")
   }
@@ -480,7 +502,7 @@ object StreamingQueries {
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       tmp("graft_substr_idx"), outPath,
       tmp("graft_substr_ck"), graft.sed.PipelineQueries.SubstrL)
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     s0.read.parquet(outPath)
       .select("doc_id", "span_id", "span_start", "span_end")
   }
@@ -512,7 +534,7 @@ object StreamingQueries {
       tmp("graft_split_ck"),
       graft.sed.PipelineQueries.NumHashes, graft.sed.PipelineQueries.RowsPerBand,
       graft.sed.PipelineQueries.ShingleN, 0.8, graft.sed.PipelineQueries.MaxBucket)
-    try q.processAllAvailable() finally q.stop()
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     graft.operators.Dedup.splitIndexAssignment(
       s0, docsDf, "doc_id", "text", graft.sed.PipelineQueries.SplitSeed, idxPath)
   }
@@ -727,7 +749,14 @@ object StreamingQueries {
   }
 
   /** Rows-only driver entries (streaming plans have no DuckDB twin). */
-  val defs: Map[String, QueryDef] = Map(
+  val defs: Map[String, QueryDef] = rawDefs.map { case (n, qd) =>
+    n -> qd.copy(build = (s, d) => {
+      currentEntry.set(n)
+      try qd.build(s, d) finally currentEntry.remove()
+    })
+  }
+
+  private lazy val rawDefs: Map[String, QueryDef] = Map(
     // ORACLE-ELIGIBLE (promoted round 12): complete-mode session_window
     // over an event-time-ordered feed retains every session and merges
     // exactly like batch gap-break sessionization — two events share a
