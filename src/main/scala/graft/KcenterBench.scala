@@ -34,6 +34,17 @@ object KcenterBench {
     val picks = res.collect()
     println(s"picks ${picks.length} distinct ${picks.map(_.getLong(1)).distinct.length} " +
       f"final_r_u ${picks.last.getLong(2)}")
+    // assignment at this k: brute broadcast is O(k·dim) per row
+    // (2M × 2048 × 64 = 2.6e11 flops); the IVF-routed path scans only
+    // nprobe cells' centers per row
+    val centers = corpus
+      .join(res.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    val ra = t("routed-assign")(
+      graft.operators.Ann.clusterAssignRouted(corpus, "vec_id", "embedding",
+        centers, cells = 64, nprobe = 4).queryExecution.toRdd.count())
+    println(s"assigned $ra")
     spark.stop()
   }
 }

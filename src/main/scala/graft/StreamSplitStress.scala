@@ -46,6 +46,22 @@ object StreamSplitStress {
       .foreach(r => println(s"SPLIT ${r.getString(0)} ${r.getLong(1)}"))
     println(s"INDEX reps=${spark.read.parquet(s"$idx/hashes").count()} " +
       s"labelRows=${spark.read.parquet(s"$idx/clusters").count()}")
+    // maintenance-cadence compaction: label history collapses to one row
+    // per rep and the final assignment must be IDENTICAL through it
+    val before = graft.operators.Dedup.splitIndexAssignment(
+        spark, docs, "doc_id", "text", "graft-split", idx)
+      .groupBy("split").count().orderBy("split").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dest = java.nio.file.Files.createTempDirectory("graft_spl_cidx").toString
+    val t1 = System.nanoTime()
+    graft.operators.Dedup.compactSplitIndex(spark, idx, dest)
+    println(f"COMPACT ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+      s"labelRows=${spark.read.parquet(s"$dest/clusters").count()}")
+    val after = graft.operators.Dedup.splitIndexAssignment(
+        spark, docs, "doc_id", "text", "graft-split", dest)
+      .groupBy("split").count().orderBy("split").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    println(s"COMPACT_INVARIANT ${before == after} $before")
     spark.stop()
   }
 }

@@ -1045,6 +1045,98 @@ object Ann {
     s
   }
 
+  /** [[clusterAssign]] for center counts in the THOUSANDS — the
+    * brute-force broadcast map is O(k·dim) per row, which at k = 4096
+    * over 100 TB is the whole job. This routes instead: the centers are
+    * grouped driver-side into `cells` routing cells (stride-sampled
+    * from the centers themselves, every center assigned to its nearest
+    * cell — the IVF shape applied to the CENTER TABLE, k rows, not the
+    * corpus), and each corpus vector scans only the centers of its
+    * `nprobe` nearest cells — O((cells + k·nprobe/cells)·dim) per row.
+    * Approximate by construction (a vector's true nearest center can
+    * sit in an unprobed cell); with nprobe >= cells it degrades to the
+    * exact scan and EQUALS [[clusterAssign]] bit-for-bit (RoutedAssignSpec
+    * pins it, plus planted-cluster exactness under real pruning and a
+    * >= 0.95 agreement gate on smooth data). Ties: higher cosine wins,
+    * then lower center id — identical to [[clusterAssign]]. */
+  def clusterAssignRouted(corpus: DataFrame, idCol: String, vecCol: String,
+                          centers: Array[(Int, Array[Float])],
+                          cells: Int, nprobe: Int): DataFrame = {
+    require(cells >= 1 && nprobe >= 1 && centers.nonEmpty)
+    val spark = corpus.sparkSession
+    // routing cells: every (k/cells)-th center by id order (the
+    // strideCentroids convention); each center then joins its nearest
+    // cell — all driver-side over the k-row center table
+    val sorted = centers.sortBy(_._1)
+    val stride = math.max(1, sorted.length / cells)
+    val cellVecs = sorted.indices.collect {
+      case i if i % stride == 0 => sorted(i)._2
+    }.take(cells).toArray
+    val cellNorms = cellVecs.map(v => math.sqrt(dot(v, v)))
+    require(cellNorms.forall(_ > 0.0), "zero-norm routing cell")
+    def nearestCells(v: Array[Float], nv: Double, n: Int): Array[Int] =
+      cellVecs.indices
+        .map(c => (dot(cellVecs(c), v) / (cellNorms(c) * nv), c))
+        .sortBy { case (cos, c) => (-cos, c) }
+        .take(n).map(_._2).toArray
+    val grouped: Map[Int, Array[(Int, Array[Float], Double)]] =
+      sorted.map { case (cid, v) =>
+        val nv = math.sqrt(dot(v, v))
+        require(nv > 0.0, s"clusterAssignRouted: zero-norm center $cid")
+        (nearestCells(v, nv, 1)(0), (cid, v, nv))
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val gB = spark.sparkContext.broadcast(grouped)
+    val cellB = spark.sparkContext.broadcast((cellVecs, cellNorms))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("cos", DoubleType)))
+    val np = math.min(nprobe, cellVecs.length)
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val (cv, cn) = cellB.value
+      val groups = gB.value
+      it.map { row =>
+        val v = row.getSeq[Float](1).toArray
+        val nv = math.sqrt(dot(v, v))
+        require(nv > 0.0,
+          s"clusterAssignRouted: zero-norm embedding at ${row.getLong(0)} — " +
+            "cosine assignment is undefined; filter zero vectors upstream")
+        // nprobe nearest cells (ties to lower cell index)
+        val order = cv.indices
+          .map(c => (dot(cv(c), v) / (cn(c) * nv), c))
+          .sortBy { case (cos, c) => (-cos, c) }
+        var best = -2.0; var bestC = -1
+        var p = 0
+        while (p < np) {
+          val cell = order(p)._2
+          groups.get(cell).foreach { cs =>
+            var i = 0
+            while (i < cs.length) {
+              val (cid, cvec, cnorm) = cs(i)
+              val c = dot(cvec, v) / (cnorm * nv)
+              if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+              i += 1
+            }
+          }
+          p += 1
+        }
+        // degenerate guard: every probed cell empty (possible when many
+        // cells share identical seed vectors) — fall back to the exact scan
+        if (bestC == -1) groups.valuesIterator.foreach { cs =>
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cvec, cnorm) = cs(i)
+            val c = dot(cvec, v) / (cnorm * nv)
+            if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+            i += 1
+          }
+        }
+        Row(row.getLong(0), bestC, best)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Ceiling on [[kcenterSampled]]'s driver-resident sample: 1<<16 rows
     * of a dim-64 float vector is 16 MiB — the same bounded-collect class
     * as [[MaxDefaultCentroids]]' centroid table. */
