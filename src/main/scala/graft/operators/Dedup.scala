@@ -1508,6 +1508,75 @@ object Dedup {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$destPath/texts")
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental CDC-chunk dedup over a persisted chunk index
+  // ---------------------------------------------------------------------
+
+  /** CDC-chunk-dedup an arriving batch against a persisted chunk index
+    * plus itself — the ingestion form of [[cdcDedup]], and the chunk
+    * analogue of [[incrementalSubstringDedup]] (simpler: chunks are
+    * atomic, no extension walk). The index under `path/chunks` is
+    * append-only (ph, owner) rows — each distinct chunk hash with the
+    * id of its first-ever owner; a batch chunk classifies dup iff its
+    * hash is indexed with a STRICTLY SMALLER owner, or an earlier
+    * (id, s) occurrence exists within the batch — with monotone
+    * ingestion ids that IS the from-scratch corpus-order-first rule, so
+    * the accumulated per-doc reports EQUAL [[cdcDedup]] over everything
+    * ingested, row-for-row (ChunkIngestSpec; a doc's report can never
+    * be changed by later arrivals, so per-batch outputs are final).
+    * The strict owner inequality is what makes a POST-append crash
+    * replay idempotent: a replayed batch finds its own chunks indexed
+    * under its OWN ids, which never classify its first occurrences as
+    * dups (the [[incrementalSubstringDedup]] self-exclusion trick), so
+    * the re-derived report is identical; the duplicate owner rows it
+    * re-appends are absorbed by min-owner resolution and reclaimed by
+    * [[compactChunkIndex]]. Returns (idCol, n_chunks, n_dup_chunks,
+    * dup_chars). Scale: the batch side broadcasts into the index probe
+    * (hash join on the 16-byte md5, min-owner over MATCHED rows only),
+    * shuffles are batch/matched-sized, the append new-hash-sized. */
+  def incrementalCdcDedup(spark: org.apache.spark.sql.SparkSession,
+                          delta: DataFrame, idCol: String, textCol: String,
+                          path: String, w: Int, div: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$path/chunks"))
+    val idx =
+      if (hasIndex) spark.read.parquet(s"$path/chunks")
+      else spark.range(0).select(lit("").as("ph"), lit(0L).as("owner"))
+    val ch = cdcChunks(delta, idCol, textCol, w, div)
+      .localCheckpoint(true) // feeds classify AND the append
+    // earliest indexed owner of the batch's hashes: matched rows only
+    val owners = idx
+      .join(ch.select("ph").distinct(), Seq("ph"), "left_semi")
+      .groupBy("ph").agg(min("owner").as("__own"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("ph").orderBy(col(idCol), col("s"))
+    val classified = ch
+      .join(owners, Seq("ph"), "left")
+      .withColumn("__keep",
+        (col("__own").isNull || col("__own") >= col(idCol)) &&
+          row_number().over(win) === 1)
+      .localCheckpoint(true) // feeds the report AND the new-hash append
+    val report = classified
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(!col("__keep"), 1)).as("n_dup_chunks"),
+        coalesce(sum(when(!col("__keep"), col("clen"))), lit(0L)).as("dup_chars"))
+    classified.filter(col("__keep"))
+      .select(col("ph"), col(idCol).as("owner")).distinct()
+      .write.mode("append").parquet(s"$path/chunks")
+    report
+  }
+
+  /** Rewrite a chunk index compactly (coalesce small append files, drop
+    * crash-replay duplicate owner rows to the min owner). Index-sized,
+    * maintenance cadence. */
+  def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, destPath: String): Unit =
+    spark.read.parquet(s"$path/chunks")
+      .groupBy("ph").agg(min("owner").as("owner"))
+      .write.mode("overwrite").parquet(s"$destPath/chunks")
+
   /** Paragraph-level exact dedup (the Dolma/CCNet granularity between
     * whole-document exact dedup and n-gram span trims): documents split
     * into fixed-budget `paraTokens`-token paragraphs, and a paragraph

@@ -527,8 +527,22 @@ object Multimodal {
   def videoCdcDedup(docs: DataFrame, idCol: String, payloadCol: String,
                     frameBytes: Int, stride: Int,
                     w: Int = 16, div: Int = 32, batchSize: Int = 64): DataFrame = {
-    val frames = sampleFrames(docs, idCol, payloadCol, frameBytes, stride, batchSize)
-    val seqs = frames
+    val seqs = frameTokenSeqs(docs, idCol, payloadCol, frameBytes, stride, batchSize)
+      .localCheckpoint(true) // feeds the chunker AND the final join
+    graft.operators.Dedup.cdcDedup(seqs, "doc_id", "__fstr", w, div)
+      .join(seqs.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_frames"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_chars"))
+  }
+
+  /** Each video's sampled-frame token sequence — (doc_id, n_frames,
+    * __fstr) with __fstr = 8-hex md5 tokens concatenated in frame order.
+    * Shared by [[videoCdcDedup]] and the streaming ingest twin so the
+    * chunk domain cannot drift. */
+  def frameTokenSeqs(docs: DataFrame, idCol: String, payloadCol: String,
+                     frameBytes: Int, stride: Int,
+                     batchSize: Int = 64): DataFrame =
+    sampleFrames(docs, idCol, payloadCol, frameBytes, stride, batchSize)
       .select(col("doc_id"), col("frame_idx"),
         substring(md5(col("frame")), 1, 8).as("__tok"))
       .groupBy("doc_id")
@@ -536,12 +550,6 @@ object Multimodal {
         concat_ws("", transform(
           array_sort(collect_list(struct(col("frame_idx"), col("__tok")))),
           p => p("__tok"))).as("__fstr"))
-      .localCheckpoint(true) // feeds the chunker AND the final join
-    graft.operators.Dedup.cdcDedup(seqs, "doc_id", "__fstr", w, div)
-      .join(seqs.select(col("doc_id"), col("n_frames")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_frames"), col("n_chunks"),
-        col("n_dup_chunks"), col("dup_chars"))
-  }
 
   /** Rows with a NULL payload carry nothing to decode — drop them before
     * the batch pass (a null would NPE inside the per-batch dereference). */

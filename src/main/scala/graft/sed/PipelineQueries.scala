@@ -303,6 +303,36 @@ object PipelineQueries {
            FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
            GROUP BY d.doc_id""".replaceAll("\\s+", " ")}
 
+  /** q_video_cdc_dedup's oracle — see the entry comment; factored so
+    * the streaming ingest twin shares it verbatim. */
+  private[graft] lazy val videoCdcOracle: String =
+        (s"""WITH fr AS (SELECT doc_id, f,
+             substr(md5(substr(text, CAST(f * 64 + 1 AS INT), 64)), 1, 8) AS tok
+           FROM documents, UNNEST(range(0, len(text) // 64)) AS t(f)),
+         vseq AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             string_agg(tok, '' ORDER BY f) AS fstr FROM fr GROUP BY doc_id),
+         g AS (SELECT doc_id, i - 1 AS pos,
+             ('0x' || substr(md5(substr(fstr, CAST(i AS INT), 16)), 1, 15))::BIGINT AS h
+           FROM vseq, UNNEST(range(1, len(fstr) - 16 + 2)) AS t(i)
+           WHERE len(fstr) >= 16),
+         cuts AS (SELECT doc_id, 0 AS cut FROM vseq WHERE len(fstr) > 0
+           UNION SELECT doc_id, pos FROM g WHERE h % 32 = 0
+           UNION SELECT doc_id, len(fstr) FROM vseq WHERE len(fstr) > 0),
+         ch AS (SELECT doc_id, cut AS s,
+             LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e FROM cuts),
+         chunk AS (SELECT ch.doc_id, s, e - s AS clen,
+             md5(substr(fstr, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS ph
+           FROM ch JOIN vseq v ON v.doc_id = ch.doc_id WHERE e IS NOT NULL),
+         marked AS (SELECT doc_id, clen,
+             ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, s) = 1 AS keep
+           FROM chunk),
+         rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dup_chunks,
+             CAST(COALESCE(SUM(clen) FILTER (WHERE NOT keep), 0) AS BIGINT) AS dup_chars
+           FROM marked GROUP BY doc_id)
+         SELECT v.doc_id, v.n_frames, r.n_chunks, r.n_dup_chunks, r.dup_chars
+         FROM vseq v JOIN rep r USING (doc_id)""").replaceAll("\\s+", " ")
+
   /** The SQL replay of withPgmPayload + aHash8 for the synthetic P5
     * payloads (32×32 gray, 1 channel): gray byte at 0-based index i is
     * the rpad-cycled `text || 'x'` byte at i (ASCII corpus — ISO-8859-1
@@ -3145,33 +3175,10 @@ object PipelineQueries {
       // ASCII corpus a byte slice IS a char substr — so the frame
       // tokens (md5 prefix per slice), the token-string assembly, and
       // the whole CDC chunk pass replay in SQL (the q_cdc_dedup oracle
-      // over the derived frame-token relation).
-      Some(s"""WITH fr AS (SELECT doc_id, f,
-             substr(md5(substr(text, CAST(f * 64 + 1 AS INT), 64)), 1, 8) AS tok
-           FROM documents, UNNEST(range(0, len(text) // 64)) AS t(f)),
-         vseq AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-             string_agg(tok, '' ORDER BY f) AS fstr FROM fr GROUP BY doc_id),
-         g AS (SELECT doc_id, i - 1 AS pos,
-             ('0x' || substr(md5(substr(fstr, CAST(i AS INT), 16)), 1, 15))::BIGINT AS h
-           FROM vseq, UNNEST(range(1, len(fstr) - 16 + 2)) AS t(i)
-           WHERE len(fstr) >= 16),
-         cuts AS (SELECT doc_id, 0 AS cut FROM vseq WHERE len(fstr) > 0
-           UNION SELECT doc_id, pos FROM g WHERE h % 32 = 0
-           UNION SELECT doc_id, len(fstr) FROM vseq WHERE len(fstr) > 0),
-         ch AS (SELECT doc_id, cut AS s,
-             LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e FROM cuts),
-         chunk AS (SELECT ch.doc_id, s, e - s AS clen,
-             md5(substr(fstr, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS ph
-           FROM ch JOIN vseq v ON v.doc_id = ch.doc_id WHERE e IS NOT NULL),
-         marked AS (SELECT doc_id, clen,
-             ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, s) = 1 AS keep
-           FROM chunk),
-         rep AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dup_chunks,
-             CAST(COALESCE(SUM(clen) FILTER (WHERE NOT keep), 0) AS BIGINT) AS dup_chars
-           FROM marked GROUP BY doc_id)
-         SELECT v.doc_id, v.n_frames, r.n_chunks, r.n_dup_chunks, r.dup_chars
-         FROM vseq v JOIN rep r USING (doc_id)""".replaceAll("\\s+", " "))),
+      // over the derived frame-token relation). Shared VERBATIM by
+      // q_stream_video_dedup (per-video reports are final at ingest, so
+      // the incremental chunk-index loop equals this from-scratch pass).
+      Some(videoCdcOracle)),
 
     "q_multimodal_meta" -> QueryDef(
       (s, d) => Multimodal.decodeMeta(

@@ -515,6 +515,40 @@ object SedStreaming {
       .option("checkpointLocation", ckPath)
       .start()
 
+  /** Frame-sampled VIDEO dedup AT INGEST — the streaming form of
+    * Multimodal.videoCdcDedup over the persisted chunk index
+    * (Dedup.incrementalCdcDedup): each arriving micro-batch of video
+    * payloads derives its frame-token sequences, chunk-classifies them
+    * against the index plus itself, writes its per-video report under
+    * `outPath/batch=<id>`, and admits its new chunk hashes. A video's
+    * report is FINAL at ingest (corpus-order-first means later arrivals
+    * can never change it), so the accumulated reports EQUAL the
+    * from-scratch batch operator row-for-row under monotone-id feeds
+    * (ChunkIngestSpec) — which is why q_stream_video_dedup shares
+    * q_video_cdc_dedup's oracle VERBATIM. Per-batch cost
+    * O(|batch| + matched); crash replay is idempotent (per-batch
+    * overwrite output, hash-append absorbed by the probe). */
+  def streamingVideoDedup(docs: DataFrame, idCol: String, payloadCol: String,
+                          indexPath: String, outPath: String, ckPath: String,
+                          frameBytes: Int, stride: Int,
+                          w: Int = 16, div: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val seqs = graft.operators.Multimodal.frameTokenSeqs(
+            b.toDF(), idCol, payloadCol, frameBytes, stride)
+          .localCheckpoint(true) // feeds the classifier AND the n_frames join
+        graft.operators.Dedup.incrementalCdcDedup(
+            s, seqs, "doc_id", "__fstr", indexPath, w, div)
+          .join(seqs.select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("n_frames")), Seq("doc_id"))
+          .select("doc_id", "n_frames", "n_chunks", "n_dup_chunks", "dup_chars")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .option("checkpointLocation", ckPath)
+      .start()
+
   /** Stage a batch table as an event-time-ordered FILE-SOURCE feed: rows
     * are range-partitioned on `tsCol` into `chunks` parquet files whose
     * modification times ascend in time order, so

@@ -539,6 +539,37 @@ object StreamingQueries {
       s0, docsDf, "doc_id", "text", graft.sed.PipelineQueries.SplitSeed, idxPath)
   }
 
+  /** Frame-sampled video dedup AT INGEST: the documents table's
+    * synthetic payloads replayed as an ascending-id file feed into the
+    * incremental chunk-index loop (SedStreaming.streamingVideoDedup) —
+    * each micro-batch chunk-classifies its frame-token sequences
+    * against the persisted index and admits its new hashes.
+    * ORACLE-ELIGIBLE: per-video reports are FINAL at ingest
+    * (corpus-order-first), so the accumulated outputs equal the batch
+    * operator row-for-row and this shares q_video_cdc_dedup's oracle
+    * VERBATIM. */
+  def streamVideoDedup(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_video_feed")
+    SedStreaming.stageFileStream(
+      graft.operators.Multimodal.withPayload(
+          Tables.documents(s0, d).select(col("doc_id").cast("long").as("doc_id"),
+            col("text")), "text", "payload")
+        .select("doc_id", "payload"),
+      "doc_id", dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val outPath = tmp("graft_video_out")
+    val q = SedStreaming.streamingVideoDedup(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "payload",
+      tmp("graft_video_idx"), outPath, tmp("graft_video_ck"),
+      frameBytes = 64, stride = 1)
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
+    s0.read.parquet(outPath)
+      .select("doc_id", "n_frames", "n_chunks", "n_dup_chunks", "dup_chars")
+  }
+
   /** Streaming cohort retention: the events feed through per-user
     * week-set state (calendar-bounded), (user, week) emitted exactly
     * once on first sight, folded to retention cells. ORACLE-ELIGIBLE:
@@ -830,6 +861,8 @@ object StreamingQueries {
     "q_stream_substring" -> QueryDef((s, d) => streamSubstring(s, d), None),
     "q_stream_leakage_split" -> QueryDef((s, d) => streamLeakageSplit(s, d),
       Some(graft.sed.PipelineQueries.leakageSplitOracle)),
+    "q_stream_video_dedup" -> QueryDef((s, d) => streamVideoDedup(s, d),
+      Some(graft.sed.PipelineQueries.videoCdcOracle)),
     "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),
       Some(graft.sed.PipelineQueries.blocklistOracle)),
     "q_stream_ppl" -> QueryDef((s, d) => streamPpl(s, d),
