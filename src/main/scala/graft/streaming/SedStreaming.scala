@@ -55,6 +55,19 @@ object SedStreaming {
   def enrichWithSensor(events: DataFrame, sensor: DataFrame,
                        eventTs: String, sensorTs: String,
                        watermark: String, toleranceSec: Int): DataFrame = {
+    // the q_stream_enrich exactness argument (result == the batch
+    // tolerance join for ANY chunking of in-order feeds) needs the
+    // watermark delay to EXCEED the join tolerance — a sensor row a
+    // future event still needs must outlive eviction. Misconfiguration
+    // would silently drop matches; fail loudly at build instead.
+    val wm = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    require(wm.months == 0, s"watermark '$watermark' must not use months (ambiguous length)")
+    val wmMicros = wm.days * 86400000000L + wm.microseconds
+    require(wmMicros > toleranceSec * 1000000L,
+      s"watermark delay '$watermark' must exceed the join tolerance " +
+        s"($toleranceSec s) — otherwise in-tolerance matches can be " +
+        "evicted before the later side arrives")
     def bucket(c: Column): Column = floor(unix_timestamp(c) / toleranceSec)
     val e = events.withWatermark(eventTs, watermark)
       .withColumn("__bk", bucket(col(eventTs)))

@@ -51,6 +51,18 @@ class SedStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("enrichWithSensor refuses a watermark delay at or below the join tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[(Timestamp, Long)]
+    val sn = MemoryStream[(Timestamp, Double)]
+    val e = intercept[IllegalArgumentException] {
+      SedStreaming.enrichWithSensor(
+        ev.toDF().toDF("ets", "event_id"), sn.toDF().toDF("sts", "temp"),
+        "ets", "sts", "30 seconds", 30)
+    }
+    assert(e.getMessage.contains("tolerance"))
+  }
+
   test("enrichWithSensor attaches readings within the tolerance window") {
     implicit val sqlCtx = spark.sqlContext
     val ev = MemoryStream[(Timestamp, Long)]
