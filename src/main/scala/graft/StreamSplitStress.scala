@@ -16,12 +16,33 @@ object StreamSplitStress {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sfbig")
     val chunks = args.lift(1).map(_.toInt).getOrElse(10)
+    // "merges" mode: a synthetic MERGE-HEAVY feed — cluster seed PAIRS
+    // (J < 0.8 apart) land in the early batches, their bridges (J >= 0.8
+    // to both) in the late ones, so every bridge batch forces thousands
+    // of cross-batch cluster merges: the label-history growth worst case
+    // (every merge appends correction rows for the losing cluster).
+    val mergeHeavy = args.lift(2).contains("merges")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val docs =
+      if (mergeHeavy) {
+        val n = 30000L // 10k clusters x (2 seeds + 1 late bridge)
+        // ids 0..2n/3-1: seeds a/b of cluster (id % (2n/3) / 2);
+        // ids >= 2n/3: bridge of cluster (id - 2n/3)
+        spark.range(n).selectExpr("id AS doc_id",
+          s"""CASE
+             WHEN id < ${2 * n / 3} THEN
+               concat_ws(' ',
+                 transform(sequence(0, 31), i -> concat('c', CAST(id DIV 2 AS STRING), '_', i)),
+                 transform(sequence(0, 4),  i -> concat(CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END,
+                   CAST(id DIV 2 AS STRING), '_', i)))
+             ELSE concat_ws(' ',
+               transform(sequence(0, 31), i -> concat('c', CAST(id - ${2 * n / 3} AS STRING), '_', i)))
+             END AS text""")
+      } else spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val feed = java.nio.file.Files.createTempDirectory("graft_spl_feed").toString
     graft.streaming.SedStreaming.stageFileStream(docs, "doc_id", feed, chunks)
     val idx = java.nio.file.Files.createTempDirectory("graft_spl_idx").toString
