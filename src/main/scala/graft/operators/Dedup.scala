@@ -719,6 +719,7 @@ object Dedup {
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, destPath: String,
                         maxBucket: Int = 10000): Unit = {
+    requireDistinctPaths(spark, path, destPath)
     spark.read.parquet(s"$path/hashes").repartition(col("content_hash"))
       .write.mode("overwrite").parquet(s"$destPath/hashes")
     val bands = spark.read.parquet(s"$path/bands")
@@ -728,6 +729,96 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$destPath/bands")
     spark.read.parquet(s"$path/shingles").repartition(col("keeper"))
       .write.mode("overwrite").parquet(s"$destPath/shingles")
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared guards for the persisted-index family (round 13)
+  // ---------------------------------------------------------------------
+
+  /** Compaction reads `path` lazily and writes `destPath` with
+    * mode("overwrite") — if the two resolve to the same location, Spark
+    * deletes the input files before the read completes and the index is
+    * destroyed. Fail loudly instead (build-time guard, like the enrich
+    * join's watermark check). */
+  private def requireDistinctPaths(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, destPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def resolved(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        fs.makeQualified(hp)).toString
+    }
+    require(resolved(path) != resolved(destPath),
+      s"compaction destPath must differ from path (both resolve to " +
+        s"${resolved(path)}): an overwrite write into the read path " +
+        "deletes the index before the lazy read completes")
+  }
+
+  /** Runtime enforcement of the dedup family's monotone-id ingestion
+    * contract ('batch ids must exceed all ingested ids'): a violating
+    * batch would silently break the labels-only-decrease invariant
+    * (split index) or misclassify chunk dups (chunk index). The guard is
+    * O(1) per batch — the max ingested id rides a tiny `_ingest_max`
+    * marker file (two longs: the LAST batch's min and max), not an index
+    * scan. An exact crash-replay of the last batch re-presents the same
+    * min id, which the marker recognizes and admits (replay idempotence
+    * is load-bearing for the whole family); a pre-marker index (built
+    * before this guard existed) migrates by a one-time max scan.
+    * Returns the batch's (min, max) ids for [[recordIngestMax]] (None
+    * for an empty batch — nothing to guard or record) plus whether the
+    * batch is an exact replay of the last ingested one. */
+  private def checkMonotoneIngest(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, delta: DataFrame, idCol: String,
+                                  table: String, ownerCol: String):
+      (Option[(Long, Long)], Boolean) = {
+    val mm = delta.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).first()
+    if (mm.isNullAt(0)) return (None, false)
+    val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ingest_max")
+    val fs = marker.getFileSystem(conf)
+    val last: Option[(Long, Long)] =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val parts = txt.split(",")
+        Some((parts(0).toLong, parts(1).toLong))
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$table"))) {
+        // pre-guard index: derive the high-water mark once, then the
+        // marker maintains it
+        val m = spark.read.parquet(s"$path/$table")
+          .agg(max(col(ownerCol).cast("long"))).first()
+        if (m.isNullAt(0)) None else Some((Long.MinValue, m.getLong(0)))
+      } else None
+    last.foreach { case (lastMin, lastMax) =>
+      require(bMin > lastMax || bMin == lastMin,
+        s"monotone-id ingestion contract violated at $path: batch min id " +
+          s"$bMin is not greater than the last ingested max id $lastMax " +
+          s"(and is not an exact replay of the last batch, whose min was " +
+          s"$lastMin) — out-of-order ingestion silently corrupts the " +
+          "index's corpus-order-first semantics")
+    }
+    (Some((bMin, bMax)), last.exists(_._1 == bMin))
+  }
+
+  /** Persist the batch's (min, max) ids after its appends commit — the
+    * other half of [[checkMonotoneIngest]]. Temp-file + rename, so a
+    * crash leaves the previous marker (stale-low is safe: it only ever
+    * ADMITS a replay, never rejects a legal batch). */
+  private def recordIngestMax(spark: org.apache.spark.sql.SparkSession,
+                              path: String, minMax: (Long, Long)): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ingest_max")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_ingest_max.tmp")
+    val fs = marker.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(s"${minMax._1},${minMax._2}".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
   }
 
   // ---------------------------------------------------------------------
@@ -751,7 +842,9 @@ object Dedup {
     * of already-ingested content routed to its cluster's split, so a
     * paraphrase of a test document can never land in train even across
     * batches. Batch ids must exceed all ingested ids (the monotone
-    * ingestion contract of the dedup family).
+    * ingestion contract of the dedup family) — ENFORCED at run time via
+    * the `_ingest_max` marker ([[checkMonotoneIngest]]; exact replays of
+    * the last batch are admitted, violations fail loudly).
     *
     * Index layout under `path` — ALL tables append-only, which is what
     * makes replay after a crash idempotent by construction:
@@ -790,8 +883,76 @@ object Dedup {
                        seed: String, path: String,
                        numHashes: Int = 12, rowsPerBand: Int = 3,
                        shingleN: Int = 3, minJaccard: Double = 0.8,
-                       maxBucket: Int = 10000): DataFrame = {
+                       maxBucket: Int = 10000): DataFrame =
+    splitIndexIngestWithCorrections(spark, delta, idCol, textCol, seed, path,
+      numHashes, rowsPerBand, shingleN, minJaccard, maxBucket)._1
+
+  /** [[splitIndexIngest]] plus the batch's CORRECTIONS STREAM — the
+    * second DataFrame is one row per cluster this batch re-keyed
+    * (old_label, new_label, new_split): when a batch merges two clusters
+    * previously assigned different splits, docs ALREADY EMITTED under
+    * the losing (higher) label belong to the winning label's split from
+    * this batch on. A consumer of the per-batch at-ingest outputs folds
+    * each batch's corrections over its accumulated rows (join on
+    * cluster_label = old_label, applied in batch order — re-keys chain
+    * downward across batches) and thereby converges to the final index
+    * assignment ([[splitIndexAssignment]]) WITHOUT re-reading the
+    * corpus; SplitIngestSpec pins "at-ingest outputs + corrections ==
+    * final assignment" on the merge fixture. Empty on merge-free
+    * batches. The index appends run before this returns; callers that
+    * need their own batch outputs durable BEFORE the index commits (the
+    * streaming loop) use [[splitIndexIngestStaged]]. */
+  def splitIndexIngestWithCorrections(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, idCol: String, textCol: String,
+      seed: String, path: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      maxBucket: Int = 10000): (DataFrame, DataFrame) = {
+    val r = splitIndexIngestStaged(spark, delta, idCol, textCol, seed, path,
+      numHashes, rowsPerBand, shingleN, minJaccard, maxBucket)
+    r.commit()
+    (r.assigned, r.corrections)
+  }
+
+  /** The result of [[splitIndexIngestStaged]]: the batch's derived
+    * outputs, a replay flag, and the deferred index-append commit. */
+  final case class SplitIngest(assigned: DataFrame, corrections: DataFrame,
+                               replayOfLastBatch: Boolean, commit: () => Unit)
+
+  /** [[splitIndexIngestWithCorrections]] with the index appends DEFERRED
+    * behind `commit()` — the crash-safe shape for a streaming loop that
+    * must write its own per-batch outputs durably BEFORE the index
+    * mutates. Everything is derived (and localCheckpointed) eagerly
+    * against the PRE-batch index; the `_ingest_max` replay marker is
+    * written here (before any append), so the crash windows line up as:
+    *
+    *  - crash before the caller's output writes → replay re-derives
+    *    everything identically (index unchanged);
+    *  - crash between output writes and commit() → replay sees
+    *    `replayOfLastBatch` = true with outputs present (skip) or — for
+    *    the not-yet-written ones — re-derives them identically;
+    *  - crash DURING commit() → `replayOfLastBatch` = true and the
+    *    already-written outputs are kept: this matters because a replay
+    *    against a partially-appended index CANNOT re-derive the
+    *    corrections (the clusters/ append has already applied the merge,
+    *    so the re-keying is invisible) — the kept pre-crash files are
+    *    the correct ones. The appends themselves replay idempotently
+    *    (min-label absorption, candidate distinct, hashes-last gate).
+    *
+    * `replayOfLastBatch` is the `_ingest_max` marker's min-id equality —
+    * exact replays of the last batch only; anything else out of order
+    * fails the monotone guard loudly. */
+  def splitIndexIngestStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, idCol: String, textCol: String,
+      seed: String, path: String,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      shingleN: Int = 3, minJaccard: Double = 0.8,
+      maxBucket: Int = 10000): SplitIngest = {
     require(!seed.contains("'"), "seed must not contain quotes")
+    val (ingestMm, isReplay) = checkMonotoneIngest(spark, path, delta, idCol,
+      "hashes", "keeper")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$path/hashes"))
@@ -833,8 +994,24 @@ object Dedup {
           struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint(true) // feeds the candidate join AND the admit
-    val candX = dBands.join(idxBands, Seq("band", "key"))
-      .select(col(idCol).as("a_id"), col("keeper").as("b_id")).distinct()
+    // cross-batch probe, SKEW-GUARDED: a degenerate band key accumulates
+    // index rows across batches, so an uncapped probe's matched set for
+    // that key would grow per batch and erode the O(|batch| + matched)
+    // cost. Count matched INDEX rows per (band, key) and drop buckets
+    // over maxBucket before the expensive shingle verify — the same cap
+    // rule leakageSafeSplit applies globally (an index bucket over the
+    // cap implies the global bucket is too, so equality's premise is
+    // unchanged). The probe is checkpointed so the key count doesn't
+    // re-probe the index.
+    val probeX = dBands.join(idxBands, Seq("band", "key"))
+      .select(col("band"), col("key"), col(idCol).as("a_id"),
+        col("keeper").as("b_id"))
+      .localCheckpoint(true)
+    val okKeys = probeX.select("band", "key", "b_id").distinct()
+      .groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "key")
+    val candX = probeX.join(okKeys, Seq("band", "key"), "left_semi")
+      .select("a_id", "b_id").distinct()
     // verify: in-batch over fresh shingle sets; cross against the index's
     val shB = shingleSets(reps, idCol, textCol, shingleN)
       .localCheckpoint(true)
@@ -892,42 +1069,76 @@ object Dedup {
         coalesce(col("__clab"), col("__blab")).as("cluster_label"))
       .withColumn("split", splitOf(col("cluster_label"), seed))
       .localCheckpoint(true)
-    // writes: hashes/ LAST — it is the gate that decides what counts as
-    // a new rep, so it acts as the batch's commit marker. A crash before
-    // it replays the whole batch identically (same reps re-derived);
-    // the earlier appends' duplicates are harmless by construction
-    // (label rows absorb into min-resolution, duplicate band rows into
-    // the candidate distinct, duplicate shingle rows only re-emit edges
-    // CC already contracts) and compaction reclaims the space.
-    corrections.unionByName(repLab)
-      .write.mode("append").parquet(s"$path/clusters")
-    dBands.select(col(idCol).as("keeper"), col("band"), col("key"))
-      .write.mode("append").parquet(s"$path/bands")
-    shB.withColumnRenamed(idCol, "keeper")
-      .write.mode("append").parquet(s"$path/shingles")
-    repLab.select(col("keeper").as(idCol))
-      .join(tagged.select(col(idCol), col("__h")), Seq(idCol))
-      .select(col("__h").as("content_hash"), col(idCol).as("keeper"))
-      .write.mode("append").parquet(s"$path/hashes")
-    assigned
+    // the replay marker commits BEFORE any external write — see the
+    // staged docstring's crash-window analysis
+    ingestMm.foreach(recordIngestMax(spark, path, _))
+    val commit = () => {
+      // writes: hashes/ LAST — it is the gate that decides what counts as
+      // a new rep, so it acts as the batch's commit marker. A crash before
+      // it replays the whole batch identically (same reps re-derived);
+      // the earlier appends' duplicates are harmless by construction
+      // (label rows absorb into min-resolution, duplicate band rows into
+      // the candidate distinct, duplicate shingle rows only re-emit edges
+      // CC already contracts) and compaction reclaims the space.
+      corrections.unionByName(repLab)
+        .write.mode("append").parquet(s"$path/clusters")
+      dBands.select(col(idCol).as("keeper"), col("band"), col("key"))
+        .write.mode("append").parquet(s"$path/bands")
+      shB.withColumnRenamed(idCol, "keeper")
+        .write.mode("append").parquet(s"$path/shingles")
+      repLab.select(col("keeper").as(idCol))
+        .join(tagged.select(col(idCol), col("__h")), Seq(idCol))
+        .select(col("__h").as("content_hash"), col(idCol).as("keeper"))
+        .write.mode("append").parquet(s"$path/hashes")
+    }
+    SplitIngest(assigned,
+      remaps.select(col("old_label"), col("label").as("new_label"),
+        splitOf(col("label"), seed).as("new_split")),
+      isReplay, commit)
   }
 
   /** Rewrite a split index compactly: collapse each rep's label history
-    * to its current (min) label and drop the duplicate band/shingle rows
-    * a crash-replay may have appended. One shuffle per table, sized by
-    * the index, run at maintenance cadence — never per batch. */
+    * to its current (min) label, drop the duplicate band/shingle rows
+    * a crash-replay may have appended, and prune band buckets over
+    * `maxBucket` (the same LSH skew cap the per-batch probe applies —
+    * an index bucket over the cap implies the global bucket is too, so
+    * pruning it changes nothing the capped probe would have used). One
+    * shuffle per table, sized by the index, run at maintenance cadence —
+    * never per batch. The `_ingest_max` marker is carried over so the
+    * monotone-ingestion guard survives compaction. */
   def compactSplitIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, destPath: String): Unit = {
+                        path: String, destPath: String,
+                        maxBucket: Int = 10000): Unit = {
+    requireDistinctPaths(spark, path, destPath)
     spark.read.parquet(s"$path/clusters")
       .groupBy("keeper").agg(min("label").as("label"))
       .write.mode("overwrite").parquet(s"$destPath/clusters")
-    spark.read.parquet(s"$path/bands").distinct()
+    val sBands = spark.read.parquet(s"$path/bands").distinct()
+      .localCheckpoint(true)
+    val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "key")
+    sBands.join(sOk, Seq("band", "key"), "left_semi")
       .write.mode("overwrite").parquet(s"$destPath/bands")
     spark.read.parquet(s"$path/shingles")
       .groupBy("keeper").agg(first("sh").as("sh"))
       .write.mode("overwrite").parquet(s"$destPath/shingles")
     spark.read.parquet(s"$path/hashes").distinct()
       .write.mode("overwrite").parquet(s"$destPath/hashes")
+    copyIngestMarker(spark, path, destPath)
+  }
+
+  /** Carry the `_ingest_max` monotonicity marker from a compacted index
+    * to its destination (the guard would otherwise fall back to a
+    * one-time max scan on the next ingest — correct, just slower). */
+  private def copyIngestMarker(spark: org.apache.spark.sql.SparkSession,
+                               path: String, destPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$path/_ingest_max")
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(s"$destPath/_ingest_max"),
+        false, true, conf)
   }
 
   /** The split index's final per-doc assignment — docs resolve via
@@ -1500,6 +1711,7 @@ object Dedup {
     * the index, run at maintenance cadence — never per batch. */
   def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, destPath: String): Unit = {
+    requireDistinctPaths(spark, path, destPath)
     spark.read.parquet(s"$path/anchors")
       .groupBy("h").agg(min(struct(col("e_id"), col("e_pos"))).as("__e"))
       .select(col("h"), col("__e")("e_id").as("e_id"), col("__e")("e_pos").as("e_pos"))
@@ -1537,6 +1749,8 @@ object Dedup {
   def incrementalCdcDedup(spark: org.apache.spark.sql.SparkSession,
                           delta: DataFrame, idCol: String, textCol: String,
                           path: String, w: Int, div: Int): DataFrame = {
+    val (ingestMm, _) = checkMonotoneIngest(spark, path, delta, idCol,
+      "chunks", "owner")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$path/chunks"))
@@ -1565,6 +1779,7 @@ object Dedup {
     classified.filter(col("__keep"))
       .select(col("ph"), col(idCol).as("owner")).distinct()
       .write.mode("append").parquet(s"$path/chunks")
+    ingestMm.foreach(recordIngestMax(spark, path, _))
     report
   }
 
@@ -1572,10 +1787,13 @@ object Dedup {
     * crash-replay duplicate owner rows to the min owner). Index-sized,
     * maintenance cadence. */
   def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String, destPath: String): Unit =
+                        path: String, destPath: String): Unit = {
+    requireDistinctPaths(spark, path, destPath)
     spark.read.parquet(s"$path/chunks")
       .groupBy("ph").agg(min("owner").as("owner"))
       .write.mode("overwrite").parquet(s"$destPath/chunks")
+    copyIngestMarker(spark, path, destPath)
+  }
 
   /** Paragraph-level exact dedup (the Dolma/CCNet granularity between
     * whole-document exact dedup and n-gram span trims): documents split

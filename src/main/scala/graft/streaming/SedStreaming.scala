@@ -453,14 +453,16 @@ object SedStreaming {
     *    cadence). */
   def streamingSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
                               indexPath: String, outPath: String, ckPath: String,
-                              minLen: Int, k: Int = 16, w: Int = 25)
+                              minLen: Int, k: Int = 16, w: Int = 25,
+                              compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = b.sparkSession
         val delta = b.toDF()
-        val anchorsPath = new org.apache.hadoop.fs.Path(s"$indexPath/anchors")
-        val textsPath = new org.apache.hadoop.fs.Path(s"$indexPath/texts")
+        val active = graft.operators.GenIndex.active(s, indexPath)
+        val anchorsPath = new org.apache.hadoop.fs.Path(s"$active/anchors")
+        val textsPath = new org.apache.hadoop.fs.Path(s"$active/texts")
         val fs = anchorsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         // both halves must exist: a crash between buildSubstringIndex's
         // two writes leaves anchors/ without texts/, and the incremental
@@ -470,17 +472,23 @@ object SedStreaming {
         if (hasIndex) {
           val (spans, cleanup) = graft.operators.Dedup
             .incrementalSubstringDedupManaged(
-              s, delta, idCol, textCol, indexPath, minLen, k, w)
+              s, delta, idCol, textCol, active, minLen, k, w)
           spans.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           graft.operators.Dedup.appendToSubstringIndex(
-            s, delta, idCol, textCol, indexPath, k, w)
+            s, delta, idCol, textCol, active, k, w)
           cleanup()
         } else {
           graft.operators.Dedup.substringDedupAnchored(
               delta, idCol, textCol, minLen, k, w)
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           graft.operators.Dedup.buildSubstringIndex(
-            delta, idCol, textCol, indexPath, k, w)
+            delta, idCol, textCol, active, k, w)
+        }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.operators.GenIndex.compact(s, indexPath,
+            graft.operators.GenIndex.SubstrTables)(
+            (src, dest) => graft.operators.Dedup.compactSubstringIndex(s, src, dest))
+        ()
         }
       }
       .option("checkpointLocation", ckPath)
@@ -500,30 +508,71 @@ object SedStreaming {
     * corpus, merge case included (SplitIngestSpec; q_stream_leakage_split
     * shares the batch oracle verbatim on that equality).
     *
-    * Contracts: ascending-id batches (stageFileStream on doc_id);
+    * CONSUMPTION CONTRACT of the per-batch outputs: a doc's at-ingest
+    * split under `outPath/batch=<id>` is final UNLESS a later batch
+    * merges its cluster into a lower label — those re-keys are emitted
+    * as a CORRECTIONS stream under `${outPath}_corrections/batch=<id>`
+    * (old_label, new_label, new_split; empty on merge-free batches). A
+    * consumer either folds each batch's corrections over its accumulated
+    * rows in batch order (join on cluster_label = old_label; re-keys
+    * chain downward), which converges to Dedup.splitIndexAssignment
+    * without re-reading the corpus — SplitIngestSpec pins "at-ingest
+    * outputs + corrections == final assignment" on the merge fixture —
+    * or re-resolves against the index at epoch end.
+    *
+    * Contracts: ascending-id batches (stageFileStream on doc_id) —
+    * enforced at run time by the index's `_ingest_max` guard;
     * foreachBatch serializes batches so each admit is visible to the
     * next probe; RESTART-SAFE because every index table is append-only
     * with replay-absorbing semantics (label corrections resolve by min,
     * duplicate band/shingle rows collapse in candidate distinct/CC) and
-    * hashes/ — the new-rep gate — commits last; span output is
-    * per-batch overwrite. Per-batch cost O(|batch| + matched): the
-    * batch side broadcasts into every index probe, the corpus is never
-    * rescanned into a shuffle (StreamSplitStress receipts flat
-    * per-batch cost as the index grows). */
+    * hashes/ — the new-rep gate — commits last; span AND corrections
+    * output are per-batch overwrite. Per-batch cost O(|batch| +
+    * matched): the batch side broadcasts into every index probe, the
+    * corpus is never rescanned into a shuffle (StreamSplitStress
+    * receipts flat per-batch cost as the index grows). With
+    * `compactEvery` > 0 the persisted index compacts in-loop every that
+    * many batches through a crash-safe generation swap
+    * ([[graft.operators.GenIndex]]) — file counts stay bounded over
+    * long feeds and a crash at ANY point of the swap leaves the
+    * previous generation active. */
   def streamingLeakageSplit(docs: DataFrame, idCol: String, textCol: String,
                             seed: String, indexPath: String, outPath: String,
                             ckPath: String,
                             numHashes: Int = 12, rowsPerBand: Int = 3,
                             shingleN: Int = 3, minJaccard: Double = 0.8,
-                            maxBucket: Int = 10000)
+                            maxBucket: Int = 10000, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = b.sparkSession
-        graft.operators.Dedup.splitIndexIngest(
-            s, b.toDF(), idCol, textCol, seed, indexPath,
-            numHashes, rowsPerBand, shingleN, minJaccard, maxBucket)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        val active = graft.operators.GenIndex.active(s, indexPath)
+        val r = graft.operators.Dedup.splitIndexIngestStaged(
+          s, b.toDF(), idCol, textCol, seed, active,
+          numHashes, rowsPerBand, shingleN, minJaccard, maxBucket)
+        // batch outputs go durable BEFORE the index appends; on an exact
+        // replay of the last batch, already-written files are KEPT — a
+        // replay against a partially-appended index cannot re-derive the
+        // corrections (the merge is already folded into clusters/), so
+        // the pre-crash files are the authoritative ones
+        val conf = s.sparkContext.hadoopConfiguration
+        def writeUnlessReplayed(df: org.apache.spark.sql.DataFrame,
+                                dir: String): Unit = {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+          if (!(r.replayOfLastBatch && p.getFileSystem(conf).exists(p)))
+            df.write.mode("overwrite").parquet(dir)
+        }
+        writeUnlessReplayed(r.assigned, s"$outPath/batch=$batchId")
+        writeUnlessReplayed(r.corrections,
+          s"${outPath}_corrections/batch=$batchId")
+        r.commit()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.operators.GenIndex.compact(s, indexPath,
+            graft.operators.GenIndex.SplitTables)(
+            (src, dest) => graft.operators.Dedup.compactSplitIndex(
+              s, src, dest, maxBucket))
+        ()
+        }
       }
       .option("checkpointLocation", ckPath)
       .start()
@@ -544,20 +593,27 @@ object SedStreaming {
   def streamingVideoDedup(docs: DataFrame, idCol: String, payloadCol: String,
                           indexPath: String, outPath: String, ckPath: String,
                           frameBytes: Int, stride: Int,
-                          w: Int = 16, div: Int = 32)
+                          w: Int = 16, div: Int = 32, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = b.sparkSession
+        val active = graft.operators.GenIndex.active(s, indexPath)
         val seqs = graft.operators.Multimodal.frameTokenSeqs(
             b.toDF(), idCol, payloadCol, frameBytes, stride)
           .localCheckpoint(true) // feeds the classifier AND the n_frames join
         graft.operators.Dedup.incrementalCdcDedup(
-            s, seqs, "doc_id", "__fstr", indexPath, w, div)
+            s, seqs, "doc_id", "__fstr", active, w, div)
           .join(seqs.select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("n_frames")), Seq("doc_id"))
           .select("doc_id", "n_frames", "n_chunks", "n_dup_chunks", "dup_chars")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.operators.GenIndex.compact(s, indexPath,
+            graft.operators.GenIndex.ChunkTables)(
+            (src, dest) => graft.operators.Dedup.compactChunkIndex(s, src, dest))
+        ()
+        }
       }
       .option("checkpointLocation", ckPath)
       .start()

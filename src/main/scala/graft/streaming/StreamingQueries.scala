@@ -528,15 +528,22 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val idxPath = tmp("graft_split_idx")
+    // compactEvery = 2: the entry runs the in-loop generation-swap
+    // compaction (GenIndex) mid-feed — the staged feed is >= 3 chunks,
+    // so at least one swap genuinely fires — and the oracle therefore
+    // certifies not just the ingest but index maintenance: the final
+    // assignment must be bit-identical through every generation
     val q = SedStreaming.streamingLeakageSplit(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       graft.sed.PipelineQueries.SplitSeed, idxPath, tmp("graft_split_out"),
       tmp("graft_split_ck"),
       graft.sed.PipelineQueries.NumHashes, graft.sed.PipelineQueries.RowsPerBand,
-      graft.sed.PipelineQueries.ShingleN, 0.8, graft.sed.PipelineQueries.MaxBucket)
+      graft.sed.PipelineQueries.ShingleN, 0.8, graft.sed.PipelineQueries.MaxBucket,
+      compactEvery = 2)
     try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     graft.operators.Dedup.splitIndexAssignment(
-      s0, docsDf, "doc_id", "text", graft.sed.PipelineQueries.SplitSeed, idxPath)
+      s0, docsDf, "doc_id", "text", graft.sed.PipelineQueries.SplitSeed,
+      graft.operators.GenIndex.active(s0, idxPath))
   }
 
   /** Frame-sampled video dedup AT INGEST: the documents table's

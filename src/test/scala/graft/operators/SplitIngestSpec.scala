@@ -147,6 +147,98 @@ class SplitIngestSpec extends SparkSpecBase {
     assert(hist.filter(col("n") > 1).count() == 0)
   }
 
+  /** The round-13 consumption contract: per-batch at-ingest outputs plus
+    * the corrections stream converge to the final index assignment — an
+    * at-ingest consumer never has to re-read the corpus after a
+    * cross-batch merge. Uses the merge fixture (two clusters with
+    * different splits bridged in batch 3), folding each batch's
+    * corrections over the accumulated rows in batch order. */
+  test("at-ingest outputs + corrections equal the final assignment through a merge") {
+    val (a, b, bridge) = (0 until 32).view.map { v =>
+      val common = (0 until 32).map(i => s"c${v}_$i").mkString(" ")
+      (common + s" x${v}a x${v}b x${v}c x${v}d x${v}e",
+        common + s" y${v}a y${v}b y${v}c y${v}d y${v}e",
+        common)
+    }.find { case (a, b, bridge) =>
+      val docs = Seq((1L, a), (2L, b), (3L, bridge)).toDF("doc_id", "text")
+      val ver = Dedup.jaccardForPairs(docs, "doc_id", "text", 3,
+          Dedup.minhashCandidates(docs, "doc_id", "text"))
+        .filter(col("jaccard") >= 0.8)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      ver == Set((1L, 3L), (2L, 3L))
+    }.get
+    val docs = Seq((1L, a), (2L, b), (3L, bridge)).toDF("doc_id", "text")
+    val seed = (0 until 64).map(i => s"m$i").find { sd =>
+      val pre = assignMap(Dedup.leakageSafeSplit(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", sd))
+      pre(1L)._2 != pre(2L)._2
+    }.get
+    val idx = freshIdx()
+    // accumulate (doc_id -> (label, split)) the way an at-ingest consumer
+    // would: batch outputs land, then each batch's corrections re-key
+    var acc = Map.empty[Long, (Long, String)]
+    var sawCorrection = false
+    Seq(Seq((1L, a)), Seq((2L, b)), Seq((3L, bridge))).foreach { batch =>
+      val (assigned, corrections) = Dedup.splitIndexIngestWithCorrections(
+        spark, batch.toDF("doc_id", "text"), "doc_id", "text", seed, idx)
+      acc = acc ++ assignMap(assigned)
+      val corr = corrections.select("old_label", "new_label", "new_split")
+        .as[(Long, Long, String)].collect()
+      if (corr.nonEmpty) sawCorrection = true
+      corr.foreach { case (oldL, newL, newS) =>
+        acc = acc.map { case (id, (l, s)) =>
+          if (l == oldL) id -> ((newL, newS)) else id -> ((l, s))
+        }
+      }
+    }
+    assert(sawCorrection, "fixture must exercise a correction-emitting merge")
+    val fin = assignMap(Dedup.splitIndexAssignment(
+      spark, docs, "doc_id", "text", seed, idx))
+    assert(acc == fin)
+  }
+
+  test("monotone-ingestion guard rejects out-of-order batches, admits exact replays") {
+    val all = corpus()
+    val docs = all.toDF("doc_id", "text")
+    val idx = freshIdx()
+    val cut = all(all.length / 2)._1
+    val b1 = docs.filter(col("doc_id") <= cut)
+    val b2 = docs.filter(col("doc_id") > cut)
+    Dedup.splitIndexIngest(spark, b1, "doc_id", "text", "s1", idx).count()
+    Dedup.splitIndexIngest(spark, b2, "doc_id", "text", "s1", idx).count()
+    // exact replay of the LAST batch: admitted (crash-recovery shape)
+    Dedup.splitIndexIngest(spark, b2, "doc_id", "text", "s1", idx).count()
+    // an out-of-order batch (re-presenting batch 1 after batch 2) fails
+    // loudly instead of silently corrupting corpus-order-first semantics
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.splitIndexIngest(spark, b1, "doc_id", "text", "s1", idx).count()
+    }
+    assert(ex.getMessage.contains("monotone-id ingestion contract"))
+    // chunk index: same guard
+    val cidx = freshIdx()
+    Dedup.incrementalCdcDedup(spark, b1, "doc_id", "text", cidx, 8, 16).count()
+    Dedup.incrementalCdcDedup(spark, b2, "doc_id", "text", cidx, 8, 16).count()
+    Dedup.incrementalCdcDedup(spark, b2, "doc_id", "text", cidx, 8, 16).count()
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalCdcDedup(spark, b1, "doc_id", "text", cidx, 8, 16).count()
+    }
+    assert(ex2.getMessage.contains("monotone-id ingestion contract"))
+  }
+
+  test("compaction refuses destPath == path") {
+    val idx = freshIdx()
+    Dedup.splitIndexIngest(spark, corpus().toDF("doc_id", "text"),
+      "doc_id", "text", "s1", idx).count()
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.compactSplitIndex(spark, idx, idx)
+    }
+    assert(ex.getMessage.contains("destPath"))
+    // trailing-slash / scheme variants resolve to the same location too
+    intercept[IllegalArgumentException] {
+      Dedup.compactSplitIndex(spark, idx, s"$idx/")
+    }
+  }
+
   test("at-ingest outputs cover every batch doc exactly once") {
     val all = corpus()
     val docs = all.toDF("doc_id", "text")
