@@ -45,6 +45,17 @@ object KcenterBench {
       graft.operators.Ann.clusterAssignRouted(corpus, "vec_id", "embedding",
         centers, cells = 64, nprobe = 4).queryExecution.toRdd.count())
     println(s"assigned $ra")
+    // the per-row win, same subset both ways: brute broadcast map is
+    // O(k·dim) per row, routed is O((cells + k·nprobe/cells)·dim) —
+    // at k=4096/cells=64/nprobe=4 that's 4096 vs 64+256 = 320 dots/row
+    val sub = corpus.filter(col("vec_id") % 10 === 0).localCheckpoint(true)
+    val rb = t("brute-assign-10pct")(
+      graft.operators.Ann.clusterAssign(sub, "vec_id", "embedding",
+        centers).queryExecution.toRdd.count())
+    val rr = t("routed-assign-10pct")(
+      graft.operators.Ann.clusterAssignRouted(sub, "vec_id", "embedding",
+        centers, cells = 64, nprobe = 4).queryExecution.toRdd.count())
+    println(s"subset brute $rb routed $rr")
     spark.stop()
   }
 }

@@ -189,13 +189,39 @@ object Tokenizer {
           .cast("binary")).as("bpe_md5"))
   }
 
-  /** CTE `v0` — the packed (w, ws, freq) vocab of a corpus. */
-  private def packedVocabCtes(table: String, textCol: String): String = {
+  /** DuckDB twin of [[org.apache.spark.sql.graft.ByteAlpha]]: split the
+    * string into code points, UTF-8-encode each arithmetically, and map
+    * every byte b to chr(0x100 + b) — the GPT-2 byte-level alphabet,
+    * replayed as pure SQL so byte-mode fits are oracle-certifiable.
+    * Every emitted symbol is a single BMP code point, so all downstream
+    * code-point machinery (the `(.)` split, substr lengths) works
+    * unchanged in both engines. */
+  def byteAlphaSql(w: String): String = {
+    val cp = "unicode(c)"
+    s"""list_aggregate(list_transform(flatten(list_transform(
+          list_filter(string_split(regexp_replace($w, '(.)', '\\1' || chr(31), 'g'), chr(31)),
+            x -> x <> ''),
+          c -> CASE
+            WHEN $cp < 128 THEN [$cp]
+            WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
+            WHEN $cp < 65536 THEN [224 + $cp // 4096, 128 + ($cp // 64) % 64, 128 + $cp % 64]
+            ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
+                  128 + ($cp // 64) % 64, 128 + $cp % 64] END)),
+          b -> chr(256 + b)), 'string_agg', '')"""
+  }
+
+  /** CTE `v0` — the packed (w, ws, freq) vocab of a corpus. In byte
+    * mode the packed string splits the word's [[byteAlphaSql]] encoding
+    * instead of its code points (`w` stays the original word — it is
+    * the vocab join key). */
+  private def packedVocabCtes(table: String, textCol: String,
+                              byteLevel: Boolean = false): String = {
     val toks = TextFunctions.tokensSql(textCol)
+    val base = if (byteLevel) byteAlphaSql("w") else "w"
     s"""v AS (SELECT w, COUNT(*) AS freq FROM (
           SELECT unnest($toks) AS w FROM $table) GROUP BY w
           HAVING instr(w, chr(31)) = 0),
-        v0 AS (SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS ws,
+        v0 AS (SELECT w, chr(31) || regexp_replace($base, '(.)', '\\1' || chr(31), 'g') AS ws,
           freq FROM v)"""
   }
 
@@ -220,21 +246,23 @@ object Tokenizer {
     * DuckDB: v0 (packed vocab) then, per round i, pair counts pI, the
     * count-argmax bI, and the rewritten vocab vI.
     * Ends with CTEs `b1..b$k` and `v$k` for callers to select from. */
-  private def bpeCtesSql(table: String, textCol: String, k: Int): String = {
+  private def bpeCtesSql(table: String, textCol: String, k: Int,
+                         byteLevel: Boolean = false): String = {
     val steps = (1 to k).map { i =>
       s"""${pairCte(i)},
           b$i AS (SELECT lft, rgt, cnt FROM p$i ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
           ${rewriteCte(i)}"""
     }
-    (packedVocabCtes(table, textCol) +: steps).mkString(", ")
+    (packedVocabCtes(table, textCol, byteLevel) +: steps).mkString(", ")
   }
 
   /** DuckDB oracle for [[bpeFit]]: the unrolled merge sequence. */
-  def bpeFitSql(table: String, textCol: String, k: Int): String = {
+  def bpeFitSql(table: String, textCol: String, k: Int,
+                byteLevel: Boolean = false): String = {
     val rows = (1 to k).map(i =>
       s"SELECT $i AS step, lft AS merge_left, rgt AS merge_right, cnt FROM b$i")
       .mkString(" UNION ALL ")
-    s"WITH ${bpeCtesSql(table, textCol, k)} SELECT * FROM ($rows)"
+    s"WITH ${bpeCtesSql(table, textCol, k, byteLevel)} SELECT * FROM ($rows)"
       .replaceAll("\\s+", " ")
   }
 
@@ -316,7 +344,8 @@ object Tokenizer {
   /** The unrolled CTE chain replaying [[wordpieceFitWithVocab]]: per
     * round, pair counts pI, symbol counts sI, the likelihood-argmax bI,
     * and the same greedy-fold rewrite vI as BPE. */
-  private def wordpieceCtesSql(table: String, textCol: String, k: Int): String = {
+  private def wordpieceCtesSql(table: String, textCol: String, k: Int,
+                               byteLevel: Boolean = false): String = {
     val steps = (1 to k).map { i =>
       s"""${pairCte(i)},
           s$i AS (SELECT s, CAST(SUM(freq) AS BIGINT) AS c FROM (
@@ -329,15 +358,16 @@ object Tokenizer {
             ORDER BY score DESC, lft ASC, rgt ASC LIMIT 1),
           ${rewriteCte(i)}"""
     }
-    (packedVocabCtes(table, textCol) +: steps).mkString(", ")
+    (packedVocabCtes(table, textCol, byteLevel) +: steps).mkString(", ")
   }
 
   /** DuckDB oracle for [[wordpieceFit]]. */
-  def wordpieceFitSql(table: String, textCol: String, k: Int): String = {
+  def wordpieceFitSql(table: String, textCol: String, k: Int,
+                      byteLevel: Boolean = false): String = {
     val rows = (1 to k).map(i =>
       s"SELECT $i AS step, lft AS merge_left, rgt AS merge_right, cnt FROM b$i")
       .mkString(" UNION ALL ")
-    s"WITH ${wordpieceCtesSql(table, textCol, k)} SELECT * FROM ($rows)"
+    s"WITH ${wordpieceCtesSql(table, textCol, k, byteLevel)} SELECT * FROM ($rows)"
       .replaceAll("\\s+", " ")
   }
 
@@ -497,10 +527,12 @@ object Tokenizer {
 
   /** DuckDB oracle for [[unigramSeed]] over a (textCol) relation. */
   def unigramSeedSql(table: String, textCol: String,
-                     maxPieceLen: Int, seedSize: Int): String = {
+                     maxPieceLen: Int, seedSize: Int,
+                     byteLevel: Boolean = false): String = {
     val toks = TextFunctions.tokensSql(textCol)
+    val wExpr = if (byteLevel) byteAlphaSql("w0") else "w0"
     s"""WITH v AS (SELECT w, COUNT(*) AS freq FROM (
-           SELECT unnest($toks) AS w FROM $table) GROUP BY w),
+           SELECT $wExpr AS w FROM (SELECT unnest($toks) AS w0 FROM $table)) GROUP BY w),
        p AS (SELECT substr(w, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS piece,
            CAST(SUM(freq) AS BIGINT) AS cnt
          FROM v, UNNEST(range(1, len(w) + 1)) AS t1(s),
@@ -588,13 +620,15 @@ object Tokenizer {
     * the floor is min(used) − 1e6 with the UnkLogpU fallback. Ends in
     * `modelF(piece, logp_u)` plus `seg_f$emRounds` helpers. */
   private def unigramFitCtes(table: String, textCol: String, maxPieceLen: Int,
-                             seedSize: Int, emRounds: Int, vocabSize: Int): String = {
+                             seedSize: Int, emRounds: Int, vocabSize: Int,
+                             byteLevel: Boolean = false): String = {
     val toks = TextFunctions.tokensSql(textCol)
+    val wExpr = if (byteLevel) byteAlphaSql("w0") else "w0"
     val head =
       s"""vw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-            SELECT unnest($toks) AS w FROM $table) GROUP BY w),
+            SELECT $wExpr AS w FROM (SELECT unnest($toks) AS w0 FROM $table)) GROUP BY w),
           model0 AS MATERIALIZED (SELECT piece, logp_u FROM
-            (${unigramSeedSql(table, textCol, maxPieceLen, seedSize)}))"""
+            (${unigramSeedSql(table, textCol, maxPieceLen, seedSize, byteLevel)}))"""
     val rounds = (0 until emRounds).map { r =>
       s"""${viterbiCtes(s"_f$r", s"model$r", maxPieceLen)},
           cnt$r AS MATERIALIZED (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -625,8 +659,9 @@ object Tokenizer {
 
   /** DuckDB oracle for [[unigramFit]] — the pruned (piece, logp_u). */
   def unigramFitSql(table: String, textCol: String, maxPieceLen: Int,
-                    seedSize: Int, emRounds: Int, vocabSize: Int): String =
-    (s"WITH RECURSIVE ${unigramFitCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize)} " +
+                    seedSize: Int, emRounds: Int, vocabSize: Int,
+                    byteLevel: Boolean = false): String =
+    (s"WITH RECURSIVE ${unigramFitCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize, byteLevel)} " +
       "SELECT piece, logp_u FROM modelF").replaceAll("\\s+", " ")
 
   /** The fit chain plus one more Viterbi pass under the PRUNED model —

@@ -980,6 +980,33 @@ object PipelineQueries {
       Some(Tokenizer.unigramFitSql("documents", "text", UniMaxPiece,
         UniSeed, UniRounds, UniVocab))),
 
+    // BYTE-LEVEL tokenizer fits (round 13) — the GPT-2 byte-fallback
+    // alphabet as CONTRACT entries: each word splits per UTF-8 byte over
+    // the closed 256-symbol alphabet (chr(0x100 + b); ByteAlpha), so the
+    // trained vocab covers any input with zero unk. Previously the byte
+    // mode was spec-certified only (ByteParitySpec); these entries run
+    // the SAME unrolled trajectory oracles with the packed vocab built
+    // over the byte alphabet — Tokenizer.byteAlphaSql replays the
+    // byte map arithmetically in DuckDB (UTF-8 encode per code point,
+    // chr(256+b) per byte) — so all three trainers are now
+    // oracle-certified in BOTH alphabets.
+    "q_bpe_fit_bytes" -> QueryDef(
+      (s, d) => Tokenizer.bpeFitWithVocab(docs(s, d), "text", BpeK,
+        byteLevel = true)._1,
+      Some(Tokenizer.bpeFitSql("documents", "text", BpeK, byteLevel = true))),
+
+    "q_wordpiece_fit_bytes" -> QueryDef(
+      (s, d) => Tokenizer.wordpieceFitWithVocab(docs(s, d), "text", BpeK,
+        byteLevel = true)._1,
+      Some(Tokenizer.wordpieceFitSql("documents", "text", BpeK,
+        byteLevel = true))),
+
+    "q_unigram_fit_bytes" -> QueryDef(
+      (s, d) => Tokenizer.unigramFit(docs(s, d), "text", UniMaxPiece,
+        UniSeed, UniRounds, UniVocab, byteLevel = true),
+      Some(Tokenizer.unigramFitSql("documents", "text", UniMaxPiece,
+        UniSeed, UniRounds, UniVocab, byteLevel = true))),
+
     // Encoding the corpus with the TRAINED inventory: distinct words
     // Viterbi-segment once, corpus tokens join their encoding, docs
     // re-assemble in order → (doc_id, n_pieces, pieces_md5).
@@ -1491,6 +1518,34 @@ object PipelineQueries {
           .collect() // k rows — bounded like collectQueries
           .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
         Ann.clusterAssign(e, "vec_id", "embedding", centers)
+          .select(col("vec_id"), col("cid").cast("long").as("center_rank"),
+            floor(col("cos") * 1000000 + 0.5).cast("long").as("cos_u"))
+      },
+      Some(kcenterAssignOracleSql)),
+
+    // IVF-ROUTED center assignment (round 13) — the k-in-the-thousands
+    // path: centers group into routing cells driver-side and each corpus
+    // vector scans only its nprobe nearest cells' centers,
+    // O((cells + k·nprobe/cells)·dim) per row instead of the brute map's
+    // O(k·dim). ORACLE-GREEN via the q_kcenter_sampled certification
+    // pattern: with nprobe = cells the routed scan degrades to the exact
+    // one BIT-FOR-BIT (identical dot/tie arithmetic — RoutedAssignSpec
+    // pins equality, plus planted-cluster exactness and a >= 0.95
+    // agreement gate under REAL pruning), so this shares
+    // q_kcenter_assign's unrolled-trajectory oracle VERBATIM; under real
+    // pruning the spec gates quality and KcenterBench receipts the
+    // per-row win at k = 4096.
+    "q_kcenter_assign_routed" -> QueryDef(
+      (s, d) => {
+        val e = emb(s, d)
+        val centers = Ann.kcenterCoreset(e, "vec_id", "embedding", KcenterK)
+          .select(col("sel_rank"), col("vec_id"))
+          .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .select(col("sel_rank").cast("int"), col("embedding"))
+          .collect()
+          .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        Ann.clusterAssignRouted(e, "vec_id", "embedding", centers,
+            cells = 4, nprobe = 4)
           .select(col("vec_id"), col("cid").cast("long").as("center_rank"),
             floor(col("cos") * 1000000 + 0.5).cast("long").as("cos_u"))
       },
