@@ -32,6 +32,27 @@ object HammingBench {
       maxHamming = 3, k = 10)
     val edges = g.queryExecution.toRdd.count()
     println(f"PHASE graph ${(System.nanoTime() - t0) / 1e9}%.1f s edges=$edges")
+    // wide radius (round 13) at the REP level — the deployment shape
+    // its docstring prescribes: wide edges run over the radius-3 graph's
+    // surviving cluster representatives, n/10 rows here (the narrow pass
+    // collapses each planted 10-variant cluster to its min id). On
+    // uniform codes the candidate stage is pigeonhole-bounded at
+    // ~4·V(16,3)/2^16 ≈ 4% of all pairs, so rep count — not corpus
+    // count — is the knob that keeps it practical.
+    val t1 = System.nanoTime()
+    val comps = graft.operators.Dedup.connectedComponentsStar(
+      g.filter(col("src") < col("dst"))
+        .select(col("src").as("a_id"), col("dst").as("b_id")))
+    val reps = hashes.join(
+        comps.filter(col("id") =!= col("label")).select(col("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    println(f"PHASE collapse ${(System.nanoTime() - t1) / 1e9}%.1f s reps=${reps.count()}")
+    val t2 = System.nanoTime()
+    val wide = graft.operators.Multimodal.hammingEdgesWide(reps, "id", "ph",
+      maxHamming = 12)
+    val wideEdges = wide.queryExecution.toRdd.count()
+    println(f"PHASE wide12_reps ${(System.nanoTime() - t2) / 1e9}%.1f s edges=$wideEdges")
     spark.stop()
   }
 }

@@ -468,6 +468,91 @@ object Multimodal {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** All XOR masks with at most `maxFlips` bits set within `width` bits
+    * — the per-block Hamming-ball enumeration of [[hammingEdgesWide]].
+    * Sizes: V(16,0)=1, V(16,1)=17, V(16,2)=137. */
+  private def flipMasks(width: Int, maxFlips: Int): Array[Long] = {
+    require(maxFlips >= 0 && maxFlips <= 2,
+      "wide-radius enumeration needs at most 2 flips per side (radius <= 15)")
+    val out = scala.collection.mutable.ArrayBuffer(0L)
+    if (maxFlips >= 1)
+      (0 until width).foreach(i => out += (1L << i))
+    if (maxFlips >= 2)
+      for (i <- 0 until width; j <- i + 1 until width)
+        out += (1L << i) | (1L << j)
+    out.toArray
+  }
+
+  /** Exact Hamming near-dup pairs for radii up to 15 — the WIDE-radius
+    * continuation of [[hammingEdges]] (whose equality-only bands
+    * degenerate past 7). Multi-index hashing with per-block Hamming-ball
+    * query expansion (Norouzi, Punjani & Fleet 2012: enumerate the
+    * ball of radius ⌊r/m⌋ around each substring), with the enumeration
+    * SPLIT across the self-join's two sides: the hash splits into m = 4
+    * disjoint 16-bit blocks; by pigeonhole a pair within Hamming ≤ r
+    * agrees within f = ⌊r/4⌋ on some block; and two block keys within
+    * Hamming f always share a midpoint z on their geodesic with
+    * d(a,z) ≤ ⌊f/2⌋ and d(z,b) ≤ ⌈f/2⌉ — so side A emits each block
+    * key's ≤ ⌊f/2⌋-flip variants, side B its ≤ ⌈f/2⌉-flip variants
+    * (z collides in the join for either ordering of the unordered
+    * pair, and the a_id < b_id filter keeps exactly one), and ONE
+    * equality join per block surfaces every pair with NO recall loss
+    * (ImageAnnSpec pins brute-force equality).
+    *
+    * SCALE HONESTY: unlike the radius-3 graph, the candidate volume
+    * here is governed by the block-collision rate — a pair of UNIFORM
+    * 64-bit codes has some block within Hamming f with probability
+    * ≈ 4·V(16,f)/2^16 (≈ 4% at f = 3), so on high-entropy inputs the
+    * candidate stage approaches that fraction of ALL pairs; no
+    * equality-join scheme avoids this (it is the pigeonhole bound
+    * itself). The wide radius is therefore for (a) moderate-n inputs
+    * and (b) the REP level of a hierarchical pass — exact collapse +
+    * radius-3 clustering first, then wide edges across the surviving
+    * representatives (orders of magnitude fewer rows), which is how
+    * [[imageDupClusters]] at maxHamming > 7 should be deployed at
+    * 100 TB. HammingBench receipts the practical envelope.
+    *
+    * Splitting the enumeration halves the emission blow-up: at r = 15
+    * each code emits 4·(17 + 137) = 616 rows instead of the
+    * single-sided 4·697 = 2788. Verify is one bit_count(xor); buckets
+    * over `maxBucket` per (block, variant) are dropped (the standard
+    * degenerate-key skew guard). The shuffle carries (block, 16-bit
+    * key, id, 64-bit hash) only — never payloads. Returns
+    * (a_id, b_id, hamming) with a_id < b_id. */
+  def hammingEdgesWide(hashes: DataFrame, idCol: String, hashCol: String,
+                       maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "radius capped at 15: per-block enumeration beyond 3 flips blows up " +
+        "— shrink the radius or move to bit-sampled sketches")
+    val f = maxHamming / 4
+    val fa = f / 2
+    val fb = f - fa
+    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    def emitted(flips: Int): DataFrame = {
+      val masks = flipMasks(16, flips)
+      val variants = (0 until 4).flatMap { b =>
+        val key = shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))
+        masks.map(m => struct(lit(b).as("b"), key.bitwiseXOR(lit(m)).as("key")))
+      }
+      h.select(col("id"), col("ph"), explode(array(variants: _*)).as("bk"))
+        .select(col("id"), col("ph"), col("bk.b").as("b"), col("bk.key").as("key"))
+    }
+    val aSide = emitted(fa)
+    val bSide = emitted(fb)
+    val ok = bSide.groupBy("b", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("b", "key")
+    aSide.join(ok, Seq("b", "key"), "left_semi")
+      .select(col("b"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
+      .join(bSide.join(ok, Seq("b", "key"), "left_semi")
+        .select(col("b"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
+        Seq("b", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_ph", "b_id", "b_ph").distinct()
+      .withColumn("hamming", expr("bit_count(a_ph ^ b_ph)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Image near-dup CLUSTERS — the q_dedup_clusters shape in the image
     * domain: decode → aHash → exact collapse → [[hammingEdges]] within
     * `maxHamming` → connected components (min-label) → one row per
@@ -480,7 +565,11 @@ object Multimodal {
       .filter(col("is_image"))
       .groupBy("phash")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_exact"))
-    val edges = hammingEdges(reps, "doc_id", "phash", maxHamming)
+    // past the equality bands' radius-7 guarantee, route through the
+    // wide-radius query-expansion operator (exact to 15)
+    val edges =
+      if (maxHamming <= 7) hammingEdges(reps, "doc_id", "phash", maxHamming)
+      else hammingEdgesWide(reps, "doc_id", "phash", maxHamming)
     val comps = graft.operators.Dedup.connectedComponentsStar(
       edges.select("a_id", "b_id"))
     reps.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

@@ -611,6 +611,95 @@ object PipelineQueries {
          MAX(pos) + $SubstrL AS span_end
          FROM ids GROUP BY doc_id, span_id)"""
 
+  /** Chunk count of the DETERMINISTIC staged feeds behind
+    * q_stream_dedup / q_stream_neardup (round 13): batch membership is
+    * NTILE(StreamChunks) OVER (ORDER BY doc_id) — replayed verbatim by
+    * the oracles below. */
+  val StreamChunks = 8
+
+  /** Oracle for q_stream_dedup — dropDuplicatesWithinWatermark replayed
+    * exactly, per the semantics StreamDedupSemanticsSpec pins: (1) only
+    * EMITTED docs create state, a dropped duplicate never extends its
+    * keeper's life; (2) a batch's rows see evictions one batch behind —
+    * the eviction watermark for batch k is max event time over batches
+    * <= k-2 minus the delay; (3) eviction is INCLUSIVE (expiry == wm
+    * evicts); (4) in-batch ties keep the first row in feed order = min
+    * doc_id (the staged files ascend in doc_id). Per content hash the
+    * emissions form a greedy chain — first occurrence, then each next
+    * doc whose batch's eviction watermark has passed the previous
+    * emission's expiry — which the recursive CTE walks: emit x after e
+    * iff ts(e) + 2*delay <= gm(batch(x) - 2). */
+  lazy val streamDedupOracle: String =
+    s"""WITH RECURSIVE
+      d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS h,
+          (CAST(doc_id AS BIGINT) + 86400) * 1000000 AS ts,
+          NTILE($StreamChunks) OVER (ORDER BY doc_id) AS b
+        FROM documents),
+      gm AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS g FROM (
+          SELECT b, MAX(ts) AS mx FROM d GROUP BY b)),
+      nxt AS (SELECT e.doc_id AS e_id, MIN(x.doc_id) AS n_id
+        FROM d e JOIN d x ON x.h = e.h AND x.doc_id > e.doc_id
+        JOIN gm ON gm.b = x.b - 2 AND e.ts + 3600000000 <= gm.g
+        GROUP BY e.doc_id),
+      chain AS (
+        SELECT doc_id, h FROM (
+          SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM d) WHERE rn = 1
+        UNION ALL
+        SELECT n.n_id AS doc_id, c.h FROM chain c JOIN nxt n ON n.e_id = c.doc_id)
+      SELECT doc_id, h AS content_hash FROM chain""".replaceAll("\\s+", " ")
+
+  /** Oracle for q_stream_neardup — streamingLshCandidates' per-bucket
+    * keeper state replayed exactly: band keys are the SAME minhash +
+    * base-31 banding the batch oracles replay; per (band, key) bucket
+    * the data batches split into ISLANDS at every gap where the group-
+    * state timeout fired — which (StreamDedupSemanticsSpec pins) needs
+    * an intermediate NO-data batch m whose watermark (max event time
+    * over batches <= m-1, minus delay) STRICTLY exceeds the bucket's
+    * last timeout (its previous data batch's max ts + delay); the
+    * strongest such m is batch(b)-1, so the break rule is b - pb >= 2
+    * AND gm(b-2) > pmax + 2*delay. Within an island the ascending feed
+    * makes the first (min) doc the keeper and every other row emits
+    * exactly once. */
+  lazy val streamNearDupOracle: String = {
+    val numBands = NumHashes / RowsPerBand
+    val bandSelects = (0 until numBands).map { b =>
+      val key = bandKeySqlFrag((0 until RowsPerBand).map(r => s"s${b * RowsPerBand + r}"))
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH
+      d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          (CAST(doc_id AS BIGINT) + 86400) * 1000000 AS ts,
+          NTILE($StreamChunks) OVER (ORDER BY doc_id) AS b
+        FROM documents),
+      gm AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS g FROM (
+          SELECT b, MAX(ts) AS mx FROM d0 GROUP BY b)),
+      sig AS ($minhashSigSql),
+      banded AS ($bandSelects),
+      br AS (SELECT bd.band, bd.key, d0.doc_id, d0.ts, d0.b
+        FROM banded bd JOIN d0 USING (doc_id)),
+      bb AS (SELECT band, key, b, MAX(ts) AS bmax FROM br GROUP BY band, key, b),
+      seq AS (SELECT band, key, b,
+          LAG(b) OVER w AS pb, LAG(bmax) OVER w AS pmax
+        FROM bb WINDOW w AS (PARTITION BY band, key ORDER BY b)),
+      brk AS (SELECT s.band, s.key, s.b,
+          CASE WHEN s.pb IS NULL THEN 1
+               WHEN s.b - s.pb >= 2 AND g.g > s.pmax + 3600000000 THEN 1
+               ELSE 0 END AS isbrk
+        FROM seq s LEFT JOIN gm g ON g.b = s.b - 2),
+      isl AS (SELECT band, key, b,
+          CAST(SUM(isbrk) OVER (PARTITION BY band, key ORDER BY b) AS BIGINT) AS island
+        FROM brk),
+      r2 AS (SELECT br.band, br.key, br.doc_id, br.ts, isl.island
+        FROM br JOIN isl ON isl.band = br.band AND isl.key = br.key AND isl.b = br.b),
+      keep AS (SELECT band, key, island, MIN(doc_id) AS keeper
+        FROM r2 GROUP BY band, key, island)
+      SELECT r2.band, r2.doc_id AS dup_id, keep.keeper AS keeper_id, r2.ts AS ts_us
+      FROM r2 JOIN keep ON keep.band = r2.band AND keep.key = r2.key
+        AND keep.island = r2.island
+      WHERE r2.doc_id <> keep.keeper""".replaceAll("\\s+", " ")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---------------- dedup ----------------
@@ -3200,6 +3289,41 @@ object PipelineQueries {
         e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
           FROM reps a JOIN reps b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM e
+          UNION SELECT b_id AS src, a_id AS dst FROM e),
+        walk(id, label) AS (
+          SELECT src AS id, src AS label FROM edges
+          UNION
+          SELECT e2.dst AS id, w.label FROM walk w JOIN edges e2 ON e2.src = w.id),
+        lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+        SELECT COALESCE(lab.label, r.doc_id) AS cluster_label,
+          CAST(COUNT(*) AS BIGINT) AS n_reps,
+          CAST(SUM(r.n_exact) AS BIGINT) AS n_images
+        FROM reps r LEFT JOIN lab ON lab.id = r.doc_id
+        GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // WIDE-radius image near-dup clusters (round 13): the same pipeline
+    // at Hamming radius 12 — past the equality bands' radius-7
+    // guarantee, so the edge stage routes through hammingEdgesWide:
+    // multi-index hashing with the per-block Hamming-ball enumeration
+    // SPLIT across the self-join's sides (Norouzi/Punjani/Fleet 2012;
+    // side A emits <=1-flip variants per 16-bit block, side B <=2-flip
+    // — by pigeonhole + a geodesic midpoint every pair within 15 shares
+    // a variant key, NO recall loss). ORACLE-GREEN like
+    // q_image_clusters: same aHash replay + n² bit_count edge join +
+    // recursive min-reachable CC, radius 12. ImageAnnSpec pins the
+    // operator's brute-force equality at 12 and 15.
+    "q_image_clusters_wide" -> QueryDef(
+      (s, d) => Multimodal.imageDupClusters(
+        Multimodal.withPgmPayload(docs(s, d), "text", "payload"),
+        "doc_id", "payload", maxHamming = 12),
+      Some(s"""WITH RECURSIVE $imageHashCtes,
+        reps AS MATERIALIZED (SELECT phash, MIN(doc_id) AS doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ihash GROUP BY phash),
+        e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 12),
         edges AS (SELECT a_id AS src, b_id AS dst FROM e
           UNION SELECT b_id AS src, a_id AS dst FROM e),
         walk(id, label) AS (

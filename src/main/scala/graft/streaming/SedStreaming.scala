@@ -658,6 +658,51 @@ object SedStreaming {
     }
   }
 
+  /** Stage a batch table as a DETERMINISTIC file-source feed (round 13):
+    * rows split into exactly `chunks` files by NTILE(chunks) OVER
+    * (ORDER BY orderCol) — a sampling-free boundary rule an oracle can
+    * replay VERBATIM in SQL, unlike [[stageFileStream]]'s
+    * repartitionByRange (whose reservoir-sampled bounds differ per
+    * session). `orderCol` must be totally ordered (unique values);
+    * within each staged file rows ascend in `orderCol` (single-partition
+    * window then a one-mapper-per-chunk exchange preserves the sort), so
+    * stateful operators see a deterministic arrival order and the
+    * oracle's per-batch membership IS `NTILE(chunks) OVER (ORDER BY
+    * orderCol)`. The global window is a HARNESS staging step (one task
+    * sorts the feed — same budget class as stageFileStream's count();
+    * a production job replays its real landing order instead). */
+  def stageFileStreamNtile(df: DataFrame, orderCol: String, dir: String,
+                           chunks: Int): Unit = {
+    require(chunks >= 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    // ONE pass computes the ntile (single-partition window, order
+    // preserved in the checkpoint); each chunk then writes from the
+    // in-memory checkpoint as its own single file — no dependence on
+    // partitioned-write internals for in-file row order
+    val staged = df.withColumn("__b", ntile(chunks).over(w))
+      .localCheckpoint(true)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(conf)
+    if (fs.exists(dirP)) fs.delete(dirP, true)
+    fs.mkdirs(dirP)
+    val base = System.currentTimeMillis() - chunks * 60000L
+    val tmpDir = dir + ".tmp"
+    (1 to chunks).foreach { b =>
+      staged.filter(col("__b") === b).drop("__b").coalesce(1)
+        .write.mode("overwrite").parquet(tmpDir)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+      require(part.length == 1, s"chunk $b wrote ${part.length} files")
+      val destF = new org.apache.hadoop.fs.Path(dirP, f"chunk-$b%05d.parquet")
+      fs.rename(part(0), destF)
+      fs.setTimes(destF, base + b * 60000L, -1)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    staged.unpersist()
+    ()
+  }
+
   /** Open a staged feed directory as a file-source stream, one staged
     * file per micro-batch. */
   def fileStream(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -249,9 +249,12 @@ object StreamingQueries {
     SedQueries.ensureConfs(s0)
     val s = streamSession(s0)
     val dir = tmp("graft_dedup_feed")
-    SedStreaming.stageFileStream(Tables.documents(s0, d)
+    // DETERMINISTIC staging (round 13): batch membership is
+    // NTILE(StreamChunks) OVER (ORDER BY doc_id), which the DuckDB
+    // oracle replays verbatim — the promotion to oracle-eligible
+    SedStreaming.stageFileStreamNtile(Tables.documents(s0, d)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"),
-      "doc_id", dir)
+      "doc_id", dir, graft.sed.PipelineQueries.StreamChunks)
     runToParquet(s, dedupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
   }
 
@@ -264,8 +267,10 @@ object StreamingQueries {
     SedQueries.ensureConfs(s0)
     val s = streamSession(s0)
     val dir = tmp("graft_neardup_feed")
-    SedStreaming.stageFileStream(Tables.documents(s0, d)
-      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"), "doc_id", dir)
+    // deterministic NTILE staging, same rationale as streamDedup
+    SedStreaming.stageFileStreamNtile(Tables.documents(s0, d)
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"),
+      "doc_id", dir, graft.sed.PipelineQueries.StreamChunks)
     runToParquet(s, neardupChain(SedStreaming.fileStream(s, dir, dedupSchema)))
   }
 
@@ -847,8 +852,22 @@ object StreamingQueries {
           FROM events
           WHERE ${HistAxis.inRangeSql("CAST(value AS DOUBLE)")}
           GROUP BY 1, 2""".replaceAll("\\s+", " "))),
-    "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d), None),
-    "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d), None),
+    // ORACLE-ELIGIBLE (promoted round 13): the feed is staged with
+    // deterministic NTILE chunk boundaries the oracle replays, and
+    // StreamDedupSemanticsSpec pins the state semantics the SQL encodes
+    // (no-extension entries, one-batch eviction lag, inclusive expiry
+    // boundary, first-in-feed-order in-batch winner) — so the recursive
+    // per-hash emission chain in DuckDB equals the streaming output
+    // exactly, horizon re-emissions included.
+    "q_stream_dedup" -> QueryDef((s, d) => streamDedup(s, d),
+      Some(graft.sed.PipelineQueries.streamDedupOracle)),
+    // ORACLE-ELIGIBLE (promoted round 13): same deterministic staging;
+    // the oracle replays the minhash banding (the batch fragments,
+    // verbatim) and the per-bucket keeper islands under the pinned
+    // group-state timeout rule (no-data batch required, strict
+    // watermark-past-timeout comparison).
+    "q_stream_neardup" -> QueryDef((s, d) => streamNearDedup(s, d),
+      Some(graft.sed.PipelineQueries.streamNearDupOracle)),
     "q_stream_decontam" -> QueryDef((s, d) => streamDecontaminate(s, d), None),
     "q_stream_winsorize" -> QueryDef((s, d) => streamWinsorize(s, d),
       Some(graft.operators.EventAnalytics.winsorizeSql(0.05, 0.95))),

@@ -85,6 +85,66 @@ class ImageAnnSpec extends SparkSpecBase {
     }
   }
 
+  // ---- hammingEdgesWide (round 13): radius up to 15 ----
+
+  test("wide radius 12 equals brute force on clustered random hashes") {
+    val rng = new scala.util.Random(1312)
+    val hs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var id = 0L
+    (0 until 25).foreach { _ =>
+      val seed = rng.nextLong()
+      id += 1; hs += ((id, seed))
+      (0 until 2).foreach { _ =>
+        var v = seed
+        // variants spread across the whole 0..18 range so the gate
+        // exercises in-radius (<=12) AND just-out-of-radius pairs
+        (0 until 1 + rng.nextInt(18)).foreach(_ => v ^= 1L << rng.nextInt(64))
+        id += 1; hs += ((id, v))
+      }
+    }
+    val df = hs.toSeq.toDF("id", "ph")
+    val got = Multimodal.hammingEdgesWide(df, "id", "ph", maxHamming = 12)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 12
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 7), "fixture planted no 8..12-distance pairs")
+  }
+
+  test("wide radius 15 finds planted pairs at exactly 15 and excludes 16") {
+    val base = 0x5a5a5a5a5a5a5a5aL
+    def flipLow(n: Int): Long = base ^ ((1L << n) - 1L)
+    // 15 and 16 flipped bits, plus a spread-across-blocks 15 (4+4+4+3)
+    val spread = base ^ 0x000F000F000F0007L
+    val df = Seq((1L, base), (2L, flipLow(15)), (3L, flipLow(16)),
+      (4L, spread)).toDF("id", "ph")
+    val got = Multimodal.hammingEdgesWide(df, "id", "ph", maxHamming = 15)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 15L)))
+    assert(got.contains((1L, 4L, 15L)))
+    assert(!got.exists(t => t._1 == 1L && t._2 == 3L))
+  }
+
+  test("wide radius agrees with the narrow operator at radius 7, and refuses 16") {
+    val rng = new scala.util.Random(1315)
+    val hs = (1L to 60L).map { id =>
+      var v = 0x0123456789abcdefL
+      (0 until rng.nextInt(10)).foreach(_ => v ^= 1L << rng.nextInt(64))
+      (id, v)
+    }
+    val df = hs.toDF("id", "ph")
+    val wide = Multimodal.hammingEdgesWide(df, "id", "ph", maxHamming = 7)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    val narrow = Multimodal.hammingEdges(df, "id", "ph", maxHamming = 7)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(wide == narrow)
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingEdgesWide(df, "id", "ph", maxHamming = 16)
+    }
+  }
+
   test("image clusters: transitive near-dup chains collapse, exact copies counted through") {
     val base = Array.tabulate(64)(i => if (i % 2 == 0) 200.toByte else 0.toByte)
     def flips(n: Int): Array[Byte] = {
