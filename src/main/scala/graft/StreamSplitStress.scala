@@ -22,6 +22,8 @@ object StreamSplitStress {
     // of cross-batch cluster merges: the label-history growth worst case
     // (every merge appends correction rows for the losing cluster).
     val mergeHeavy = args.lift(2).contains("merges")
+    // in-loop generation-swap compaction cadence (round 13): 0 = off
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -54,28 +56,48 @@ object StreamSplitStress {
     val q = graft.streaming.SedStreaming.streamingLeakageSplit(
       graft.streaming.SedStreaming.fileStream(s2, feed, schema),
       "doc_id", "text", "graft-split", idx, out,
-      java.nio.file.Files.createTempDirectory("graft_spl_ck").toString)
+      java.nio.file.Files.createTempDirectory("graft_spl_ck").toString,
+      compactEvery = compactEvery)
     try q.processAllAvailable() finally q.stop()
     val total = (System.nanoTime() - t0) / 1e9
     q.recentProgress.foreach { p =>
       println(f"BATCH ${p.batchId} ${p.durationMs.get("triggerExecution") / 1000.0}%.1f s " +
         f"rows=${p.numInputRows}")
     }
+    val active = graft.operators.GenIndex.active(spark, idx)
     val assigned = spark.read.parquet(out)
     println(f"TOTAL $total%.1f s assigned=${assigned.count()}")
     assigned.groupBy("split").count().orderBy("split").collect()
       .foreach(r => println(s"SPLIT ${r.getString(0)} ${r.getLong(1)}"))
-    println(s"INDEX reps=${spark.read.parquet(s"$idx/hashes").count()} " +
-      s"labelRows=${spark.read.parquet(s"$idx/clusters").count()}")
+    println(s"INDEX active=$active " +
+      s"reps=${spark.read.parquet(s"$active/hashes").count()} " +
+      s"labelRows=${spark.read.parquet(s"$active/clusters").count()}")
+    if (compactEvery > 0) {
+      // the bounded-maintenance receipt: parquet file counts of the
+      // ACTIVE generation's tables (without in-loop compaction the
+      // append-only tables accumulate one file set per batch), plus the
+      // generation dirs still on disk (sweep must leave ~one)
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.GenIndex.SplitTables.foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$active/$t")
+        val n = if (fs.exists(p))
+          fs.listStatus(p).count(_.getPath.getName.startsWith("part-")) else 0
+        println(s"FILES $t $n")
+      }
+      val gens = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+        .map(_.getPath.getName).filter(_.startsWith("gen-")).sorted
+      println(s"GENERATIONS ${gens.mkString(",")}")
+    }
     // maintenance-cadence compaction: label history collapses to one row
     // per rep and the final assignment must be IDENTICAL through it
     val before = graft.operators.Dedup.splitIndexAssignment(
-        spark, docs, "doc_id", "text", "graft-split", idx)
+        spark, docs, "doc_id", "text", "graft-split", active)
       .groupBy("split").count().orderBy("split").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val dest = java.nio.file.Files.createTempDirectory("graft_spl_cidx").toString
     val t1 = System.nanoTime()
-    graft.operators.Dedup.compactSplitIndex(spark, idx, dest)
+    graft.operators.Dedup.compactSplitIndex(spark, active, dest)
     println(f"COMPACT ${(System.nanoTime() - t1) / 1e9}%.1f s " +
       s"labelRows=${spark.read.parquet(s"$dest/clusters").count()}")
     val after = graft.operators.Dedup.splitIndexAssignment(
@@ -83,6 +105,16 @@ object StreamSplitStress {
       .groupBy("split").count().orderBy("split").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     println(s"COMPACT_INVARIANT ${before == after} $before")
+    if (mergeHeavy) {
+      // modest corpus: the from-scratch operator is feasible, so the
+      // in-loop-compaction run certifies bit-equality against it
+      val want = graft.operators.Dedup.leakageSafeSplit(
+        docs, "doc_id", "text", "graft-split")
+      val got = graft.operators.Dedup.splitIndexAssignment(
+        spark, docs, "doc_id", "text", "graft-split", active)
+      val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+      println(s"EQUAL_FROM_SCRATCH ${diff == 0}")
+    }
     spark.stop()
   }
 }

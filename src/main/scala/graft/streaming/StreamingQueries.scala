@@ -503,10 +503,13 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val outPath = tmp("graft_substr_out")
+    // compactEvery = 2: anchor-index generation swaps run mid-feed;
+    // the accumulated spans must stay equal through them
     val q = SedStreaming.streamingSubstringDedup(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       tmp("graft_substr_idx"), outPath,
-      tmp("graft_substr_ck"), graft.sed.PipelineQueries.SubstrL)
+      tmp("graft_substr_ck"), graft.sed.PipelineQueries.SubstrL,
+      compactEvery = 2)
     try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     s0.read.parquet(outPath)
       .select("doc_id", "span_id", "span_start", "span_end")
@@ -573,10 +576,13 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val outPath = tmp("graft_video_out")
+    // compactEvery = 2: the chunk index compacts in-loop through the
+    // GenIndex generation swap mid-feed, so the shared batch oracle
+    // certifies ingest AND maintenance (the q_stream_leakage_split move)
     val q = SedStreaming.streamingVideoDedup(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "payload",
       tmp("graft_video_idx"), outPath, tmp("graft_video_ck"),
-      frameBytes = 64, stride = 1)
+      frameBytes = 64, stride = 1, compactEvery = 2)
     try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
     s0.read.parquet(outPath)
       .select("doc_id", "n_frames", "n_chunks", "n_dup_chunks", "dup_chars")
