@@ -997,21 +997,25 @@ object Dedup {
     // cross-batch probe, SKEW-GUARDED: a degenerate band key accumulates
     // index rows across batches, so an uncapped probe's matched set for
     // that key would grow per batch and erode the O(|batch| + matched)
-    // cost. Count matched INDEX rows per (band, key) and drop buckets
-    // over maxBucket before the expensive shingle verify — the same cap
-    // rule leakageSafeSplit applies globally (an index bucket over the
-    // cap implies the global bucket is too, so equality's premise is
-    // unchanged). The probe is checkpointed so the key count doesn't
-    // re-probe the index.
-    val probeX = dBands.join(idxBands, Seq("band", "key"))
-      .select(col("band"), col("key"), col(idCol).as("a_id"),
-        col("keeper").as("b_id"))
-      .localCheckpoint(true)
-    val okKeys = probeX.select("band", "key", "b_id").distinct()
-      .groupBy("band", "key").agg(count(lit(1)).as("__n"))
+    // cost. The cap is applied to the MATCHED INDEX ROWS per (band, key)
+    // — materialized BEFORE the pair-expanding join, so a degenerate key
+    // is dropped without ever paying its |batch_k|x|index_k| expansion —
+    // mirroring leakageSafeSplit's global bucket cap (an index bucket
+    // over the cap implies the global bucket is too, so the equality
+    // premise is direction-preserved).
+    val idxMatched = idxBands
+      .join(dBands.select("band", "key").distinct(), Seq("band", "key"),
+        "left_semi")
+      .localCheckpoint(true) // matched-index-sized; feeds the count AND the join
+    // distinct keepers, not raw rows: crash-replay band duplicates must
+    // not push a legitimate bucket over the cap before compaction
+    val okKeys = idxMatched.groupBy("band", "key")
+      .agg(countDistinct("keeper").as("__n"))
       .filter(col("__n") <= maxBucket).select("band", "key")
-    val candX = probeX.join(okKeys, Seq("band", "key"), "left_semi")
-      .select("a_id", "b_id").distinct()
+    val candX = dBands
+      .join(idxMatched.join(okKeys, Seq("band", "key"), "left_semi"),
+        Seq("band", "key"))
+      .select(col(idCol).as("a_id"), col("keeper").as("b_id")).distinct()
     // verify: in-batch over fresh shingle sets; cross against the index's
     val shB = shingleSets(reps, idCol, textCol, shingleN)
       .localCheckpoint(true)
