@@ -528,14 +528,23 @@ object Multimodal {
     val fa = f / 2
     val fb = f - fa
     val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    // the (block, mask) pairs ride ONE typedlit constant and the variant
+    // key is per-row shift/xor algebra — building 4·V(16,f) struct
+    // columns inline instead (the first cut) generated ~15k lines of
+    // Java and blew past Janino's method limits, silently dropping the
+    // whole stage to interpreted mode (measured 17×)
     def emitted(flips: Int): DataFrame = {
       val masks = flipMasks(16, flips)
-      val variants = (0 until 4).flatMap { b =>
-        val key = shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))
-        masks.map(m => struct(lit(b).as("b"), key.bitwiseXOR(lit(m)).as("key")))
-      }
-      h.select(col("id"), col("ph"), explode(array(variants: _*)).as("bk"))
-        .select(col("id"), col("ph"), col("bk.b").as("b"), col("bk.key").as("key"))
+      // (block, mask) packed into one long (block << 16 | mask; masks are
+      // 16-bit) — a Seq[Long] literal, since product-typed literals are
+      // unsupported and per-variant struct columns blow up codegen
+      val table: Array[Long] =
+        (for { b <- 0 until 4; m <- masks } yield (b.toLong << 16) | m).toArray
+      h.select(col("id"), col("ph"), explode(typedlit(table)).as("bm"))
+        .select(col("id"), col("ph"),
+          expr("CAST(shiftright(bm, 16) AS INT)").as("b"),
+          expr("(shiftright(ph, shiftright(bm, 16) * 16) & 65535) ^ (bm & 65535)")
+            .as("key"))
     }
     val aSide = emitted(fa)
     val bSide = emitted(fb)
