@@ -373,9 +373,9 @@ object Tokenizer {
 
   /** DuckDB oracle for [[wordpieceApplyTrained]] over the fit's corpus. */
   def wordpieceApplySql(table: String, textCol: String, k: Int,
-                        idCol: String): String = {
+                        idCol: String, byteLevel: Boolean = false): String = {
     val toks = TextFunctions.tokensSql(textCol)
-    s"""WITH ${wordpieceCtesSql(table, textCol, k)},
+    s"""WITH ${wordpieceCtesSql(table, textCol, k, byteLevel)},
        tok AS (SELECT $idCol, i, l[i] AS w FROM (
          SELECT $idCol, $toks AS l FROM $table), UNNEST(range(1, len(l) + 1)) AS t(i)),
        enc AS (SELECT tok.$idCol, tok.i,
@@ -667,17 +667,22 @@ object Tokenizer {
   /** The fit chain plus one more Viterbi pass under the PRUNED model —
     * `segA(w, pieces)` is each distinct word's final segmentation. */
   private def unigramApplyCtes(table: String, textCol: String, maxPieceLen: Int,
-                               seedSize: Int, emRounds: Int, vocabSize: Int): String =
-    s"""${unigramFitCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize)},
+                               seedSize: Int, emRounds: Int, vocabSize: Int,
+                               byteLevel: Boolean = false): String =
+    s"""${unigramFitCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize, byteLevel)},
        ${viterbiCtes("A", "modelF", maxPieceLen)}"""
 
   /** DuckDB oracle for [[unigramApplyTrained]] over the fit's corpus. */
   def unigramApplySql(table: String, textCol: String, maxPieceLen: Int,
                       seedSize: Int, emRounds: Int, vocabSize: Int,
-                      idCol: String): String = {
+                      idCol: String, byteLevel: Boolean = false): String = {
     val toks = TextFunctions.tokensSql(textCol)
-    s"""WITH RECURSIVE ${unigramApplyCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize)},
-       tok AS (SELECT $idCol, i, l[i] AS w FROM (
+    // unigram segmentations key on the (byte-encoded) word itself, so in
+    // byte mode the tok CTE maps corpus tokens through the byte alphabet
+    // — mirroring unigramApplyTrained's ByteAlpha(col("w")) join side
+    val wExpr = if (byteLevel) byteAlphaSql("l[i]") else "l[i]"
+    s"""WITH RECURSIVE ${unigramApplyCtes(table, textCol, maxPieceLen, seedSize, emRounds, vocabSize, byteLevel)},
+       tok AS (SELECT $idCol, i, $wExpr AS w FROM (
          SELECT $idCol, $toks AS l FROM $table), UNNEST(range(1, len(l) + 1)) AS t(i)),
        sym AS (SELECT tok.$idCol, tok.i, unnest(s.pieces) AS piece,
          unnest(range(1, len(s.pieces) + 1)) AS j2
@@ -687,10 +692,13 @@ object Tokenizer {
        FROM sym GROUP BY $idCol""".replaceAll("\\s+", " ")
   }
 
-  /** DuckDB oracle for [[bpeApplyTrained]] over the fit's own corpus. */
-  def bpeApplySql(table: String, textCol: String, k: Int, idCol: String): String = {
+  /** DuckDB oracle for [[bpeApplyTrained]] over the fit's own corpus.
+    * In byte mode only the packed-vocab alphabet changes — the vocab
+    * join key stays the original word, so the tok CTE is untouched. */
+  def bpeApplySql(table: String, textCol: String, k: Int, idCol: String,
+                  byteLevel: Boolean = false): String = {
     val toks = TextFunctions.tokensSql(textCol)
-    s"""WITH ${bpeCtesSql(table, textCol, k)},
+    s"""WITH ${bpeCtesSql(table, textCol, k, byteLevel)},
        tok AS (SELECT $idCol, i, l[i] AS w FROM (
          SELECT $idCol, $toks AS l FROM $table), UNNEST(range(1, len(l) + 1)) AS t(i)),
        enc AS (SELECT tok.$idCol, tok.i,

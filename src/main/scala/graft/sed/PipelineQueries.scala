@@ -1096,6 +1096,45 @@ object PipelineQueries {
       Some(Tokenizer.unigramFitSql("documents", "text", UniMaxPiece,
         UniSeed, UniRounds, UniVocab, byteLevel = true))),
 
+    // ... and the byte-mode APPLY side (round 13, closing the byte story
+    // end-to-end): encode the corpus with each byte-trained vocab — the
+    // vocab join keys stay original words for BPE/WordPiece (only the
+    // packed alphabet changes), while unigram keys on the byte-encoded
+    // word itself (the tok CTE maps through byteAlphaSql). Counts AND
+    // the order-exact content md5 hash-match over byte symbols.
+    "q_bpe_apply_bytes" -> QueryDef(
+      (s, d) => {
+        val (_, vocab) = Tokenizer.bpeFitWithVocab(docs(s, d), "text", BpeK,
+          byteLevel = true)
+        Tokenizer.bpeApplyTrained(docs(s, d), "doc_id", "text", vocab,
+          byteLevel = true)
+      },
+      Some(Tokenizer.bpeApplySql("documents", "text", BpeK, "doc_id",
+        byteLevel = true))),
+
+    "q_wordpiece_apply_bytes" -> QueryDef(
+      (s, d) => {
+        val (_, vocab) = Tokenizer.wordpieceFitWithVocab(docs(s, d), "text",
+          BpeK, byteLevel = true)
+        Tokenizer.wordpieceApplyTrained(docs(s, d), "doc_id", "text", vocab,
+          byteLevel = true)
+      },
+      Some(Tokenizer.wordpieceApplySql("documents", "text", BpeK, "doc_id",
+        byteLevel = true))),
+
+    "q_unigram_apply_bytes" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val pieces = Tokenizer.unigramFit(docs(s, d), "text", UniMaxPiece,
+          UniSeed, UniRounds, UniVocab, byteLevel = true)
+          .as[(String, Long)](Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+          .collect().toMap
+        Tokenizer.unigramApplyTrained(docs(s, d), "doc_id", "text", pieces,
+          byteLevel = true)
+      },
+      Some(Tokenizer.unigramApplySql("documents", "text", UniMaxPiece,
+        UniSeed, UniRounds, UniVocab, "doc_id", byteLevel = true))),
+
     // Encoding the corpus with the TRAINED inventory: distinct words
     // Viterbi-segment once, corpus tokens join their encoding, docs
     // re-assemble in order → (doc_id, n_pieces, pieces_md5).
