@@ -453,8 +453,20 @@ object Multimodal {
       struct(lit(b).as("b"),
         shiftright(col("ph"), lo).bitwiseAND(lit(mask)).as("key"))
     }
+    // EXPLICIT repartition on the join key after the explode: the band
+    // rows inherit their parallelism from the pre-explode relation, which
+    // AQE happily coalesces to ONE partition when the distinct-hash
+    // aggregation upstream is small — and then the explode, the self-join
+    // probe, and the pair expansion (the stage whose OUTPUT is orders of
+    // magnitude bigger than its input — the one cardinality AQE cannot
+    // see when it sizes the coalesce) all run single-threaded. A
+    // user-specified partition count is exempt from AQE coalescing, and
+    // hash-partitioning both sides on (b, key) co-locates the self-join
+    // so it needs no further exchange.
+    val np = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val bands = h.select(col("id"), col("ph"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("ph"), col("bk.b").as("b"), col("bk.key").as("key"))
+      .repartition(np, col("b"), col("key"))
     val ok = bands.groupBy("b", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket).select("b", "key")
     val bb = bands.join(ok, Seq("b", "key"), "left_semi")
@@ -546,8 +558,20 @@ object Multimodal {
           expr("(shiftright(ph, shiftright(bm, 16) * 16) & 65535) ^ (bm & 65535)")
             .as("key"))
     }
-    val aSide = emitted(fa)
-    val bSide = emitted(fb)
+    // EXPLICIT repartition on the join key after the variant explode —
+    // same reason as [[hammingEdges]]: the emitted rows inherit the
+    // pre-explode relation's partitioning, which AQE coalesces to ONE
+    // partition when the distinct-hash input is small, and then the
+    // ×V(16,f) explode, the equality-join probe, and the candidate-pair
+    // expansion all run in a single task (measured: the whole stage
+    // single-threaded at ~20 s vs ~2 s across 32 tasks — bimodal run to
+    // run because the mode flips on AQE's near-threshold broadcast
+    // estimate). A user-specified partition count is exempt from AQE
+    // coalescing, and hash-partitioning both sides on (b, key)
+    // co-locates the join with no further exchange.
+    val np = hashes.sparkSession.sessionState.conf.numShufflePartitions
+    val aSide = emitted(fa).repartition(np, col("b"), col("key"))
+    val bSide = emitted(fb).repartition(np, col("b"), col("key"))
     val ok = bSide.groupBy("b", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket).select("b", "key")
     aSide.join(ok, Seq("b", "key"), "left_semi")
