@@ -58,6 +58,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // JVM-wide generated-class cache: the default 100 entries thrash
+      // under a 183-entry suite (and within single multi-stage queries),
+      // serializing all tasks behind Janino recompiles of evicted classes
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: initialize codegen, shuffle machinery, parquet reader paths

@@ -53,6 +53,22 @@ object HammingBench {
       maxHamming = 12)
     val wideEdges = wide.queryExecution.toRdd.count()
     println(f"PHASE wide12_reps ${(System.nanoTime() - t2) / 1e9}%.1f s edges=$wideEdges")
+    // bit-sampled sketch (round 14) PAST the exact ceiling — radius 18
+    // at the rep level. On uniform codes the candidate stage runs at
+    // ~t/2^s ≈ 11% of all pairs (LSH prices r=18-of-64 at ~n^1.5), so
+    // the practical envelope is a capped rep subset: 50k reps ≈ 134M
+    // candidate pairs. The cap is the honest knob, printed with the row.
+    val t3 = System.nanoTime()
+    val SketchReps = 50000L
+    val sub = reps.filter(col("id") % lit(math.max(1L, 200000L / SketchReps) * 10L) === 0)
+      .localCheckpoint(true)
+    val subN = sub.count()
+    val sk = graft.operators.Multimodal.hammingEdgesSketch(sub, "id", "ph",
+      maxHamming = 18)
+    val skEdges = sk.queryExecution.toRdd.count()
+    println(f"PHASE sketch18_reps ${(System.nanoTime() - t3) / 1e9}%.1f s " +
+      f"reps=$subN edges=$skEdges (capped subset of the 200k reps; " +
+      "expected recall 0.95 at exactly-18 per sketchRecall)")
     spark.stop()
   }
 }

@@ -15,6 +15,7 @@ object RepeatDiag {
     val b0 = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
     // extra confs for A/B hypothesis tests: SPARK_GRAFT_DIAG_CONF="k=v;k=v"
     val b = sys.env.get("SPARK_GRAFT_DIAG_CONF").map(_.split(";").toSeq)
@@ -78,18 +79,24 @@ object RepeatDiag {
     val sampler = new Thread(() => {
       while (true) {
         Thread.sleep(4000)
+        // count executor threads by state and by top-of-stack signature:
+        // a contended lock / memory-pool wait shows up as many threads
+        // sharing one WAITING/BLOCKED frame, far more readable than
+        // per-thread dumps
+        val sigs = new scala.collection.mutable.HashMap[String, Int]()
         Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
-          if (t.getName.startsWith("Executor task launch") && st.nonEmpty &&
-              t.getState == Thread.State.RUNNABLE) {
-            val interesting = st.filter(f =>
-              f.getClassName.contains("graft") ||
-              f.getClassName.contains("catalyst") ||
-              f.getClassName.contains("execution")).take(8)
-            if (interesting.nonEmpty)
-              println("      TRACE " + t.getName.takeRight(2) + ": " +
-                interesting.map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}:${f.getLineNumber}").mkString(" <- "))
+          if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+            val top = st.iterator
+              .find(f => !f.getClassName.startsWith("java.lang.Object") &&
+                !f.getClassName.startsWith("jdk.internal.misc.Unsafe"))
+              .getOrElse(st.head)
+            val key = s"${t.getState} ${top.getClassName.split('.').last}.${top.getMethodName}:${top.getLineNumber}"
+            sigs(key) = sigs.getOrElse(key, 0) + 1
           }
         }
+        if (sigs.nonEmpty)
+          println("      SAMP " + sigs.toSeq.sortBy(-_._2).take(6)
+            .map { case (k, n) => s"$n x $k" }.mkString(" | "))
       }
     })
     sampler.setDaemon(true)

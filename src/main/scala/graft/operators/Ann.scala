@@ -217,13 +217,38 @@ object Ann {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Above this center count, [[clusterAssign]] automatically routes
+    * through the EXACT-pruned path ([[clusterAssignPruned]]): the flat
+    * broadcast scan is O(k·dim) per row — fine at IVF-ish k, the whole
+    * job at k in the thousands — while the pruned path costs
+    * O((√k + scanned)·dim) and is bit-equal by construction. 1024 ≈
+    * where the routing pass (√k cell dots) stops being noise next to
+    * the scan it saves. AutoAssignSpec pins bit-invariance ACROSS the
+    * switch point on clustered and adversarial fixtures. */
+  val AutoRouteK = 1024
+
   /** [[assignBuckets]] plus the winning cosine — the cluster-profiling
     * form (per-cluster member counts / cohesion need the similarity, the
-    * index write does not). Same broadcast-map shape and the same
-    * lower-cid tie-break, so assignments are identical to the IVF
-    * bucketing. */
+    * index write does not). Same lower-cid tie-break, so assignments are
+    * identical to the IVF bucketing. Dispatches by k: the flat broadcast
+    * scan up to [[AutoRouteK]] centers, the EXACT-pruned
+    * [[clusterAssignPruned]] above it — output is bit-identical either
+    * way (AutoAssignSpec), so callers get the k-in-the-thousands shape
+    * without opting in; opt into APPROXIMATE routing explicitly via
+    * [[clusterAssignRouted]] when a recall/cost dial is wanted. */
   def clusterAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                    centroids: Array[(Int, Array[Float])]): DataFrame = {
+                    centroids: Array[(Int, Array[Float])]): DataFrame =
+    if (centroids.length > AutoRouteK)
+      clusterAssignPruned(corpus, idCol, vecCol, centroids,
+        math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt))
+    else clusterAssignBrute(corpus, idCol, vecCol, centroids)
+
+  /** The flat broadcast-map scan behind [[clusterAssign]] — every center
+    * dotted per row. Package-visible so AutoAssignSpec can pin the
+    * pruned path's bit-equality against it above the switch point. */
+  private[operators] def clusterAssignBrute(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Float])]): DataFrame = {
     val spark = corpus.sparkSession
     val cB = spark.sparkContext.broadcast(
       centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
@@ -293,10 +318,45 @@ object Ann {
     val batch =
       if (!antiJoinExisting) newVecs.select(col(idCol), col(vecCol))
       else newVecs.select(col(idCol), col(vecCol)).join(
-        spark.read.parquet(index.path).select(col("vec_id").as(idCol)),
+        ivfScan(spark, index.path).select(col("vec_id").as(idCol)),
         Seq(idCol), "left_anti")
     assignBuckets(batch, idCol, vecCol, index.centroids)
       .write.mode("append").partitionBy("bucket").parquet(index.path)
+  }
+
+  /** Re-open a GENERATION-MAINTAINED index at its root: resolves the
+    * active generation ([[GenIndex.active]] — the highest committed
+    * `gen-NNNNN/`, or the flat root before any compaction) and loads it.
+    * The read-side half of [[graft.streaming.SedStreaming.streamingIvfIngest]]'s
+    * crash-safe in-loop compaction. */
+  def activeIvfIndex(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex =
+    loadIvfIndex(spark, GenIndex.active(spark, root))
+
+  /** Scan an IVF data directory's `bucket=N` partitions ONLY — every
+    * IVF read goes through this instead of a bare `read.parquet(path)`
+    * so that (a) a crashed, uncommitted `gen-NNNNN/` sibling under a
+    * flat generation-maintained root cannot break partition discovery
+    * while that root is still the active generation, and (b) an index
+    * with no data yet (the empty build the streaming ingest loop starts
+    * from) scans as an empty relation instead of failing schema
+    * inference. Explicit bucket paths + `basePath` keep the partition
+    * column and its pruning exactly as with whole-directory discovery
+    * (PartitionFilters still show in `.explain`). */
+  private def ivfScan(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("bucket=") =>
+          st.getPath.toString
+      }
+    if (buckets.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("bucket", IntegerType))))
+    else spark.read.option("basePath", path).parquet(buckets.toIndexedSeq: _*)
   }
 
   /** Re-open a built index (the fit-once / query-forever loop). */
@@ -332,7 +392,7 @@ object Ann {
       queries.map { case (qid, v) => (qid, v, math.sqrt(dot(v, v)), probes(qid)) })
     val probedBuckets = probes.values.flatten.toSet.toSeq.sorted
 
-    val scan = spark.read.parquet(index.path)
+    val scan = ivfScan(spark, index.path)
       .filter(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val partials = scan.rdd.mapPartitions { it =>
@@ -400,7 +460,7 @@ object Ann {
       StructField("code", BinaryType),
       StructField("scale", FloatType),
       StructField("bucket", IntegerType)))
-    val rows = spark.read.parquet(full.path)
+    val rows = ivfScan(spark, full.path)
       .select(col("vec_id"), col("embedding"), col("bucket"))
       .rdd.mapPartitions { it =>
         val cs = cB.value
@@ -514,7 +574,7 @@ object Ann {
     // `isin` filter — plan size grew linearly with rerank×queries); the
     // scan keeps its partition pruning from the bucket filter, and the
     // join drops non-candidates before the embedding column is touched.
-    val fullScan = spark.read.parquet(pq.fullPath)
+    val fullScan = ivfScan(spark, pq.fullPath)
       .filter(col("bucket").isin(probedBuckets: _*))
       .select(col("vec_id"), col("embedding"))
     val paired = fullScan.join(broadcast(cand), Seq("vec_id"))
@@ -777,7 +837,7 @@ object Ann {
     * production swaps the path atomically (rename / view flip). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       index: IvfIndex, destPath: String): IvfIndex = {
-    spark.read.parquet(index.path)
+    ivfScan(spark, index.path)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(destPath)
     val json = index.centroids.sortBy(_._1).map { case (cid, v) =>
@@ -830,7 +890,7 @@ object Ann {
         }
       }
     val probed = spark.createDataFrame(probeRows, probeSchema)
-    val corpus = spark.read.parquet(index.path)
+    val corpus = ivfScan(spark, index.path)
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val cos = graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
@@ -1043,6 +1103,98 @@ object Ann {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
+  }
+
+  private def clamp1(x: Double): Double = math.max(-1.0, math.min(1.0, x))
+
+  /** EXACT cluster assignment for k in the thousands — the automatic
+    * continuation of [[clusterAssign]] above [[AutoRouteK]]: centers
+    * group driver-side into `cells` routing cells (stride-sampled, each
+    * center joined to its nearest cell — the [[clusterAssignRouted]]
+    * layout) and each cell records the MAX ANGLE from its seed to its
+    * members. Per corpus row, cells scan in descending routing-cosine
+    * order under a spherical triangle-inequality bound: every member c
+    * of cell Z satisfies angle(v,c) >= angle(v,Z) - angle(Z,c) >=
+    * a - r(Z), so cos(max(0, a - r(Z))) bounds any member's cosine from
+    * ABOVE — a cell whose bound is STRICTLY below the best cosine found
+    * so far cannot contain the winner (nor tie it, so the lower-cid
+    * tie-break cannot be stolen by a skipped cell) and is skipped
+    * without touching its members. r is inflated by 1e-7 rad so
+    * acos/cos rounding can only widen the bound — pruning stays
+    * conservative and the output is BIT-EQUAL to the flat scan
+    * (AutoAssignSpec pins it on clustered, uniform, and
+    * duplicate-center-across-cells fixtures). Cost per row:
+    * cells·dim routing + only the unpruned cells' members; on clustered
+    * centers that is O((√k + k/√k)·dim) with cells = ⌈√k⌉, worst case
+    * (nothing prunes — e.g. all centers equidistant) the flat scan plus
+    * the √k routing overhead. */
+  def clusterAssignPruned(corpus: DataFrame, idCol: String, vecCol: String,
+                          centers: Array[(Int, Array[Float])],
+                          cells: Int): DataFrame = {
+    require(cells >= 1 && centers.nonEmpty)
+    val spark = corpus.sparkSession
+    val sorted = centers.sortBy(_._1)
+    val stride = math.max(1, sorted.length / cells)
+    val cellVecs = sorted.indices.collect {
+      case i if i % stride == 0 => sorted(i)._2
+    }.take(cells).toArray
+    val cellNorms = cellVecs.map(v => math.sqrt(dot(v, v)))
+    require(cellNorms.forall(_ > 0.0), "zero-norm routing cell")
+    val grouped: Map[Int, Array[(Int, Array[Float], Double)]] =
+      sorted.map { case (cid, v) =>
+        val nv = math.sqrt(dot(v, v))
+        require(nv > 0.0, s"clusterAssignPruned: zero-norm center $cid")
+        val cell = cellVecs.indices
+          .map(c => (dot(cellVecs(c), v) / (cellNorms(c) * nv), c))
+          .minBy { case (cos, c) => (-cos, c) }._2
+        (cell, (cid, v, nv))
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    // max member angle per cell, inflated so fp rounding can only widen
+    val radius: Map[Int, Double] = grouped.map { case (c, ms) =>
+      c -> (ms.iterator.map { case (_, v, nv) =>
+        math.acos(clamp1(dot(cellVecs(c), v) / (cellNorms(c) * nv)))
+      }.max + 1e-7)
+    }
+    val gB = spark.sparkContext.broadcast((grouped, radius))
+    val cellB = spark.sparkContext.broadcast((cellVecs, cellNorms))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("cos", DoubleType)))
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val (cv, cn) = cellB.value
+      val (groups, rad) = gB.value
+      it.map { row =>
+        val v = row.getSeq[Float](1).toArray
+        val nv = math.sqrt(dot(v, v))
+        require(nv > 0.0,
+          s"clusterAssignPruned: zero-norm embedding at ${row.getLong(0)} — " +
+            "cosine assignment is undefined; filter zero vectors upstream")
+        // descending routing cosine: the likeliest-winning cells scan
+        // first, raising `best` early so later bounds prune more
+        val order = cv.indices
+          .map(c => (dot(cv(c), v) / (cn(c) * nv), c))
+          .sortBy { case (cos, c) => (-cos, c) }
+        var best = -2.0; var bestC = -1
+        order.foreach { case (cellCos, cell) =>
+          groups.get(cell).foreach { cs =>
+            val bound = math.cos(math.max(0.0,
+              math.acos(clamp1(cellCos)) - rad(cell)))
+            if (bound >= best) {
+              var i = 0
+              while (i < cs.length) {
+                val (cid, cvec, cnorm) = cs(i)
+                val c = dot(cvec, v) / (cnorm * nv)
+                if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+                i += 1
+              }
+            }
+          }
+        }
+        Row(row.getLong(0), bestC, best)
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** [[clusterAssign]] for center counts in the THOUSANDS — the

@@ -353,13 +353,87 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsStarRounds(pairs, maxIter)._1
 
+  /** Ceiling on [[connectedComponentsAuto]]'s driver-resident edge list:
+    * 2^21 edges × 16 bytes = 32 MiB — the same bounded-collect class as
+    * [[Ann.MaxKcenterSample]]. */
+  val MaxDriverEdges: Int = 1 << 21
+
+  /** Connected components with the SOLVE placed by graph size: the edge
+    * lists this library feeds CC are representative-level (post
+    * exact-collapse, post LSH+verify) — orders of magnitude smaller than
+    * the corpus, usually thousands of rows — and running a multi-round
+    * distributed fixpoint over them costs ~10 rounds × (2 shuffles + 2
+    * convergence-count jobs) of pure scheduling/codegen overhead per
+    * solve (measured: the star loop was BOTH the wall-clock majority and
+    * the run-to-run variance of q_image_clusters_wide at sf0.1 — every
+    * round plans fresh codegen units, churning the JVM-wide generated-
+    * class cache under which all 32 tasks serialize). So: ONE count of
+    * the deduplicated undirected edge list decides — at most
+    * `driverEdgeLimit` (default [[MaxDriverEdges]], a 32 MiB bound)
+    * edges collect to the driver for a union-find solve (path-halving +
+    * union by min, O(E α(E)) — µs per edge), anything larger runs the
+    * unchanged O(log² n)-round distributed [[connectedComponentsStar]].
+    * Labels are IDENTICAL either way — (id, label = component-min) for
+    * every node incident to an edge (CcStarSpec pins the equality), so
+    * callers and oracles cannot observe the switch. */
+  def connectedComponentsAuto(pairs: DataFrame, maxIter: Int = 50,
+                              driverEdgeLimit: Int = MaxDriverEdges): DataFrame = {
+    val e = pairs
+      .select(greatest(col("a_id"), col("b_id")).cast("long").as("hi"),
+        least(col("a_id"), col("b_id")).cast("long").as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+    // limit+1 probe, not a full count: the decision needs only "over or
+    // under", and the scan stops as soon as the limit is crossed
+    if (e.limit(driverEdgeLimit + 1).count() > driverEdgeLimit)
+      connectedComponentsStar(e.select(col("hi").as("a_id"), col("lo").as("b_id")), maxIter)
+    else {
+      val spark = pairs.sparkSession
+      val edges = e.collect()
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path-halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      edges.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        // union by MIN root: the component root stays its minimum id, so
+        // the final resolve needs no second pass to find the min
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = new java.util.HashSet[Long](edges.length * 2)
+      edges.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+      val out = new Array[org.apache.spark.sql.Row](nodes.size)
+      var i = 0
+      val it = nodes.iterator()
+      while (it.hasNext) {
+        val id = it.next()
+        out(i) = org.apache.spark.sql.Row(id, find(id)); i += 1
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism, out.length / 4096 + 1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType))))
+    }
+  }
+
   /** The deduplicated corpus: from candidate pairs verified near-dups,
     * keep only the minimum-id document of each duplicate cluster. */
   def dedupCorpus(docs: DataFrame, idCol: String, verifiedPairs: DataFrame): DataFrame = {
-    // star CC: identical labels, diameter-independent round count
-    // (measured at 100×: 2 rounds / 11.6 s vs propagation's 12.6 s on
-    // the 6.9M-pair clique graph; ~10× fewer rounds on chain shapes)
-    val comps = connectedComponentsStar(verifiedPairs)
+    // auto CC: identical labels; graphs under the 32 MiB driver bound
+    // solve in one union-find pass, larger ones (the 6.9M-pair clique
+    // graph at 100×) run the diameter-independent star rounds
+    val comps = connectedComponentsAuto(verifiedPairs)
     val losers = comps.filter(col("id") =!= col("label")).select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -415,7 +489,7 @@ object Dedup {
       shingleN, maxBucket)
     val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
       .filter(col("jaccard") >= minJaccard)
-    connectedComponentsStar(verified.select("a_id", "b_id"))
+    connectedComponentsAuto(verified.select("a_id", "b_id"))
       .groupBy("label").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
@@ -512,7 +586,7 @@ object Dedup {
       shingleN, maxBucket)
     val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
       .filter(col("jaccard") >= minJaccard)
-    val comps = connectedComponentsStar(verified.select("a_id", "b_id"))
+    val comps = connectedComponentsAuto(verified.select("a_id", "b_id"))
     // cluster label per representative: CC label where edge-touched,
     // else the rep is its own singleton cluster
     val repLab = groups
@@ -552,7 +626,7 @@ object Dedup {
       shingleN, maxBucket)
     val verified = jaccardForPairs(reps, idCol, textCol, shingleN, cand)
       .filter(col("jaccard") >= minJaccard)
-    val comps = connectedComponentsStar(verified.select("a_id", "b_id"))
+    val comps = connectedComponentsAuto(verified.select("a_id", "b_id"))
     val repLab = groups
       .join(comps.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
       .withColumn("__label", coalesce(col("label"), col("__rep")))
@@ -662,7 +736,11 @@ object Dedup {
       .join(shingleSets(surv, idCol, textCol, shingleN)
         .select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(idxSh.select(col("keeper").as("b_id"), col("sh").as("b_sh")), "b_id")
+    // distinct verified PAIRS before the per-doc aggregate: duplicate
+    // index shingle rows (crash-replay debris awaiting compaction) must
+    // inflate neither n_near nor anything else
     val near = jaccardOf(joined).filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id").distinct()
       .groupBy(col("a_id").as(idCol))
       .agg(min("b_id").as("__nk"), count(lit(1)).as("__nn"))
     tagged.join(near, Seq(idCol), "left")
@@ -695,9 +773,7 @@ object Dedup {
                          shingleN: Int = 3): Unit = {
     val admit = delta.join(
       classified.filter(col("status") === "new").select(idCol), Seq(idCol), "left_semi")
-    admit.select(md5(col(textCol).cast("binary")).as("content_hash"),
-        col(idCol).as("keeper"))
-      .write.mode("append").parquet(s"$path/hashes")
+      .localCheckpoint(true) // feeds three appends; hashes/ LAST is the gate
     val numBands = numHashes / rowsPerBand
     withBandKeys(minhashSignatures(admit, idCol, textCol, numHashes, shingleN),
         numHashes, rowsPerBand)
@@ -709,6 +785,14 @@ object Dedup {
     shingleSets(admit, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "keeper")
       .write.mode("append").parquet(s"$path/shingles")
+    // hashes/ LAST: it is the gate that decides future status, so a crash
+    // between the appends replays the whole admit identically (the doc
+    // still classifies `new`); the duplicate band/shingle rows that
+    // re-append are absorbed by the candidate distinct / the verify's
+    // pair distinct and reclaimed by [[compactDedupIndex]]
+    admit.select(md5(col(textCol).cast("binary")).as("content_hash"),
+        col(idCol).as("keeper"))
+      .write.mode("append").parquet(s"$path/hashes")
   }
 
   /** Rewrite a dedup index compactly: coalesce the append-accumulated
@@ -720,15 +804,75 @@ object Dedup {
                         path: String, destPath: String,
                         maxBucket: Int = 10000): Unit = {
     requireDistinctPaths(spark, path, destPath)
-    spark.read.parquet(s"$path/hashes").repartition(col("content_hash"))
+    spark.read.parquet(s"$path/hashes")
+      .groupBy("content_hash").agg(min("keeper").as("keeper"))
       .write.mode("overwrite").parquet(s"$destPath/hashes")
-    val bands = spark.read.parquet(s"$path/bands")
+    // distinct drops crash-replay duplicate rows; distinct KEEPERS for the
+    // cap so that debris cannot push a legitimate bucket over it
+    val bands = spark.read.parquet(s"$path/bands").distinct().localCheckpoint(true)
     val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket).select("band", "key")
     bands.join(ok, Seq("band", "key"), "left_semi").repartition(col("key"))
       .write.mode("overwrite").parquet(s"$destPath/bands")
-    spark.read.parquet(s"$path/shingles").repartition(col("keeper"))
+    spark.read.parquet(s"$path/shingles")
+      .groupBy("keeper").agg(first("sh").as("sh"))
       .write.mode("overwrite").parquet(s"$destPath/shingles")
+    copyIngestMarker(spark, path, destPath)
+  }
+
+  /** One classify-and-admit step of the exact-dedup ingestion loop over
+    * a GENERATION-MAINTAINED index root — [[incrementalDedup]] +
+    * [[appendToDedupIndex]] against the ACTIVE generation
+    * ([[GenIndex.active]]), with the same monotone-id `_ingest_max`
+    * guard as the split/chunk families (exact replays of the last batch
+    * are admitted and SELF-REPAIR: fully-admitted docs re-classify
+    * dup_corpus against their own appended hashes and admit nothing,
+    * docs whose appends a crash lost classify `new` again and
+    * re-append — hashes/ is written last as the gate), and —
+    * every `compactEvery` batches — in-loop compaction through a
+    * crash-safe generation swap ([[GenIndex.compact]] of
+    * [[compactDedupIndex]]): file counts stay bounded over long feeds,
+    * the band bucket cap is re-applied, and a crash at ANY point of the
+    * swap leaves the previous generation active. Returns the batch's
+    * classification (the [[incrementalDedup]] schema), materialized
+    * BEFORE the appends so the admit cannot read its own writes.
+    * DedupIngestSpec pins loop == from-scratch classification through
+    * swaps and the crash fixtures. */
+  def dedupIndexIngest(spark: org.apache.spark.sql.SparkSession,
+                       delta: DataFrame, idCol: String, textCol: String,
+                       root: String, batchId: Long,
+                       numHashes: Int = 12, rowsPerBand: Int = 3,
+                       shingleN: Int = 3, minJaccard: Double = 0.8,
+                       maxBucket: Int = 10000, compactEvery: Int = 0): DataFrame = {
+    val active = GenIndex.active(spark, root)
+    val (ingestMm, _) = checkMonotoneIngest(spark, active, delta, idCol,
+      "hashes", "keeper")
+    // first batch founds the index: an EMPTY build writes the three
+    // tables with their schemas, so the classify below probes an empty
+    // index instead of failing on missing paths
+    val fsRoot = new org.apache.hadoop.fs.Path(active)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsRoot.exists(new org.apache.hadoop.fs.Path(s"$active/hashes")))
+      buildDedupIndex(delta.limit(0), idCol, textCol, active,
+        numHashes, rowsPerBand, shingleN, maxBucket)
+    val classified = incrementalDedup(spark, delta, idCol, textCol, active,
+      numHashes, rowsPerBand, shingleN, minJaccard)
+      .localCheckpoint(true) // the admit below APPENDS to the tables this plan reads
+    ingestMm.foreach(recordIngestMax(spark, active, _))
+    // the append ALWAYS runs — on a replay it self-repairs a crash that
+    // landed between the per-table appends: fully-admitted docs classify
+    // dup_corpus (hashes/ is written last, so it gates) and re-admit
+    // nothing, docs whose appends were lost classify `new` again and
+    // re-append; duplicate band/shingle debris is absorbed downstream
+    // and reclaimed by compaction
+    appendToDedupIndex(delta, classified, idCol, textCol, active,
+      numHashes, rowsPerBand, shingleN)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      GenIndex.compact(spark, root)((src, dest) =>
+        compactDedupIndex(spark, src, dest, maxBucket))
+      ()
+    }
+    classified
   }
 
   // ---------------------------------------------------------------------
@@ -759,63 +903,85 @@ object Dedup {
     * contract ('batch ids must exceed all ingested ids'): a violating
     * batch would silently break the labels-only-decrease invariant
     * (split index) or misclassify chunk dups (chunk index). The guard is
-    * O(1) per batch — the max ingested id rides a tiny `_ingest_max`
-    * marker file (two longs: the LAST batch's min and max), not an index
-    * scan. An exact crash-replay of the last batch re-presents the same
-    * min id, which the marker recognizes and admits (replay idempotence
-    * is load-bearing for the whole family); a pre-marker index (built
-    * before this guard existed) migrates by a one-time max scan.
-    * Returns the batch's (min, max) ids for [[recordIngestMax]] (None
-    * for an empty batch — nothing to guard or record) plus whether the
-    * batch is an exact replay of the last ingested one. */
+    * O(1) per batch — the last batch's (min, max, row count) rides a
+    * tiny `_ingest_max` marker file, not an index scan. An exact
+    * crash-replay of the last batch re-presents the same min, max AND
+    * count, which the marker recognizes and admits (replay idempotence
+    * is load-bearing for the whole family); a batch that merely SHARES
+    * the last batch's min id but differs in max or count is NOT a
+    * replay and fails loudly — admitting it would both corrupt the
+    * index (its tail ids overlap ingested ones) and, in the staged
+    * streaming loops, silently skip its output writes behind the
+    * previous batch's `_SUCCESS` marker.
+    *
+    * A pre-marker index (built before this guard existed) migrates by a
+    * one-time max scan of `table.ownerCol`. That high-water mark is
+    * BEST-EFFORT UNDERSTATED: the index records representatives/owners
+    * only, so ingested docs classified as dups with ids above the last
+    * rep are invisible to the scan, and the first post-migration batch
+    * may overlap them undetected (the marker is exact from then on).
+    * Returns the batch's (min, max, count) for [[recordIngestMax]]
+    * (None for an empty batch — nothing to guard or record) plus
+    * whether the batch is an exact replay of the last ingested one. */
   private def checkMonotoneIngest(spark: org.apache.spark.sql.SparkSession,
                                   path: String, delta: DataFrame, idCol: String,
                                   table: String, ownerCol: String):
-      (Option[(Long, Long)], Boolean) = {
+      (Option[(Long, Long, Long)], Boolean) = {
     val mm = delta.agg(min(col(idCol).cast("long")),
-      max(col(idCol).cast("long"))).first()
+      max(col(idCol).cast("long")), count(lit(1))).first()
     if (mm.isNullAt(0)) return (None, false)
-    val (bMin, bMax) = (mm.getLong(0), mm.getLong(1))
+    val (bMin, bMax, bCnt) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
     val conf = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$path/_ingest_max")
     val fs = marker.getFileSystem(conf)
-    val last: Option[(Long, Long)] =
+    // marker format: "min,max,count"; older two-field markers (written
+    // before the count was recorded) parse with an unknown count, which
+    // the replay check then cannot corroborate — same-min-same-max is
+    // accepted for that one legacy batch and the rewrite upgrades it
+    val last: Option[(Long, Long, Option[Long])] =
       if (fs.exists(marker)) {
         val in = fs.open(marker)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         val parts = txt.split(",")
-        Some((parts(0).toLong, parts(1).toLong))
+        Some((parts(0).toLong, parts(1).toLong,
+          if (parts.length >= 3) Some(parts(2).toLong) else None))
       } else if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$table"))) {
-        // pre-guard index: derive the high-water mark once, then the
-        // marker maintains it
+        // pre-guard index: derive the (understated — see docstring)
+        // high-water mark once; the marker maintains it exactly after
         val m = spark.read.parquet(s"$path/$table")
           .agg(max(col(ownerCol).cast("long"))).first()
-        if (m.isNullAt(0)) None else Some((Long.MinValue, m.getLong(0)))
+        if (m.isNullAt(0)) None else Some((Long.MinValue, m.getLong(0), None))
       } else None
-    last.foreach { case (lastMin, lastMax) =>
-      require(bMin > lastMax || bMin == lastMin,
-        s"monotone-id ingestion contract violated at $path: batch min id " +
-          s"$bMin is not greater than the last ingested max id $lastMax " +
-          s"(and is not an exact replay of the last batch, whose min was " +
-          s"$lastMin) — out-of-order ingestion silently corrupts the " +
-          "index's corpus-order-first semantics")
+    val isReplay = last.exists { case (lastMin, lastMax, lastCnt) =>
+      lastMin == bMin && lastMax == bMax && lastCnt.forall(_ == bCnt)
     }
-    (Some((bMin, bMax)), last.exists(_._1 == bMin))
+    last.foreach { case (lastMin, lastMax, lastCnt) =>
+      require(bMin > lastMax || isReplay,
+        s"monotone-id ingestion contract violated at $path: batch " +
+          s"(min=$bMin, max=$bMax, n=$bCnt) neither exceeds the last " +
+          s"ingested max id $lastMax nor exactly replays the last batch " +
+          s"(min=$lastMin, max=$lastMax, n=${lastCnt.getOrElse("?")}) — " +
+          "out-of-order ingestion silently corrupts the index's " +
+          "corpus-order-first semantics (note: a high-water mark " +
+          "migrated from a pre-guard index understates ids of " +
+          "dup-classified docs)")
+    }
+    (Some((bMin, bMax, bCnt)), isReplay)
   }
 
-  /** Persist the batch's (min, max) ids after its appends commit — the
-    * other half of [[checkMonotoneIngest]]. Temp-file + rename, so a
+  /** Persist the batch's (min, max, count) after its appends commit —
+    * the other half of [[checkMonotoneIngest]]. Temp-file + rename, so a
     * crash leaves the previous marker (stale-low is safe: it only ever
     * ADMITS a replay, never rejects a legal batch). */
   private def recordIngestMax(spark: org.apache.spark.sql.SparkSession,
-                              path: String, minMax: (Long, Long)): Unit = {
+                              path: String, mmc: (Long, Long, Long)): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$path/_ingest_max")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_ingest_max.tmp")
     val fs = marker.getFileSystem(conf)
     val out = fs.create(tmp, true)
-    try out.write(s"${minMax._1},${minMax._2}".getBytes("UTF-8"))
+    try out.write(s"${mmc._1},${mmc._2},${mmc._3}".getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(marker)) fs.delete(marker, false)
     fs.rename(tmp, marker)
@@ -940,8 +1106,9 @@ object Dedup {
     *    the correct ones. The appends themselves replay idempotently
     *    (min-label absorption, candidate distinct, hashes-last gate).
     *
-    * `replayOfLastBatch` is the `_ingest_max` marker's min-id equality —
-    * exact replays of the last batch only; anything else out of order
+    * `replayOfLastBatch` is the `_ingest_max` marker's (min, max, count)
+    * equality — exact replays of the last batch only; anything else out
+    * of order (including a batch that merely shares the last min id)
     * fails the monotone guard loudly. */
   def splitIndexIngestStaged(
       spark: org.apache.spark.sql.SparkSession,
@@ -1039,7 +1206,7 @@ object Dedup {
         verX.join(kLab.withColumnRenamed("keeper", "b_id"), "b_id")
           .select(col("a_id"), col("__lab").as("b_id")))
       .localCheckpoint(true)
-    val comps = connectedComponentsStar(edges).localCheckpoint(true)
+    val comps = connectedComponentsAuto(edges).localCheckpoint(true)
     // new label per new rep (own id when untouched)
     val repLab = reps.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
@@ -1129,6 +1296,65 @@ object Dedup {
     spark.read.parquet(s"$path/hashes").distinct()
       .write.mode("overwrite").parquet(s"$destPath/hashes")
     copyIngestMarker(spark, path, destPath)
+  }
+
+  /** [[compactSplitIndex]] with a RETENTION horizon — the GDPR/TTL story
+    * for the at-ingest split: clusters whose ENTIRE recorded history
+    * predates `epochMin` (every keeper id < epochMin; ids are the
+    * corpus's arrival order, so an id horizon IS a time horizon) are
+    * RETIRED — their label history, band keys, shingle sets and content
+    * hashes all drop from the compacted index. Returns the TOMBSTONE
+    * stream: one (old_label) row per retired cluster, materialized
+    * before the rewrite, for the at-ingest consumer to fold after its
+    * corrections (delete accumulated rows with cluster_label =
+    * old_label) — SplitRetentionSpec pins "outputs + corrections +
+    * tombstones == from-scratch assignment over the retained corpus"
+    * (equality holds for horizon-clean feeds: no cluster straddles
+    * epochMin — a straddling cluster is NOT retired, keeping its full
+    * machinery and its original label, the conservative reading of
+    * retention).
+    *
+    * Forgetting is semantic, not just space: a future exact copy of
+    * retired content re-founds a NEW cluster under its own (fresh)
+    * label — exactly what "the index holds no data older than the
+    * horizon" must mean. Dup docs of a retired cluster that arrived
+    * after the horizon were never recorded (the index stores reps
+    * only — the same understatement the monotone guard documents), so
+    * cluster retirement is decided on recorded history. */
+  def compactSplitIndexDropBefore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, destPath: String,
+                                  epochMin: Long,
+                                  maxBucket: Int = 10000): DataFrame = {
+    requireDistinctPaths(spark, path, destPath)
+    val cur = spark.read.parquet(s"$path/clusters")
+      .groupBy("keeper").agg(min("label").as("label"))
+      .localCheckpoint(true) // feeds retire, keep, and the rewrite
+    val tombstones = cur.groupBy("label").agg(max("keeper").as("__mx"))
+      .filter(col("__mx") < epochMin)
+      .select(col("label").as("old_label"))
+      .localCheckpoint(true) // survives the source generation's GC
+    val keep = cur.join(
+        tombstones.withColumnRenamed("old_label", "label"), Seq("label"), "left_anti")
+      .localCheckpoint(true)
+    keep.select("keeper", "label")
+      .write.mode("overwrite").parquet(s"$destPath/clusters")
+    val keepKeepers = keep.select("keeper")
+    val sBands = spark.read.parquet(s"$path/bands").distinct()
+      .join(keepKeepers, Seq("keeper"), "left_semi")
+      .localCheckpoint(true)
+    val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "key")
+    sBands.join(sOk, Seq("band", "key"), "left_semi")
+      .write.mode("overwrite").parquet(s"$destPath/bands")
+    spark.read.parquet(s"$path/shingles")
+      .groupBy("keeper").agg(first("sh").as("sh"))
+      .join(keepKeepers, Seq("keeper"), "left_semi")
+      .write.mode("overwrite").parquet(s"$destPath/shingles")
+    spark.read.parquet(s"$path/hashes").distinct()
+      .join(keepKeepers, Seq("keeper"), "left_semi")
+      .write.mode("overwrite").parquet(s"$destPath/hashes")
+    copyIngestMarker(spark, path, destPath)
+    tombstones
   }
 
   /** Carry the `_ingest_max` monotonicity marker from a compacted index

@@ -4,10 +4,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Crash-safe GENERATION SWAP for the persisted incremental indexes
-  * (split / chunk / substring / dedup): in-loop compaction must never be
-  * able to destroy the index, so instead of rewriting in place, each
-  * compaction writes a fresh generation directory `gen-NNNNN/` under the
-  * index root and then commits it with an atomically-created
+  * (split / chunk / substring / dedup / IVF): in-loop compaction must
+  * never be able to destroy the index, so instead of rewriting in place,
+  * each compaction writes a fresh generation directory `gen-NNNNN/` under
+  * the index root and then commits it with an atomically-created
   * `_COMMITTED` marker file. Readers and writers resolve [[active]] —
   * the highest COMMITTED generation, or the root itself when none
   * exists (the flat pre-generational layout every index starts in) — so
@@ -18,10 +18,22 @@ import org.apache.spark.sql.SparkSession
   *    invisible to [[active]], and is deleted by the next compaction's
   *    sweep;
   *  - crash between marker and GC: two committed generations exist;
-  *    [[active]] picks the newer, the stale one is swept next time;
+  *    [[active]] picks the newer, the stale one is swept next time —
+  *    including the FIRST swap's case, where the superseded "generation"
+  *    is the flat root layout itself: the sweep removes the root's
+  *    leftover table payload (every non-generation child) whenever a
+  *    committed generation exists, so stale flat tables cannot survive
+  *    forever;
   *  - crash mid-GC: partial deletions of a superseded generation are
   *    harmless (it is never resolved again) and the sweep finishes next
   *    time.
+  *
+  * GC is LAYOUT-AGNOSTIC: everything under the superseded source that is
+  * not a generation directory is index payload and is deleted (fixed
+  * table dirs like `hashes/`, dynamic partition dirs like `bucket=N/`,
+  * sidecars like `_centroids.json`, and the `_ingest_max` guard marker
+  * alike) — an index root must hold nothing but index artifacts, which
+  * is the family's existing layout contract.
   *
   * Single-writer contract (same as the indexes themselves): compaction
   * runs INSIDE the serialized ingest loop (foreachBatch), so no reader
@@ -31,8 +43,9 @@ import org.apache.spark.sql.SparkSession
   * counts over long feeds with `compactEvery` set. */
 object GenIndex {
 
-  /** Table subdirectories per index family — what compaction copies and
-    * GC deletes (alongside the `_ingest_max` guard marker). */
+  /** Table subdirectories per index family — retained for receipts and
+    * specs that count files per table ([[graft.StreamSplitStress]]); GC
+    * itself is layout-agnostic and does not consult them. */
   val SplitTables: Seq[String] = Seq("hashes", "bands", "shingles", "clusters")
   val ChunkTables: Seq[String] = Seq("chunks")
   val SubstrTables: Seq[String] = Seq("anchors", "texts")
@@ -42,6 +55,8 @@ object GenIndex {
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isGenDir(name: String): Boolean = GenName.findFirstIn(name).isDefined
 
   /** Committed generation numbers under `root`, ascending. */
   private def committedGens(fs: FileSystem, root: String): Seq[Int] = {
@@ -59,6 +74,15 @@ object GenIndex {
 
   private def genDir(root: String, n: Int): String = f"$root/gen-$n%05d"
 
+  /** Delete every child of `root` that is not a generation directory —
+    * the flat layout's table payload, partition dirs, and sidecars. */
+  private def deleteFlatPayload(fs: FileSystem, root: String): Unit = {
+    val rp = new Path(root)
+    if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
+      if (!isGenDir(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+  }
+
   /** The index directory every reader and writer should use: the highest
     * committed generation, or `root` itself before any compaction has
     * run (the flat layout [[graft.operators.Dedup.buildDedupIndex]] and
@@ -70,10 +94,9 @@ object GenIndex {
 
   /** Compact the active generation into the next one and swap:
     * `compactFn(src, dest)` does the table rewrites (pass the family's
-    * compact function — e.g. `Dedup.compactSplitIndex`), `tables` names
-    * the table subdirectories GC removes from superseded generations.
-    * Returns the new active directory. */
-  def compact(spark: SparkSession, root: String, tables: Seq[String])
+    * compact function — e.g. `Dedup.compactSplitIndex`). Returns the new
+    * active directory. */
+  def compact(spark: SparkSession, root: String)
              (compactFn: (String, String) => Unit): String = {
     val fs = fsOf(spark, root)
     val gens = committedGens(fs, root)
@@ -81,7 +104,9 @@ object GenIndex {
     val next = if (gens.isEmpty) 1 else gens.last + 1
     val dest = genDir(root, next)
     // sweep: stale uncommitted leftovers of a crashed earlier attempt,
-    // and committed generations already superseded by `src`
+    // committed generations already superseded by `src`, and — once any
+    // committed generation exists — the flat root's own leftover payload
+    // (a first-swap crash between marker and GC strands it otherwise)
     val rp = new Path(root)
     if (fs.exists(rp)) fs.listStatus(rp).foreach { st =>
       st.getPath.getName match {
@@ -90,6 +115,8 @@ object GenIndex {
               (n.toInt > gens.lastOption.getOrElse(0) || // uncommitted leftover
                 gens.lastOption.exists(n.toInt < _)) => // superseded
           fs.delete(st.getPath, true)
+        case name if gens.nonEmpty && !isGenDir(name) => // stranded flat payload
+          fs.delete(st.getPath, true)
         case _ => ()
       }
     }
@@ -97,11 +124,10 @@ object GenIndex {
     // the commit point: marker creation is atomic, so the new generation
     // becomes active all-or-nothing
     fs.create(new Path(dest, "_COMMITTED"), true).close()
-    // GC the superseded source (its tables + guard marker); for the flat
-    // root, delete only the table subdirs — gen dirs live under it
-    tables.foreach(t => fs.delete(new Path(src, t), true))
-    fs.delete(new Path(src, "_ingest_max"), false)
-    if (src != root) fs.delete(new Path(src), true)
+    // GC the superseded source: the whole generation dir, or — for the
+    // flat root — every non-generation child (gen dirs live under it)
+    if (src == root) deleteFlatPayload(fs, root)
+    else fs.delete(new Path(src), true)
     dest
   }
 }

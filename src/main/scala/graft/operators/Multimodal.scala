@@ -445,7 +445,10 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 7,
       "multi-index bands thinner than 8 bits degenerate — radius capped at 7")
     val nb = maxHamming + 1
+    // pre-spread before the ×nb band explode — see [[hammingEdgesWide]]
+    val np0 = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+      .repartition(np0)
     val bandCols = (0 until nb).map { b =>
       val lo = b * 64 / nb
       val hi = (b + 1) * 64 / nb
@@ -539,7 +542,14 @@ object Multimodal {
     val f = maxHamming / 4
     val fa = f / 2
     val fb = f - fa
+    // pre-spread the (small) hash relation BEFORE the ×V(16,f) variant
+    // explode: its one-partition aggregation output would otherwise run
+    // the whole enumeration + shuffle write in a single task (measured
+    // 2–6 s per side at sf0.1) — a cheap round-robin shuffle of the
+    // input rows buys a 32-way explode
+    val np0 = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+      .repartition(np0)
     // the (block, mask) pairs ride ONE typedlit constant and the variant
     // key is per-row shift/xor algebra — building 4·V(16,f) struct
     // columns inline instead (the first cut) generated ~15k lines of
@@ -586,6 +596,117 @@ object Multimodal {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Deterministic bit-sample positions for [[hammingEdgesSketch]]:
+    * `tables` samples of `bits` distinct positions from 0..63, each
+    * drawn by a Fisher–Yates shuffle seeded from md5(seed:table) — pure
+    * arithmetic on (seed, table index), so the SAME positions can be
+    * inlined into an engine-portable SQL oracle. */
+  def sketchPositions(bits: Int, tables: Int, seed: String): Array[Array[Int]] = {
+    require(bits >= 1 && bits <= 10 && tables >= 1)
+    Array.tabulate(tables) { t =>
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$t".getBytes("UTF-8"))
+      var st = java.nio.ByteBuffer.wrap(d).getLong // 64-bit stream state
+      def next(bound: Int): Int = { // splitmix64 step, top bits
+        st += 0x9e3779b97f4a7c15L
+        var z = st
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        ((z >>> 33) % bound).toInt
+      }
+      val pool = Array.range(0, 64)
+      (0 until bits).map { i =>
+        val j = i + next(64 - i)
+        val tmp = pool(i); pool(i) = pool(j); pool(j) = tmp
+        pool(i)
+      }.toArray
+    }
+  }
+
+  /** Expected recall of an `s`-bit × `t`-table sketch for a pair at
+    * EXACTLY Hamming distance `radius` (closer pairs do better): one
+    * table collides iff all s sampled positions avoid the r differing
+    * bits — hypergeometric p = Π_{i<s} (64−r−i)/(64−i) — and the tables
+    * are independent samples, so recall = 1 − (1−p)^t. */
+  def sketchRecall(radius: Int, bits: Int, tables: Int): Double = {
+    val p = (0 until bits).map(i => (64.0 - radius - i) / (64.0 - i)).product
+    1.0 - math.pow(1.0 - p, tables)
+  }
+
+  /** Smallest table count whose [[sketchRecall]] at `radius` meets
+    * `targetRecall` — the sizing dial callers use instead of guessing. */
+  def sketchTablesFor(radius: Int, bits: Int, targetRecall: Double): Int = {
+    val p = (0 until bits).map(i => (64.0 - radius - i) / (64.0 - i)).product
+    require(p > 0, s"radius $radius with $bits sampled bits can never collide")
+    math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt.max(1)
+  }
+
+  /** APPROXIMATE Hamming near-dup pairs for radii PAST 15 — where
+    * [[hammingEdgesWide]]'s exact per-block enumeration ends (beyond 3
+    * flips per block it blows up, and its own pigeonhole bound says no
+    * exact equality-join scheme does better). Bit-sampled sketches
+    * (index-style LSH for Hamming space): `tables` independent samples
+    * of `bits` of the 64 positions ([[sketchPositions]] — deterministic
+    * from `seed`); a pair is a candidate iff some table's sampled bits
+    * agree exactly (one equality self-join per table, all tables in ONE
+    * shuffle keyed (table, key)); verify is one bit_count(xor). MISSES
+    * pairs by design — recall for a pair at distance r is
+    * [[sketchRecall]](r, bits, tables) (size with [[sketchTablesFor]];
+    * HammingSketchSpec gates ≥ 0.95 planted recall at radius 18 with
+    * the default s=10/t=110 and pins determinism) — but everything it
+    * RETURNS is an exact (a_id, b_id, hamming ≤ maxHamming) pair, and
+    * the emitted pair set is a pure function of (inputs, seed, params),
+    * which is what lets q_image_clusters_sketch replay it in a SQL
+    * oracle.
+    *
+    * SCALE HONESTY, continued from [[hammingEdgesWide]]: at r = 18 of
+    * 64 bits (28% of the code differing) LSH theory prices the lookup
+    * at ~n^1.5 work — on UNIFORM codes the candidate stage approaches
+    * (t / 2^bits) of all pairs (~11% at the defaults), so like the wide
+    * operator this deploys at the REP level of a hierarchical pass
+    * (exact collapse → radius-3 → wide → sketch across surviving reps),
+    * receipted by HammingBench. Buckets over `maxBucket` per
+    * (table, key) drop (degenerate-key guard); the shuffle carries
+    * (table, 10-bit key, id, hash) only. Returns (a_id, b_id, hamming)
+    * with a_id < b_id. */
+  def hammingEdgesSketch(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int, bits: Int = 10, tables: Int = 110,
+                         seed: String = "sketch",
+                         maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63)
+    val pos = sketchPositions(bits, tables, seed)
+    // one packed long per table (6 bits per position, s <= 10 -> 60 bits)
+    // rides a single typedlit — same codegen-volume discipline as the
+    // wide operator's mask table
+    val packed: Array[Long] = pos.map(_.zipWithIndex.map {
+      case (p, i) => p.toLong << (6 * i)
+    }.reduce(_ | _))
+    val np = hashes.sparkSession.sessionState.conf.numShufflePartitions
+    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+      .repartition(np) // pre-spread before the ×tables explode (see wide)
+    val keyed = h
+      .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
+      .select(col("id"), col("ph"), col("t"),
+        expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+          (acc, i) -> acc * 2 +
+            (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
+          .as("key"))
+      .repartition(np, col("t"), col("key"))
+      .localCheckpoint(true) // both join sides + the bucket guard
+    val ok = keyed.groupBy("t", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("t", "key")
+    val kk = keyed.join(ok, Seq("t", "key"), "left_semi")
+    kk.select(col("t"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
+      .join(kk.select(col("t"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
+        Seq("t", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "a_ph", "b_id", "b_ph").distinct()
+      .withColumn("hamming", expr("bit_count(a_ph ^ b_ph)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Image near-dup CLUSTERS — the q_dedup_clusters shape in the image
     * domain: decode → aHash → exact collapse → [[hammingEdges]] within
     * `maxHamming` → connected components (min-label) → one row per
@@ -599,11 +720,14 @@ object Multimodal {
       .groupBy("phash")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_exact"))
     // past the equality bands' radius-7 guarantee, route through the
-    // wide-radius query-expansion operator (exact to 15)
+    // wide-radius query-expansion operator (exact to 15); past THAT,
+    // bit-sampled sketches (approximate — recall per sketchRecall,
+    // deterministic, every returned pair exact)
     val edges =
       if (maxHamming <= 7) hammingEdges(reps, "doc_id", "phash", maxHamming)
-      else hammingEdgesWide(reps, "doc_id", "phash", maxHamming)
-    val comps = graft.operators.Dedup.connectedComponentsStar(
+      else if (maxHamming <= 15) hammingEdgesWide(reps, "doc_id", "phash", maxHamming)
+      else hammingEdgesSketch(reps, "doc_id", "phash", maxHamming)
+    val comps = graft.operators.Dedup.connectedComponentsAuto(
       edges.select("a_id", "b_id"))
     reps.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(coalesce(col("label"), col("doc_id")).as("cluster_label"),

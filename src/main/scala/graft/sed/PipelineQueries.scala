@@ -85,13 +85,20 @@ object PipelineQueries {
 
   /** Persisted corpus dedup index per sf dir, built once per JVM (the
     * offline index of the incremental-ingestion loop): corpus = docs NOT
-    * in the q_incremental_dedup delta slice. */
+    * in the q_incremental_dedup delta slice. Built flat, then run through
+    * ONE GenIndex generation swap (round 14) — q_incremental_dedup
+    * classifies against the ACTIVE generation, so its oracle gate
+    * certifies every round that generation-swap maintenance of the dedup
+    * index is content-preserving. Returns the index ROOT; resolve via
+    * GenIndex.active. */
   private val dedupIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dedupIndexFor(s: SparkSession, d: String): String =
     dedupIndexes.getOrElseUpdate(d, {
       val path = java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
       Dedup.buildDedupIndex(docs(s, d).filter(col("doc_id") % DeltaMod =!= 0),
         "doc_id", "text", path, NumHashes, RowsPerBand, ShingleN, MaxBucket)
+      graft.operators.GenIndex.compact(s, path)((src, dest) =>
+        Dedup.compactDedupIndex(s, src, dest, MaxBucket))
       path
     })
 
@@ -1527,21 +1534,24 @@ object PipelineQueries {
     // FILE-SOURCE stream (chronological chunks, nothing through the
     // driver); each micro-batch appends bucket-assigned vectors to the
     // persisted IVF index via foreachBatch — the production shape for
-    // an index that stays queryable while the corpus grows. The entry
-    // returns the post-ingest search and shares ivfOracleSql: the
-    // stream-built index hash-matching the batch oracle certifies the
-    // whole ingest path (assignment, partitioned appends, sidecar)
-    // end to end. A real deployment adds periodic small-file
-    // compaction per bucket partition; content is append-order-
-    // independent either way.
+    // an index that stays queryable while the corpus grows, with the
+    // index compacting IN-LOOP every 3 batches through a crash-safe
+    // GenIndex generation swap (round 14 — appends land under the
+    // ACTIVE generation, a crash at any point of a swap leaves the
+    // previous generation active, and maintenance can never destroy
+    // the index). The entry returns the post-ingest search against the
+    // active generation and shares ivfOracleSql: the stream-built,
+    // mid-feed-compacted index hash-matching the batch oracle certifies
+    // the whole ingest + maintenance path (assignment, partitioned
+    // appends, sidecar, generation swaps) end to end, every round.
     "q_stream_index_ingest" -> QueryDef(
       (s, d) => {
         SedQueries.ensureConfs(s)
         val e = emb(s, d)
         val centroids = strideCentroids(s, d)
-        val idxPath = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+        val idxRoot = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
         // empty build writes the centroid sidecar; batches append data
-        val idx = Ann.buildIvfIndex(e.limit(0), "vec_id", "embedding", idxPath, centroids)
+        Ann.buildIvfIndex(e.limit(0), "vec_id", "embedding", idxRoot, centroids)
         val feedDir = java.nio.file.Files.createTempDirectory("graft-ivf-feed").toString
         graft.streaming.SedStreaming.stageFileStream(
           e.selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding"),
@@ -1555,20 +1565,17 @@ object PipelineQueries {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.FloatType))))
         val stream = graft.streaming.SedStreaming.fileStream(s2, feedDir, schema)
-        val q = stream.writeStream
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            Ann.appendToIvfIndex(idx, b, "vec_id", "embedding")
-          }
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString)
-          .start()
+        val q = graft.streaming.SedStreaming.streamingIvfIngest(
+          stream, "vec_id", "embedding", idxRoot,
+          java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString,
+          compactEvery = 3)
         try {
           q.processAllAvailable()
           graft.streaming.StreamingQueries.record("q_stream_index_ingest", q)
         } finally q.stop()
         val queries = Ann.collectQueries(
           e.filter(col("vec_id") < NumQueries), "vec_id", "embedding")
-        Ann.searchIvfIndex(s, idx, queries, TopK, IvfNprobe)
+        Ann.searchIvfIndex(s, Ann.activeIvfIndex(s, idxRoot), queries, TopK, IvfNprobe)
       },
       Some(ivfOracleSql)),
 
@@ -2798,7 +2805,11 @@ object PipelineQueries {
     "q_incremental_dedup" -> QueryDef(
       (s, d) => Dedup.incrementalDedup(s,
         docs(s, d).filter(col("doc_id") % DeltaMod === 0),
-        "doc_id", "text", dedupIndexFor(s, d),
+        "doc_id", "text",
+        // classify against the ACTIVE generation — dedupIndexFor runs a
+        // GenIndex swap after the build, so this oracle certifies every
+        // round that dedup-index compaction is content-preserving
+        graft.operators.GenIndex.active(s, dedupIndexFor(s, d)),
         NumHashes, RowsPerBand, ShingleN, IncMinJ),
       Some {
         import graft.functions.SedFunctions.d2s
@@ -3375,6 +3386,50 @@ object PipelineQueries {
           CAST(SUM(r.n_exact) AS BIGINT) AS n_images
         FROM reps r LEFT JOIN lab ON lab.id = r.doc_id
         GROUP BY 1""".replaceAll("\\s+", " "))),
+
+    // Bit-sampled SKETCH image clusters (round 14): the same pipeline at
+    // Hamming radius 18 — past hammingEdgesWide's exact ceiling of 15
+    // (per-block enumeration beyond 3 flips blows up), so the edge stage
+    // routes through hammingEdgesSketch: 110 independent 10-bit samples
+    // of the 64 positions (seeded, deterministic); a pair is a candidate
+    // iff some table's sampled bits ALL agree — equivalently
+    // (xor(a,b) & table_mask) == 0 — which is exactly how the ORACLE
+    // replays it: the 110 position masks inline as BIGINT literals and
+    // the recursive CC walks the same (approximate BY DESIGN, but
+    // deterministic and replayable) edge set. Recall at exactly-18 is
+    // ~0.95 by the hypergeometric sizing (Multimodal.sketchRecall;
+    // HammingSketchSpec gates planted recall >= 0.95 and per-pair
+    // exactness); ORACLE-GREEN because approximate-but-deterministic
+    // still replays bit-for-bit.
+    "q_image_clusters_sketch" -> QueryDef(
+      (s, d) => Multimodal.imageDupClusters(
+        Multimodal.withPgmPayload(docs(s, d), "text", "payload"),
+        "doc_id", "payload", maxHamming = 18),
+      Some {
+        val coll = Multimodal.sketchPositions(10, 110, "sketch")
+          .map(_.map(p => 1L << p).reduce(_ | _))
+          .map(m => s"(xor(a.phash, b.phash) & CAST($m AS BIGINT)) = 0")
+          .mkString("(", " OR ", ")")
+        s"""WITH RECURSIVE $imageHashCtes,
+        reps AS MATERIALIZED (SELECT phash, MIN(doc_id) AS doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM ihash GROUP BY phash),
+        e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 18 AND $coll),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM e
+          UNION SELECT b_id AS src, a_id AS dst FROM e),
+        walk(id, label) AS (
+          SELECT src AS id, src AS label FROM edges
+          UNION
+          SELECT e2.dst AS id, w.label FROM walk w JOIN edges e2 ON e2.src = w.id),
+        lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id)
+        SELECT COALESCE(lab.label, r.doc_id) AS cluster_label,
+          CAST(COUNT(*) AS BIGINT) AS n_reps,
+          CAST(SUM(r.n_exact) AS BIGINT) AS n_images
+        FROM reps r LEFT JOIN lab ON lab.id = r.doc_id
+        GROUP BY 1""".replaceAll("\\s+", " ")
+      }),
 
     // Frame-sampled video dedup through the CDC chunker (round 12): each
     // video's sampled-frame hash tokens concatenate in frame order and

@@ -485,8 +485,7 @@ object SedStreaming {
             delta, idCol, textCol, active, k, w)
         }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.operators.GenIndex.compact(s, indexPath,
-            graft.operators.GenIndex.SubstrTables)(
+          graft.operators.GenIndex.compact(s, indexPath)(
             (src, dest) => graft.operators.Dedup.compactSubstringIndex(s, src, dest))
         ()
         }
@@ -541,7 +540,8 @@ object SedStreaming {
                             ckPath: String,
                             numHashes: Int = 12, rowsPerBand: Int = 3,
                             shingleN: Int = 3, minJaccard: Double = 0.8,
-                            maxBucket: Int = 10000, compactEvery: Int = 0)
+                            maxBucket: Int = 10000, compactEvery: Int = 0,
+                            retention: Long => Long = _ => Long.MinValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -567,11 +567,25 @@ object SedStreaming {
           s"${outPath}_corrections/batch=$batchId")
         r.commit()
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.operators.GenIndex.compact(s, indexPath,
-            graft.operators.GenIndex.SplitTables)(
-            (src, dest) => graft.operators.Dedup.compactSplitIndex(
-              s, src, dest, maxBucket))
-        ()
+          // retention(batchId) > MinValue turns this compaction into a
+          // dropBefore: clusters wholly older than the horizon retire,
+          // and their TOMBSTONES go durable under _tombstones/batch=<id>
+          // BEFORE the swap commits (a crash in between leaves the
+          // previous generation active and the tombstone files unread —
+          // the consumer contract reads tombstones only for batches
+          // whose compaction committed, which resolving the active
+          // generation makes observable)
+          val horizon = retention(batchId)
+          graft.operators.GenIndex.compact(s, indexPath) { (src, dest) =>
+            if (horizon == Long.MinValue)
+              graft.operators.Dedup.compactSplitIndex(s, src, dest, maxBucket)
+            else
+              graft.operators.Dedup.compactSplitIndexDropBefore(
+                  s, src, dest, horizon, maxBucket)
+                .write.mode("overwrite")
+                .parquet(s"${outPath}_tombstones/batch=$batchId")
+          }
+          ()
         }
       }
       .option("checkpointLocation", ckPath)
@@ -609,10 +623,46 @@ object SedStreaming {
           .select("doc_id", "n_frames", "n_chunks", "n_dup_chunks", "dup_chars")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.operators.GenIndex.compact(s, indexPath,
-            graft.operators.GenIndex.ChunkTables)(
+          graft.operators.GenIndex.compact(s, indexPath)(
             (src, dest) => graft.operators.Dedup.compactChunkIndex(s, src, dest))
         ()
+        }
+      }
+      .option("checkpointLocation", ckPath)
+      .start()
+
+  /** Streaming ANN (IVF) index ingest with IN-LOOP generation-swap
+    * maintenance — the managed form of the append-forever loop: each
+    * micro-batch bucket-assigns against the index's frozen centroids and
+    * appends under the ACTIVE generation (graft.operators.GenIndex.active
+    * — the flat root until the first compaction), and every
+    * `compactEvery` batches the index compacts to one file per bucket
+    * through a crash-safe generation swap (a crash at ANY point leaves
+    * the previous generation active; uncommitted/superseded generations
+    * are swept by the next compaction). Callers search via
+    * Ann.activeIvfIndex(root). The root must hold an index (an empty
+    * Ann.buildIvfIndex(corpus.limit(0), ...) founds one with just the
+    * centroid sidecar). Restart semantics: a replayed batch re-appends
+    * its rows — pass `antiJoinExisting = true` under at-least-once
+    * delivery to make appends id-idempotent (one column-pruned id scan
+    * per batch). */
+  def streamingIvfIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                         indexRoot: String, ckPath: String,
+                         compactEvery: Int = 0,
+                         antiJoinExisting: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val active = graft.operators.GenIndex.active(s, indexRoot)
+        graft.operators.Ann.appendToIvfIndex(
+          graft.operators.Ann.loadIvfIndex(s, active), b.toDF(), idCol, vecCol,
+          antiJoinExisting)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.operators.GenIndex.compact(s, indexRoot)((src, dest) =>
+            graft.operators.Ann.compactIvfIndex(
+              s, graft.operators.Ann.loadIvfIndex(s, src), dest))
+          ()
         }
       }
       .option("checkpointLocation", ckPath)

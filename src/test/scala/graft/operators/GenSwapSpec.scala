@@ -52,7 +52,7 @@ class GenSwapSpec extends SparkSpecBase {
     assert(GenIndex.active(spark, root) == root) // flat before any swap
     Dedup.splitIndexIngest(spark, b1, "doc_id", "text", "gs", root).count()
     val pre = assignMap(root, b1)
-    GenIndex.compact(spark, root, GenIndex.SplitTables)(
+    GenIndex.compact(spark, root)(
       (s, d) => Dedup.compactSplitIndex(spark, s, d))
     val g1 = GenIndex.active(spark, root)
     assert(g1 == s"$root/gen-00001")
@@ -62,7 +62,7 @@ class GenSwapSpec extends SparkSpecBase {
 
     // keep ingesting into the ACTIVE generation, swap again
     Dedup.splitIndexIngest(spark, b2, "doc_id", "text", "gs", g1).count()
-    GenIndex.compact(spark, root, GenIndex.SplitTables)(
+    GenIndex.compact(spark, root)(
       (s, d) => Dedup.compactSplitIndex(spark, s, d))
     val g2 = GenIndex.active(spark, root)
     assert(g2 == s"$root/gen-00002")
@@ -94,7 +94,7 @@ class GenSwapSpec extends SparkSpecBase {
     assert(assignMap(root, docs) == pre)
 
     // the next (successful) compaction sweeps the stale attempt and swaps
-    GenIndex.compact(spark, root, GenIndex.SplitTables)(
+    GenIndex.compact(spark, root)(
       (s, d) => Dedup.compactSplitIndex(spark, s, d))
     assert(GenIndex.active(spark, root) == s"$root/gen-00001")
     assert(assignMap(root, docs) == pre)
@@ -106,7 +106,7 @@ class GenSwapSpec extends SparkSpecBase {
     val root = freshRoot()
     Dedup.splitIndexIngest(spark, docs, "doc_id", "text", "gs", root).count()
     val pre = assignMap(root, docs)
-    GenIndex.compact(spark, root, GenIndex.SplitTables)(
+    GenIndex.compact(spark, root)(
       (s, d) => Dedup.compactSplitIndex(spark, s, d))
     // simulated crash AFTER gen-2's marker, BEFORE gen-1 is GC'd: both
     // generations committed on disk
@@ -116,7 +116,7 @@ class GenSwapSpec extends SparkSpecBase {
     assert(GenIndex.active(spark, root) == s"$root/gen-00002")
     assert(assignMap(root, docs) == pre)
     // the next compaction's sweep removes the superseded generation
-    GenIndex.compact(spark, root, GenIndex.SplitTables)(
+    GenIndex.compact(spark, root)(
       (s, d) => Dedup.compactSplitIndex(spark, s, d))
     assert(GenIndex.active(spark, root) == s"$root/gen-00003")
     assert(!fs(root).exists(new org.apache.hadoop.fs.Path(s"$root/gen-00001")))

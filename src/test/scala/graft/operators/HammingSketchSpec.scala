@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Bit-sampled Hamming sketches past radius 15 (round 14 —
+  * Multimodal.hammingEdgesSketch): planted recall at the target radius
+  * must clear the 0.95 gate when sized by sketchTablesFor, every
+  * returned pair must be a true ≤-radius pair (precision is exact by
+  * the bit_count verify), the emitted set must be a pure function of
+  * (input, seed, params) — the determinism the SQL oracle replays —
+  * and the sizing math must match the construction. */
+class HammingSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val R = 18
+  private val rng = new scala.util.Random(1404)
+
+  /** n (base, partner) pairs at EXACTLY Hamming distance `r`, plus the
+    * same number of unrelated fillers. Ids: base 2k, partner 2k+1,
+    * fillers from 100000. */
+  private def planted(n: Int, r: Int): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0 until n).foreach { k =>
+      val base = rng.nextLong()
+      val flips = rng.shuffle((0 until 64).toList).take(r)
+      val partner = flips.foldLeft(base)((h, p) => h ^ (1L << p))
+      out += ((2L * k, base)); out += ((2L * k + 1, partner))
+    }
+    (0 until n).foreach(k => out += ((100000L + k, rng.nextLong())))
+    out.toSeq
+  }
+
+  test("sizing math: recall formula matches the hypergeometric construction") {
+    // p at r=18, s=10 is ~0.0269; 110 tables clear 0.95, and the sizer
+    // returns the minimal t for any target
+    assert(Multimodal.sketchRecall(R, 10, 110) >= 0.95)
+    val t97 = Multimodal.sketchTablesFor(R, 10, 0.97)
+    assert(Multimodal.sketchRecall(R, 10, t97) >= 0.97)
+    assert(Multimodal.sketchRecall(R, 10, t97 - 1) < 0.97)
+    // positions are distinct within a table and deterministic
+    val pos = Multimodal.sketchPositions(10, 16, "sketch")
+    assert(pos.forall(p => p.distinct.length == p.length && p.forall(x => x >= 0 && x < 64)))
+    assert(pos.map(_.toSeq).toSeq ==
+      Multimodal.sketchPositions(10, 16, "sketch").map(_.toSeq).toSeq)
+  }
+
+  test("planted recall at radius 18 clears 0.95; returned pairs are exact and deterministic") {
+    val n = 250
+    val rows = planted(n, R)
+    val df = rows.toDF("id", "ph")
+    val t = Multimodal.sketchTablesFor(R, 10, 0.97) // margin over the 0.95 gate
+    val got = Multimodal.hammingEdgesSketch(df, "id", "ph", R, 10, t)
+      .as[(Long, Long, Long)].collect()
+    // precision is exact: every returned pair verifies against the hashes
+    val byId = rows.toMap
+    got.foreach { case (a, b, hd) =>
+      assert(java.lang.Long.bitCount(byId(a) ^ byId(b)) == hd && hd <= R)
+    }
+    // recall over the planted exactly-18 pairs
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    val hit = (0 until n).count(k => gotSet.contains((2L * k, 2L * k + 1)))
+    assert(hit >= math.ceil(0.95 * n).toInt,
+      s"planted recall ${hit.toDouble / n} below 0.95 at radius $R with $t tables")
+    // determinism: a second run emits the identical pair set
+    val again = Multimodal.hammingEdgesSketch(df, "id", "ph", R, 10, t)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(again == gotSet)
+  }
+
+  test("imageDupClusters routes past radius 15 through the sketch and still clusters") {
+    val docs = documents.limit(60)
+    val out = Multimodal.imageDupClusters(
+      Multimodal.withPgmPayload(docs, "text", "payload"),
+      "doc_id", "payload", maxHamming = 18)
+    assert(out.count() > 0)
+    // cluster accounting is conserved: n_images sums to the rep universe
+    val sums = out.agg(sum("n_images")).as[Long].head()
+    val nImages = Multimodal.imageHashes(
+      Multimodal.withPgmPayload(docs, "text", "payload"), "doc_id", "payload")
+      .filter(col("is_image")).count()
+    assert(sums == nImages)
+  }
+}

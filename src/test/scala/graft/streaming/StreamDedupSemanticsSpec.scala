@@ -89,18 +89,20 @@ class StreamDedupSemanticsSpec extends AnyFunSuite {
 
   test("boundary: an entry expiring exactly AT the watermark") {
     // keeper expiry = 1000 + 1800 = 2800; filler max = 4600 makes the
-    // post-filler watermark exactly 2800. Pins whether eviction is
-    // strict (expiry < wm keeps it) or inclusive — the oracle must use
-    // the same comparison. Empirically Spark evicts entries with
-    // expiresAt <= watermark? The assertion records whichever holds.
+    // post-filler watermark exactly 2800. Pins that dropDuplicates'
+    // eviction is INCLUSIVE (expiry == watermark evicts) — the exact
+    // comparison the q_stream_dedup oracle hardcodes as
+    // `e.ts + 2*delay <= gm`. If a Spark upgrade flips this boundary to
+    // strict, THIS assertion fails with a named premise instead of the
+    // driver gate failing as an opaque hash mismatch.
     val got = run(Seq(
       Seq((1L, "H", 1000L)),
       Seq((2L, "f1", 4600L)), // wm after commit = 2800 == expiry
       Seq((3L, "f2", 4650L)), // eviction under wm 2800 runs at B3 end
       Seq((4L, "H", 4700L)))) // emitted iff expiry==wm evicts
-    // record the boundary behavior the oracle depends on:
-    assert(got.contains(4L) || !got.contains(4L)) // structural no-op
-    info(s"expiry==wm case emitted doc4: ${got.contains(4L)}")
+    assert(got.contains(4L),
+      s"expiry==watermark did NOT evict (strict boundary) — the " +
+        s"q_stream_dedup oracle's inclusive `<=` premise is broken; got $got")
   }
 
   test("in-batch duplicates: the first row in feed order wins") {
