@@ -51,6 +51,28 @@ class CcStarSpec extends SparkSpecBase {
     assert(Dedup.connectedComponentsStar(empty).count() == 0)
   }
 
+  test("auto CC equals star on every fixture, under AND over the driver bound") {
+    val rng = new scala.util.Random(14)
+    val fixtures = Seq(
+      (1L until 60L).map(i => (i, i + 1)),                    // chain
+      (for (i <- 10L to 20L; j <- (i + 1) to 20L) yield (i, j)) ++
+        Seq((100L, 101L), (200L, 201L), (201L, 202L)),        // cliques + edges
+      (0 until 120).map(_ =>
+        (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+        .filter(p => p._1 != p._2),                           // random
+      Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (3L, 1L)))  // dup/reversed
+    fixtures.foreach { ps =>
+      val star = labelsOf(Dedup.connectedComponentsStar(pairsDf(ps)))
+      // driver union-find path (all fixtures fit the default bound)
+      assert(labelsOf(Dedup.connectedComponentsAuto(pairsDf(ps))) == star)
+      // forced DISTRIBUTED path: a limit below the edge count falls back
+      assert(labelsOf(Dedup.connectedComponentsAuto(pairsDf(ps),
+        driverEdgeLimit = 1)) == star)
+    }
+    assert(Dedup.connectedComponentsAuto(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+  }
+
   test("star CC handles reversed and duplicate input pairs") {
     val ps = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (3L, 1L))
     val star = labelsOf(Dedup.connectedComponentsStar(pairsDf(ps)))

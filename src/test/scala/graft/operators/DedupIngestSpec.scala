@@ -73,6 +73,16 @@ class DedupIngestSpec extends SparkSpecBase {
     assert(GenIndex.active(spark, managed) == s"$managed/gen-00002")
     assert(!exists(s"$managed/gen-00001"))
     assert(!exists(s"$managed/hashes"))
+    // bounded-file-count receipt: the compacted generation holds strictly
+    // fewer parquet files than the append-accumulated uncompacted twin
+    def parquetFiles(root: String): Int =
+      GenIndex.DedupTables.map { t =>
+        val d = new org.apache.hadoop.fs.Path(s"${GenIndex.active(spark, root)}/$t")
+        if (!fs(root).exists(d)) 0
+        else fs(root).listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
+      }.sum
+    assert(parquetFiles(managed) < parquetFiles(plain),
+      s"compacted=${parquetFiles(managed)} uncompacted=${parquetFiles(plain)}")
     // a later probe batch classifies identically against both indexes
     val probe = Seq((100000L, all.head._2), (100001L, words(20)))
       .toDF("doc_id", "text")
