@@ -307,11 +307,18 @@ object Dedup {
     * set is unchanged — at which point each component is a star rooted
     * at its minimum. Returns (labels, rounds). */
   def connectedComponentsStarRounds(pairs: DataFrame, maxIter: Int = 50)
-      : (DataFrame, Int) = {
-    var e = pairs
+      : (DataFrame, Int) = starRoundsCanonical(pairs
       .select(greatest(col("a_id"), col("b_id")).as("hi"),
         least(col("a_id"), col("b_id")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true), maxIter)
+
+  /** [[connectedComponentsStarRounds]] over an ALREADY-canonical
+    * (hi > lo, distinct, materialized) edge list — shared with
+    * [[connectedComponentsAuto]]'s distributed fallback so the edges it
+    * canonicalized for the size probe are not re-shuffled. */
+  private def starRoundsCanonical(canonical: DataFrame, maxIter: Int)
+      : (DataFrame, Int) = {
+    var e = canonical
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
@@ -385,7 +392,7 @@ object Dedup {
     // limit+1 probe, not a full count: the decision needs only "over or
     // under", and the scan stops as soon as the limit is crossed
     if (e.limit(driverEdgeLimit + 1).count() > driverEdgeLimit)
-      connectedComponentsStar(e.select(col("hi").as("a_id"), col("lo").as("b_id")), maxIter)
+      starRoundsCanonical(e, maxIter)._1
     else {
       val spark = pairs.sparkSession
       val edges = e.collect()

@@ -1535,7 +1535,7 @@ object PipelineQueries {
     // driver); each micro-batch appends bucket-assigned vectors to the
     // persisted IVF index via foreachBatch — the production shape for
     // an index that stays queryable while the corpus grows, with the
-    // index compacting IN-LOOP every 3 batches through a crash-safe
+    // index compacting IN-LOOP mid-feed through a crash-safe
     // GenIndex generation swap (round 14 — appends land under the
     // ACTIVE generation, a crash at any point of a swap leaves the
     // previous generation active, and maintenance can never destroy
@@ -1553,9 +1553,13 @@ object PipelineQueries {
         // empty build writes the centroid sidecar; batches append data
         Ann.buildIvfIndex(e.limit(0), "vec_id", "embedding", idxRoot, centroids)
         val feedDir = java.nio.file.Files.createTempDirectory("graft-ivf-feed").toString
+        // exactly 3 chronological chunks at EVERY scale, so the
+        // compactEvery = 2 swap below is MID-FEED everywhere: batch 3
+        // appends into the freshly-committed generation and the final
+        // search reads generation + post-swap appends together
         graft.streaming.SedStreaming.stageFileStream(
           e.selectExpr("CAST(vec_id AS BIGINT) AS vec_id", "embedding"),
-          "vec_id", feedDir)
+          "vec_id", feedDir, chunks = 3)
         val s2 = s.newSession()
         SedQueries.ensureConfs(s2)
         val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -1568,7 +1572,7 @@ object PipelineQueries {
         val q = graft.streaming.SedStreaming.streamingIvfIngest(
           stream, "vec_id", "embedding", idxRoot,
           java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString,
-          compactEvery = 3)
+          compactEvery = 2)
         try {
           q.processAllAvailable()
           graft.streaming.StreamingQueries.record("q_stream_index_ingest", q)
