@@ -115,7 +115,16 @@ object Bench {
       else {
         val sorted = times.sorted
         val median = sorted(runs / 2)
-        (name, median, if (median > 0) sorted.last / median else 1.0)
+        // spread = SECOND-largest over median (when >= 3 samples): in an
+        // interleaved 186-query suite a single slow sample is load/GC
+        // noise by construction (measured: 2-4 s entries throwing one
+        // ~6 s sample that never reproduces in isolation), while true
+        // mode-flipping (the q_image_clusters_wide pathology alternated
+        // fast/slow) lands >= 2 of 5 samples in the slow mode and still
+        // registers. The single worst sample stays visible in `value`
+        // totals; per-sample triples are a backlog item.
+        val hi = if (runs >= 3) sorted(runs - 2) else sorted.last
+        (name, median, if (median > 0) hi / median else 1.0)
       }
     }
     // Artifact durability (round 8): the driver captures a bounded stdout

@@ -850,9 +850,11 @@ object Dedup {
                        root: String, batchId: Long,
                        numHashes: Int = 12, rowsPerBand: Int = 3,
                        shingleN: Int = 3, minJaccard: Double = 0.8,
-                       maxBucket: Int = 10000, compactEvery: Int = 0): DataFrame = {
+                       maxBucket: Int = 10000, compactEvery: Int = 0,
+                       onClassified: (DataFrame, Boolean) => Unit = (_, _) => ())
+      : DataFrame = {
     val active = GenIndex.active(spark, root)
-    val (ingestMm, _) = checkMonotoneIngest(spark, active, delta, idCol,
+    val (ingestMm, isReplay) = checkMonotoneIngest(spark, active, delta, idCol,
       "hashes", "keeper")
     // first batch founds the index: an EMPTY build writes the three
     // tables with their schemas, so the classify below probes an empty
@@ -866,6 +868,14 @@ object Dedup {
       numHashes, rowsPerBand, shingleN, minJaccard)
       .localCheckpoint(true) // the admit below APPENDS to the tables this plan reads
     ingestMm.foreach(recordIngestMax(spark, active, _))
+    // the caller's per-batch outputs go durable HERE — after the replay
+    // marker, BEFORE the appends — with the replay flag, so a streaming
+    // loop can keep pre-crash output files on detected replays (a replay
+    // against the already-appended index re-derives a self-repaired
+    // classification — dup_corpus where the original said new — and the
+    // ORIGINAL is the authoritative at-ingest answer, exactly the split
+    // loop's kept-output rule)
+    onClassified(classified, isReplay)
     // the append ALWAYS runs — on a replay it self-repairs a crash that
     // landed between the per-table appends: fully-admitted docs classify
     // dup_corpus (hashes/ is written last, so it gates) and re-admit

@@ -406,6 +406,112 @@ object PipelineQueries {
            FROM (SELECT doc_id, md5(text) AS h FROM documents) d
            JOIN keyed USING (h)""".replaceAll("\\s+", " ")
 
+  /** Oracle of q_stream_retention_split: the q_leakage_split pipeline
+    * restricted to KEPT clusters — a cluster is kept iff its max
+    * representative id reaches the retention horizon (min + 3/5 of the
+    * id range, integer math both engines). Retired clusters' docs emit
+    * no rows: their content hashes were dropped from the index, exactly
+    * what `Dedup.compactSplitIndexDropBefore` does at the end-of-feed
+    * compaction the entry schedules. */
+  private[graft] lazy val retentionSplitOracle: String = {
+    val horizon =
+      "(SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) * 3 // 5 FROM documents)"
+    s"""WITH RECURSIVE ${repVerifiedCtesSql(0.8)},
+       edges AS (SELECT a_id AS src, b_id AS dst FROM verified
+         UNION SELECT b_id AS src, a_id AS dst FROM verified),
+       walk(id, label) AS (
+         SELECT src AS id, src AS label FROM edges
+         UNION
+         SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id),
+       lab AS (SELECT id, MIN(label) AS label FROM walk GROUP BY id),
+       replab AS (SELECT r.h, r.doc_id AS rep_id,
+           COALESCE(lab.label, r.doc_id) AS cluster_label
+         FROM rep r LEFT JOIN lab ON lab.id = r.doc_id),
+       keptc AS (SELECT cluster_label FROM replab GROUP BY cluster_label
+         HAVING MAX(rep_id) >= $horizon),
+       keyed AS (SELECT h, cluster_label,
+           ('0x' || substr(md5('$SplitSeed:' || cluster_label::VARCHAR), 1, 8))::BIGINT
+             % 10 AS k
+         FROM replab JOIN keptc USING (cluster_label))
+       SELECT d.doc_id, keyed.cluster_label,
+         CASE WHEN k <= 7 THEN 'train' WHEN k = 8 THEN 'val'
+              ELSE 'test' END AS split
+       FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+       JOIN keyed USING (h)""".replaceAll("\\s+", " ")
+  }
+
+  /** Oracle of q_stream_dedup_ingest: the managed exact-dedup ingest
+    * loop unrolled per batch — the documents table splits into the SAME
+    * three deterministic NTILE batches the staged feed replays, and
+    * each stage re-runs the q_incremental_dedup classification with
+    * corpus := the docs ADMITTED (status = new) by the earlier stages
+    * (exactly what the persisted index holds when that batch arrives:
+    * hashes/bands/shingles of admitted reps only). Batch 1 probes an
+    * empty corpus (dup_delta/new only), later batches chain. The
+    * trajectory certifies classify + admit + the mid-feed generation
+    * swap end to end, since a swap that changed any classification
+    * would hash-mismatch here. */
+  private[graft] lazy val dedupIngestOracle: String = {
+    import graft.functions.SedFunctions.d2s
+    val shHash = s"list_transform(${shinglesSqlFrag("l", ShingleN)}, s -> ${hash32Frag("s")})"
+    def shSet(table: String, out: String) =
+      s"""$out AS (SELECT doc_id, list_distinct($shHash) AS sh
+         FROM (SELECT doc_id, $toksSqlFrag AS l FROM $table
+               WHERE len($toksSqlFrag) >= $ShingleN))"""
+    def stage(k: Int, corpus: String): String =
+      s"""delta_$k AS (SELECT doc_id, text FROM batches WHERE bt = $k),
+         chash_$k AS (SELECT md5(text) AS h, doc_id AS ck FROM $corpus),
+         csig_$k AS (${minhashSigSqlFor(corpus)}),
+         cband0_$k AS (${bandSelectsSqlFor(s"csig_$k")}),
+         cbok_$k AS (SELECT band, key FROM cband0_$k GROUP BY band, key
+                     HAVING COUNT(*) <= $MaxBucket),
+         cband_$k AS (SELECT cband0_$k.* FROM cband0_$k JOIN cbok_$k USING (band, key)),
+         ${shSet(corpus, s"csh_$k")},
+         dhash_$k AS (SELECT doc_id, md5(text) AS h FROM delta_$k),
+         dkeep_$k AS (SELECT h, MIN(doc_id) AS dk FROM dhash_$k GROUP BY h),
+         tagged_$k AS (SELECT dh.doc_id, chash_$k.ck, dkeep_$k.dk FROM dhash_$k dh
+           LEFT JOIN chash_$k USING (h) JOIN dkeep_$k USING (h)),
+         surv_$k AS (SELECT delta_$k.* FROM delta_$k JOIN tagged_$k USING (doc_id)
+           WHERE ck IS NULL AND doc_id = dk),
+         dsig_$k AS (${minhashSigSqlFor(s"surv_$k")}),
+         dband_$k AS (${bandSelectsSqlFor(s"dsig_$k")}),
+         cand_$k AS (SELECT DISTINCT db.doc_id AS a_id, cb.doc_id AS b_id
+           FROM dband_$k db JOIN cband_$k cb USING (band, key)),
+         ${shSet(s"surv_$k", s"dsh_$k")},
+         ver_$k AS (SELECT a_id, b_id FROM (
+             SELECT c.a_id, c.b_id,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+             FROM cand_$k c JOIN dsh_$k a ON a.doc_id = c.a_id
+             JOIN csh_$k b ON b.doc_id = c.b_id)
+           WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= ${d2s(IncMinJ)}),
+         near_$k AS (SELECT a_id AS doc_id, MIN(b_id) AS nk, COUNT(*) AS nn
+           FROM ver_$k GROUP BY a_id),
+         classified_$k AS (SELECT t.doc_id,
+             CASE WHEN t.ck IS NOT NULL THEN 'dup_corpus'
+                  WHEN t.doc_id > t.dk THEN 'dup_delta'
+                  WHEN n.nk IS NOT NULL THEN 'near_corpus'
+                  ELSE 'new' END AS status,
+             CAST(COALESCE(t.ck, CASE WHEN t.doc_id > t.dk THEN t.dk END,
+               n.nk, -1) AS BIGINT) AS match_id,
+             CAST(COALESCE(n.nn, 0) AS BIGINT) AS n_near
+           FROM tagged_$k t LEFT JOIN near_$k n USING (doc_id)),
+         adm_$k AS (SELECT d.doc_id, d.text FROM delta_$k d
+           JOIN classified_$k c USING (doc_id) WHERE c.status = 'new')"""
+    s"""WITH batches AS (SELECT doc_id, text,
+           NTILE(3) OVER (ORDER BY doc_id) AS bt FROM documents),
+       corpus_1 AS (SELECT doc_id, text FROM documents WHERE FALSE),
+       ${stage(1, "corpus_1")},
+       corpus_2 AS (SELECT * FROM adm_1),
+       ${stage(2, "corpus_2")},
+       corpus_3 AS (SELECT * FROM adm_1 UNION ALL SELECT * FROM adm_2),
+       ${stage(3, "corpus_3")}
+       SELECT doc_id, status, match_id, n_near FROM classified_1
+       UNION ALL SELECT doc_id, status, match_id, n_near FROM classified_2
+       UNION ALL SELECT doc_id, status, match_id, n_near FROM classified_3"""
+      .replaceAll("\\s+", " ")
+  }
+
   /** (doc_id, lang, score_u) of docs under a fitted KN model — shared by
     * q_ppl_buckets and its streaming twin. */
   private[graft] def pplScoreWith(model: DataFrame, df: DataFrame): DataFrame =

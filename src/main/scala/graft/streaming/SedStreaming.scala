@@ -631,6 +631,49 @@ object SedStreaming {
       .option("checkpointLocation", ckPath)
       .start()
 
+  /** Streaming EXACT-DEDUP ingest over the generation-maintained dedup
+    * index (graft.operators.Dedup.dedupIndexIngest): each micro-batch is
+    * classified against the ACTIVE generation (dup_corpus / dup_delta /
+    * near_corpus / new), its per-batch classification goes durable under
+    * `outPath/batch=<id>`, its new docs admit themselves so later
+    * batches classify against them, and every `compactEvery` batches
+    * the index compacts through a crash-safe generation swap. Restart
+    * semantics are the managed step's: exact replays are admitted and
+    * SELF-REPAIR partial appends (hashes/ is the last-written gate);
+    * per-batch output is overwrite, so a replayed batch rewrites its own
+    * partition. A doc's classification is FINAL at ingest
+    * (corpus-order-first — later arrivals can only reference it, never
+    * re-classify it), so the accumulated outputs equal the per-batch
+    * replay of the from-scratch loop — which is what
+    * q_stream_dedup_ingest's unrolled trajectory oracle certifies. */
+  def streamingDedupIngest(docs: DataFrame, idCol: String, textCol: String,
+                           indexRoot: String, outPath: String, ckPath: String,
+                           numHashes: Int = 12, rowsPerBand: Int = 3,
+                           shingleN: Int = 3, minJaccard: Double = 0.8,
+                           maxBucket: Int = 10000, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val conf = s.sparkContext.hadoopConfiguration
+        graft.operators.Dedup.dedupIndexIngest(s, b.toDF(), idCol, textCol,
+          indexRoot, batchId, numHashes, rowsPerBand, shingleN, minJaccard,
+          maxBucket, compactEvery,
+          // outputs go durable BEFORE the appends; on a detected replay,
+          // already-written files are KEPT — the re-derived classification
+          // is the self-repaired one (dup_corpus where the original said
+          // new), and the ORIGINAL is the authoritative at-ingest answer
+          onClassified = (classified, isReplay) => {
+            val dir = s"$outPath/batch=$batchId"
+            val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+            if (!(isReplay && marker.getFileSystem(conf).exists(marker)))
+              classified.write.mode("overwrite").parquet(dir)
+          })
+        ()
+      }
+      .option("checkpointLocation", ckPath)
+      .start()
+
   /** Streaming ANN (IVF) index ingest with IN-LOOP generation-swap
     * maintenance — the managed form of the append-forever loop: each
     * micro-batch bucket-assigns against the index's frozen centroids and

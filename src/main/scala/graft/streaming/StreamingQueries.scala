@@ -554,6 +554,78 @@ object StreamingQueries {
       graft.operators.GenIndex.active(s0, idxPath))
   }
 
+  /** Exact-dedup classification AT INGEST over the generation-maintained
+    * dedup index (SedStreaming.streamingDedupIngest /
+    * Dedup.dedupIndexIngest): the documents table replays as THREE
+    * deterministic NTILE batches; each batch classifies against the
+    * admitted docs of the earlier ones, writes its classification
+    * durably BEFORE admitting itself, and the index swaps a generation
+    * mid-feed (compactEvery = 2 -> after batch 2, so batch 3 probes the
+    * compacted generation). ORACLE-ELIGIBLE: a doc's classification is
+    * final at ingest, so the accumulated outputs equal the per-batch
+    * unrolled replay (PipelineQueries.dedupIngestOracle) — which also
+    * certifies the mid-feed swap, since a swap that changed any
+    * classification would hash-mismatch. */
+  def streamDedupIngest(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_dingest_feed")
+    val docsDf = Tables.documents(s0, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    SedStreaming.stageFileStreamNtile(docsDf, "doc_id", dir, chunks = 3)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val outPath = tmp("graft_dingest_out")
+    val q = SedStreaming.streamingDedupIngest(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
+      tmp("graft_dingest_idx"), outPath, tmp("graft_dingest_ck"),
+      graft.sed.PipelineQueries.NumHashes, graft.sed.PipelineQueries.RowsPerBand,
+      graft.sed.PipelineQueries.ShingleN, 0.8, graft.sed.PipelineQueries.MaxBucket,
+      compactEvery = 2)
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
+    s0.read.parquet(outPath).select("doc_id", "status", "match_id", "n_near")
+  }
+
+  /** Leakage-safe splitting at ingest WITH RETENTION: the same
+    * streamingLeakageSplit loop over a 4-batch NTILE feed, except the
+    * final compaction (compactEvery = 2, so compactions fire after
+    * batches 2 and 4) runs as dropBefore(horizon) with horizon = min +
+    * 3/5 of the id range — clusters whose whole recorded history
+    * predates it RETIRE (tombstones under _tombstones/batch=3), the
+    * rest keep their labels. ORACLE-ELIGIBLE: end-of-feed current
+    * labels equal the from-scratch split (SplitIngestSpec), and the
+    * retire rule — max representative id below the horizon — replays
+    * in SQL, so the post-retention assignment equals the q_leakage_split
+    * pipeline restricted to kept clusters
+    * (PipelineQueries.retentionSplitOracle); retired docs resolve
+    * nothing on BOTH sides. */
+  def streamRetentionSplit(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_retsplit_feed")
+    val docsDf = Tables.documents(s0, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val mm = docsDf.agg(min("doc_id"), max("doc_id")).first()
+    val horizon = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 3 / 5
+    SedStreaming.stageFileStreamNtile(docsDf, "doc_id", dir, chunks = 4)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val idxPath = tmp("graft_retsplit_idx")
+    val outPath = tmp("graft_retsplit_out")
+    val q = SedStreaming.streamingLeakageSplit(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
+      graft.sed.PipelineQueries.SplitSeed, idxPath, outPath,
+      tmp("graft_retsplit_ck"),
+      graft.sed.PipelineQueries.NumHashes, graft.sed.PipelineQueries.RowsPerBand,
+      graft.sed.PipelineQueries.ShingleN, 0.8, graft.sed.PipelineQueries.MaxBucket,
+      compactEvery = 2,
+      retention = bid => if (bid == 3) horizon else Long.MinValue)
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
+    graft.operators.Dedup.splitIndexAssignment(
+      s0, docsDf, "doc_id", "text", graft.sed.PipelineQueries.SplitSeed,
+      graft.operators.GenIndex.active(s0, idxPath))
+  }
+
   /** Frame-sampled video dedup AT INGEST: the documents table's
     * synthetic payloads replayed as an ascending-id file feed into the
     * incremental chunk-index loop (SedStreaming.streamingVideoDedup) —
@@ -893,6 +965,18 @@ object StreamingQueries {
     "q_stream_substring" -> QueryDef((s, d) => streamSubstring(s, d), None),
     "q_stream_leakage_split" -> QueryDef((s, d) => streamLeakageSplit(s, d),
       Some(graft.sed.PipelineQueries.leakageSplitOracle)),
+    // ORACLE-ELIGIBLE (round 14): deterministic NTILE batches; the
+    // unrolled per-batch trajectory oracle replays classify-then-admit
+    // with corpus := earlier batches' admitted docs, certifying the
+    // managed dedup-ingest loop AND its mid-feed generation swap.
+    "q_stream_dedup_ingest" -> QueryDef((s, d) => streamDedupIngest(s, d),
+      Some(graft.sed.PipelineQueries.dedupIngestOracle)),
+    // ORACLE-ELIGIBLE (round 14): the GDPR path under the driver gate —
+    // end-of-feed retention compaction retires wholly-pre-horizon
+    // clusters; the oracle is the from-scratch split restricted to kept
+    // clusters (max rep id >= horizon), retired docs resolve nothing.
+    "q_stream_retention_split" -> QueryDef((s, d) => streamRetentionSplit(s, d),
+      Some(graft.sed.PipelineQueries.retentionSplitOracle)),
     "q_stream_video_dedup" -> QueryDef((s, d) => streamVideoDedup(s, d),
       Some(graft.sed.PipelineQueries.videoCdcOracle)),
     "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),
