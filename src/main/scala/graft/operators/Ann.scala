@@ -286,14 +286,22 @@ object Ann {
                     path: String, centroids: Array[(Int, Array[Float])]): IvfIndex = {
     assignBuckets(corpus, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeCentroidSidecar(corpus.sparkSession, path, centroids)
+    IvfIndex(path, centroids)
+  }
+
+  /** The `_centroids.json` sidecar every IVF layout carries — shared by
+    * build and both compaction paths. */
+  private def writeCentroidSidecar(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   centroids: Array[(Int, Array[Float])]): Unit = {
     val json = centroids.sortBy(_._1).map { case (cid, v) =>
       s"""{"cid":$cid,"v":[${v.mkString(",")}]}"""
     }.mkString("[", ",", "]")
     val p = new org.apache.hadoop.fs.Path(path, "_centroids.json")
-    val fs = p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
-    IvfIndex(path, centroids)
   }
 
   /** Append new vectors to a persisted index WITHOUT rebuilding — the
@@ -840,14 +848,79 @@ object Ann {
     ivfScan(spark, index.path)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(destPath)
-    val json = index.centroids.sortBy(_._1).map { case (cid, v) =>
-      s"""{"cid":$cid,"v":[${v.mkString(",")}]}"""
-    }.mkString("[", ",", "]")
-    val p = new org.apache.hadoop.fs.Path(destPath, "_centroids.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+    writeCentroidSidecar(spark, destPath, index.centroids)
     IvfIndex(destPath, index.centroids)
+  }
+
+  /** Move one immutable parquet file into the next generation WITHOUT
+    * reading it: a hard link on a local filesystem (O(1) metadata — GC
+    * of the source generation later just drops one inode reference), a
+    * raw byte copy elsewhere (no parquet decode/shuffle/encode, ~10×
+    * cheaper than a Spark rewrite and still no job launch). Safe because
+    * index part files are immutable once written — appends always create
+    * NEW files, so a linked inode is never mutated under the new
+    * generation. */
+  private def linkOrCopyFile(fs: org.apache.hadoop.fs.FileSystem,
+                             src: org.apache.hadoop.fs.Path,
+                             dst: org.apache.hadoop.fs.Path,
+                             conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        return
+      } catch { case _: java.io.IOException | _: UnsupportedOperationException => () }
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    ()
+  }
+
+  /** CHURN-PROPORTIONAL compaction — the 100 TB form of
+    * [[compactIvfIndex]]: only buckets whose part-file count exceeds
+    * `rewriteFilesOver` are rewritten (each to one file); quiet buckets
+    * move into the new generation by hard link / raw copy, never through
+    * a Spark job. Cost is O(touched buckets' data + a metadata op per
+    * quiet file) instead of O(index size), so an in-loop generation swap
+    * over a mostly-cold index costs what the hot buckets cost — the
+    * whole-index rewrite made every swap proportional to the corpus,
+    * which at 100 TB is a scale-killer (VERDICT r14 #1). Content is
+    * bit-identical to [[compactIvfIndex]]'s output (same rows, same
+    * files for quiet buckets; IvfGenSpec pins search equality and
+    * quiet-file preservation); per-bucket file counts stay bounded by
+    * `rewriteFilesOver` + appends-per-swap-interval. Returns
+    * (rewrittenBuckets, linkedBuckets) for receipts. */
+  def compactIvfIndexPerBucket(spark: org.apache.spark.sql.SparkSession,
+                               index: IvfIndex, destPath: String,
+                               rewriteFilesOver: Int = 4): (Int, Int) = {
+    require(rewriteFilesOver >= 1, "rewriteFilesOver must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(index.path)
+    val fs = srcP.getFileSystem(conf)
+    val buckets: Array[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.Path])] =
+      if (!fs.exists(srcP)) Array.empty
+      else fs.listStatus(srcP).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("bucket=") =>
+          (st.getPath, fs.listStatus(st.getPath).collect {
+            case f if f.isFile && f.getPath.getName.endsWith(".parquet") => f.getPath
+          })
+      }
+    val (busy, quiet) = buckets.partition(_._2.length > rewriteFilesOver)
+    val destP = new org.apache.hadoop.fs.Path(destPath)
+    fs.mkdirs(destP)
+    if (busy.nonEmpty)
+      spark.read.option("basePath", index.path)
+        .parquet(busy.map(_._1.toString).toIndexedSeq: _*)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(destPath)
+    quiet.foreach { case (dir, parts) =>
+      val destBucket = new org.apache.hadoop.fs.Path(destP, dir.getName)
+      fs.mkdirs(destBucket)
+      parts.foreach(p =>
+        linkOrCopyFile(fs, p, new org.apache.hadoop.fs.Path(destBucket, p.getName), conf))
+    }
+    writeCentroidSidecar(spark, destPath, index.centroids)
+    (busy.length, quiet.length)
   }
 
   /** Batch IVF search where the query set is a DATAFRAME, not a driver
@@ -1180,7 +1253,13 @@ object Ann {
           groups.get(cell).foreach { cs =>
             val bound = math.cos(math.max(0.0,
               math.acos(clamp1(cellCos)) - rad(cell)))
-            if (bound >= best) {
+            // `bound` is capped at cos(0)=1.0 but member cosines are NOT
+            // clamped (bit-equality with the flat scan forbids it) and can
+            // exceed 1.0 by fp rounding when a row equals a center
+            // bitwise; compare against min(best, 1.0) so a cell holding an
+            // equal-cosine lower-cid duplicate center is never pruned by
+            // that excess
+            if (bound >= math.min(best, 1.0)) {
               var i = 0
               while (i < cs.length) {
                 val (cid, cvec, cnorm) = cs(i)

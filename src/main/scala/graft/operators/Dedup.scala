@@ -382,12 +382,31 @@ object Dedup {
     * unchanged O(log² n)-round distributed [[connectedComponentsStar]].
     * Labels are IDENTICAL either way — (id, label = component-min) for
     * every node incident to an edge (CcStarSpec pins the equality), so
-    * callers and oracles cannot observe the switch. */
+    * callers and oracles cannot observe the switch.
+    *
+    * The driver solve is long-typed; it dispatches on the id columns'
+    * DECLARED types, so only integral ids (byte/short/int/long) take it
+    * — string/decimal/etc. ids run the type-generic distributed star
+    * unconditionally (a silent cast there would null non-numeric ids
+    * and drop every edge). The collect is primitive end to end: edges
+    * land as packed long arrays (16 bytes/edge, honoring the 32 MiB
+    * [[MaxDriverEdges]] budget), node ids dense-rank through one sorted
+    * long array, and union-find runs over an int parent array — no Row
+    * or boxed-Long materialization. */
   def connectedComponentsAuto(pairs: DataFrame, maxIter: Int = 50,
                               driverEdgeLimit: Int = MaxDriverEdges): DataFrame = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val idTypes = pairs.select(col("a_id"), col("b_id")).schema.map(_.dataType)
+    if (!idTypes.forall(integral.contains))
+      return connectedComponentsStar(pairs, maxIter)
+    // cast FIRST, canonicalize after — greatest/least must compare in the
+    // widened numeric type, not the declared one
     val e = pairs
-      .select(greatest(col("a_id"), col("b_id")).cast("long").as("hi"),
-        least(col("a_id"), col("b_id")).cast("long").as("lo"))
+      .select(col("a_id").cast("long").as("__a"), col("b_id").cast("long").as("__b"))
+      .select(greatest(col("__a"), col("__b")).as("hi"),
+        least(col("__a"), col("__b")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true)
     // limit+1 probe, not a full count: the decision needs only "over or
     // under", and the scan stops as soon as the limit is crossed
@@ -395,37 +414,60 @@ object Dedup {
       starRoundsCanonical(e, maxIter)._1
     else {
       val spark = pairs.sparkSession
-      val edges = e.collect()
-      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
-      def find(x0: Long): Long = {
+      // pack per-partition into primitive long arrays: the driver never
+      // sees a Row or a boxed Long, only ~16 bytes/edge as budgeted
+      val chunks: Array[Array[Long]] = e.rdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+        Iterator.single(b.result())
+      }.collect()
+      var total = 0
+      chunks.foreach(total += _.length) // 2 × edge count
+      // dense-rank the node ids: sorted unique longs; index order == id
+      // order, so union-by-min-INDEX is union-by-min-ID
+      val ids = new Array[Long](total)
+      var off = 0
+      chunks.foreach { c => System.arraycopy(c, 0, ids, off, c.length); off += c.length }
+      java.util.Arrays.sort(ids)
+      var n = 0
+      var j = 0
+      while (j < total) {
+        if (n == 0 || ids(j) != ids(n - 1)) { ids(n) = ids(j); n += 1 }
+        j += 1
+      }
+      val parent = new Array[Int](n)
+      var i = 0
+      while (i < n) { parent(i) = i; i += 1 }
+      def find(x0: Int): Int = {
         var x = x0
-        var p = parent.getOrDefault(x, x)
+        var p = parent(x)
         while (p != x) { // path-halving
-          val gp = parent.getOrDefault(p, p)
-          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+          val gp = parent(p)
+          parent(x) = gp; x = gp; p = parent(x)
         }
         x
       }
-      edges.foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-        // union by MIN root: the component root stays its minimum id, so
-        // the final resolve needs no second pass to find the min
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      def rank(id: Long): Int = java.util.Arrays.binarySearch(ids, 0, n, id)
+      chunks.foreach { c =>
+        var k = 0
+        while (k < c.length) {
+          val (ra, rb) = (find(rank(c(k))), find(rank(c(k + 1))))
+          // union by MIN root: the component root stays its minimum id,
+          // so the final resolve needs no second pass to find the min
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          k += 2
         }
       }
-      val nodes = new java.util.HashSet[Long](edges.length * 2)
-      edges.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
-      val out = new Array[org.apache.spark.sql.Row](nodes.size)
-      var i = 0
-      val it = nodes.iterator()
-      while (it.hasNext) {
-        val id = it.next()
-        out(i) = org.apache.spark.sql.Row(id, find(id)); i += 1
+      val out = new Array[org.apache.spark.sql.Row](n)
+      i = 0
+      while (i < n) {
+        out(i) = org.apache.spark.sql.Row(ids(i), ids(find(i))); i += 1
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(out.toIndexedSeq,
-          math.max(1, math.min(spark.sparkContext.defaultParallelism, out.length / 4096 + 1))),
+          math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 4096 + 1))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType),

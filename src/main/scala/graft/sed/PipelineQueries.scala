@@ -3516,17 +3516,35 @@ object PipelineQueries {
         Multimodal.withPgmPayload(docs(s, d), "text", "payload"),
         "doc_id", "payload", maxHamming = 18),
       Some {
-        val coll = Multimodal.sketchPositions(10, 110, "sketch")
+        // Structural replay of hammingEdgesSketch INCLUDING the
+        // per-(table, key) maxBucket=100000 guard (buckets over the cap
+        // drop on the Scala side, so the oracle must drop them too or
+        // the edge sets silently diverge once a sampled key saturates):
+        // keyed = one row per (rep, table) keyed by the sampled bits at
+        // their original positions (phash & mask — a bijection of the
+        // operator's packed key), ok = surviving buckets, e = the
+        // bucket self-join + exact verify, exactly the operator's plan.
+        val vals = Multimodal.sketchPositions(10, 110, "sketch")
           .map(_.map(p => 1L << p).reduce(_ | _))
-          .map(m => s"(xor(a.phash, b.phash) & CAST($m AS BIGINT)) = 0")
-          .mkString("(", " OR ", ")")
+          .zipWithIndex
+          .map { case (m, i) => s"($i, CAST($m AS BIGINT))" }
+          .mkString(", ")
         s"""WITH RECURSIVE $imageHashCtes,
         reps AS MATERIALIZED (SELECT phash, MIN(doc_id) AS doc_id,
             CAST(COUNT(*) AS BIGINT) AS n_exact
           FROM ihash GROUP BY phash),
-        e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM reps a JOIN reps b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.phash, b.phash)) <= 18 AND $coll),
+        masks(t, m) AS (VALUES $vals),
+        keyed AS MATERIALIZED (SELECT r.doc_id, r.phash, mk.t AS t,
+            r.phash & mk.m AS kb
+          FROM reps r CROSS JOIN masks mk),
+        ok AS (SELECT t, kb FROM keyed GROUP BY t, kb
+          HAVING COUNT(*) <= 100000),
+        kk AS (SELECT k.doc_id, k.phash, k.t, k.kb FROM keyed k
+          JOIN ok ON k.t = ok.t AND k.kb = ok.kb),
+        e AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM kk a JOIN kk b
+            ON a.t = b.t AND a.kb = b.kb AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 18),
         edges AS (SELECT a_id AS src, b_id AS dst FROM e
           UNION SELECT b_id AS src, a_id AS dst FROM e),
         walk(id, label) AS (

@@ -688,11 +688,14 @@ object SedStreaming {
     * centroid sidecar). Restart semantics: a replayed batch re-appends
     * its rows — pass `antiJoinExisting = true` under at-least-once
     * delivery to make appends id-idempotent (one column-pruned id scan
-    * per batch). */
+    * per batch). Compaction is per-bucket/churn-proportional
+    * ([[graft.operators.Ann.compactIvfIndexPerBucket]]); tune the
+    * rewrite trigger with `rewriteFilesOver`. */
   def streamingIvfIngest(vecs: DataFrame, idCol: String, vecCol: String,
                          indexRoot: String, ckPath: String,
                          compactEvery: Int = 0,
-                         antiJoinExisting: Boolean = false)
+                         antiJoinExisting: Boolean = false,
+                         rewriteFilesOver: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -702,9 +705,16 @@ object SedStreaming {
           graft.operators.Ann.loadIvfIndex(s, active), b.toDF(), idCol, vecCol,
           antiJoinExisting)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.operators.GenIndex.compact(s, indexRoot)((src, dest) =>
-            graft.operators.Ann.compactIvfIndex(
-              s, graft.operators.Ann.loadIvfIndex(s, src), dest))
+          // CHURN-PROPORTIONAL swap (round 15): only buckets over
+          // `rewriteFilesOver` part files rewrite; quiet buckets
+          // hard-link/copy into the new generation without a Spark job,
+          // so in-loop maintenance costs what the feed touched since
+          // the last swap, not the index size
+          graft.operators.GenIndex.compact(s, indexRoot)((src, dest) => {
+            graft.operators.Ann.compactIvfIndexPerBucket(
+              s, graft.operators.Ann.loadIvfIndex(s, src), dest, rewriteFilesOver)
+            ()
+          })
           ()
         }
       }

@@ -73,6 +73,35 @@ class CcStarSpec extends SparkSpecBase {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
   }
 
+  test("auto CC on string ids routes to the type-generic star, losing no edges") {
+    // string UUID-ish ids: a long cast would null every id and silently
+    // drop all edges (every duplicate kept); auto must fall back to the
+    // type-generic star and label lexicographic component-mins
+    val ps = Seq(("u-b", "u-a"), ("u-b", "u-c"), ("u-x", "u-y"))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsAuto(ps)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("u-a" -> "u-a", "u-b" -> "u-a", "u-c" -> "u-a",
+      "u-x" -> "u-x", "u-y" -> "u-x"))
+  }
+
+  test("auto CC numeric-string ids keep the hi>lo invariant via the star path") {
+    // "10" < "9" lexicographically but 10 > 9 numerically; the old
+    // greatest-before-cast mixed the two orders. String ids now run the
+    // type-generic star end to end: canonical order is lexicographic in
+    // BOTH the edge canonicalization and the label min, consistently.
+    val ps = Seq(("9", "10"), ("10", "11")).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponentsAuto(ps)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("9" -> "10", "10" -> "10", "11" -> "10"))
+  }
+
+  test("auto CC casts int ids to long AFTER widening, same labels as star") {
+    val ps = Seq((5, 3), (3, 1), (7, 8)).toDF("a_id", "b_id")
+    val got = labelsOf(Dedup.connectedComponentsAuto(ps))
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("star CC handles reversed and duplicate input pairs") {
     val ps = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (3L, 1L))
     val star = labelsOf(Dedup.connectedComponentsStar(pairsDf(ps)))

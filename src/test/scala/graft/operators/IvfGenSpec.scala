@@ -80,6 +80,58 @@ class IvfGenSpec extends SparkSpecBase {
     assert(files.nonEmpty && files.forall(_ == 1), files.toSeq.toString)
   }
 
+  test("per-bucket compaction: quiet buckets move by link (same files), busy ones rewrite to one file, search is bit-equal") {
+    val root = freshRoot()
+    // base vectors (ids 0..39 spread over all 4 buckets, one partition →
+    // one base file per bucket), then three appends that touch ONLY
+    // bucket 0 (base == 0 for multiples of 4)
+    Ann.buildIvfIndex(
+      vecs(0 until 40).toDF("vec_id", "embedding").repartition(1),
+      "vec_id", "embedding", root, centroids)
+    (0 until 3).foreach { r =>
+      Ann.appendToIvfIndex(Ann.loadIvfIndex(spark, root),
+        vecs((100 + 4 * r) until (101 + 4 * r)) // one id, base 0
+          .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    val f = fs(root)
+    def partFiles(dir: String): Map[String, Set[String]] =
+      f.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .map(st => st.getPath.getName ->
+          f.listStatus(st.getPath).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = partFiles(root)
+    assert(before("bucket=0").size == 4, before.toString) // base + 3 appends
+    assert((1 to 3).forall(b => before(s"bucket=$b").size == 1))
+
+    val qs = vecs(200 until 203).toArray
+    val pre = search(root, qs)
+    var receipt = (-1, -1)
+    GenIndex.compact(spark, root) { (src, dest) =>
+      receipt = Ann.compactIvfIndexPerBucket(spark,
+        Ann.loadIvfIndex(spark, src), dest, rewriteFilesOver = 2)
+    }
+    assert(receipt == ((1, 3)), receipt.toString) // bucket 0 rewrites, 1..3 link
+    val active = GenIndex.active(spark, root)
+    assert(active == s"$root/gen-00001")
+    val after = partFiles(active)
+    // quiet buckets keep their EXACT file names (link, not rewrite);
+    // the busy bucket compacts to one freshly-named file
+    (1 to 3).foreach(b => assert(after(s"bucket=$b") == before(s"bucket=$b")))
+    assert(after("bucket=0").size == 1 &&
+      !before("bucket=0").contains(after("bucket=0").head))
+    // content is untouched: search bit-equal through the swap, and
+    // equal to a from-scratch build over the same corpus
+    assert(search(root, qs) == pre)
+    val scratch = freshRoot()
+    Ann.buildIvfIndex(
+      (vecs(0 until 40) ++ Seq(100, 104, 108).flatMap(i => vecs(i to i)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", scratch, centroids)
+    assert(search(root, qs) == search(scratch, qs))
+  }
+
   test("a half-written generation under the flat root neither breaks reads nor survives the sweep") {
     val root = freshRoot()
     Ann.buildIvfIndex(vecs(0 until 40).toDF("vec_id", "embedding"),
