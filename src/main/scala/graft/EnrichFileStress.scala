@@ -13,19 +13,32 @@ import graft.streaming.SedStreaming
   * the 100× stress proved the MEMORY-SINK harness is the bound — the
   * join state itself is watermark-evicted and partition-count-
   * insensitive — and a real deployment sinks to files/Kafka anyway.
-  * Args: <sfDir> [chunks]. Prints one line: rows + wall seconds.
+  * Args: <sfDir> [chunks] [provider: rocksdb|hdfs]. Prints one line:
+  * rows + wall seconds + peak state + peak JVM heap (the
+  * before/after receipt for the round-15 RocksDB state-store move —
+  * with `rocksdb` the join state lives on local disk with a bounded
+  * block cache instead of executor heap).
   */
 object EnrichFileStress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
-    val spark = SparkSession.builder()
+    val provider = args.lift(2).getOrElse("rocksdb")
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      ()
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sed.SedQueries.ensureConfs(spark)
 
@@ -37,6 +50,13 @@ object EnrichFileStress {
     SedStreaming.stageFileStream(
       base.filter(col("event_id") % 100 === 0).toDF("sensor_id", "sts_us", "reading"),
       "sts_us", s"$work/sensors", chunks)
+
+    // reset heap-pool peak counters AFTER staging so the peak measures
+    // the streaming phase only; the collector tracks pool peaks for free
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
+    heapPools.foreach(_.resetPeakUsage())
 
     val t0 = System.nanoTime()
     val evSrc = SedStreaming.fileStream(spark, s"$work/events", StructType(Seq(
@@ -79,8 +99,9 @@ object EnrichFileStress {
     })
     q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
+    val peakHeapMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576
     val rows = spark.read.parquet(s"$work/out").count()
-    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"peak_state_rows":$peakStateRows,"peak_state_mb":${peakStateBytes / 1048576},"sf":"$sfDir"}""")
+    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"provider":"$provider","peak_state_rows":$peakStateRows,"peak_state_mb":${peakStateBytes / 1048576},"peak_heap_mb":$peakHeapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

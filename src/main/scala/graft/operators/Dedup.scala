@@ -2009,6 +2009,44 @@ object Dedup {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$destPath/texts")
   }
 
+  /** [[compactSubstringIndex]] with a RETENTION horizon — the GDPR/TTL
+    * story for the substring-anchor family (round 15): anchors whose
+    * recorded earliest occurrence predates `epochMin` drop, and — the
+    * part that makes this REAL forgetting — the text store drops every
+    * doc with id < epochMin, so retired content physically leaves disk.
+    * Returns the TOMBSTONE stream: one (h, e_id) row per retired anchor
+    * hash, materialized before the rewrite. Forgetting is conservative
+    * in the only direction retention allows: a dropped anchor can only
+    * REDUCE detected duplication (later docs keep more text), and no
+    * surviving anchor can reference a deleted text — the extension walk
+    * reads texts/, which this rewrite filtered by the same horizon, so
+    * anchors and texts cannot disagree (a stale anchor would silently
+    * drop its pairs in the inner text join; dropping it here keeps the
+    * index self-consistent instead). Equality with a from-scratch
+    * [[buildSubstringIndex]] over the retained corpus holds for
+    * horizon-clean feeds (no anchor hash straddling epochMin);
+    * straddlers re-found at their next occurrence
+    * (ChunkSubstrRetentionSpec). */
+  def compactSubstringIndexDropBefore(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, destPath: String,
+                                      epochMin: Long): DataFrame = {
+    requireDistinctPaths(spark, path, destPath)
+    val cur = spark.read.parquet(s"$path/anchors")
+      .groupBy("h").agg(min(struct(col("e_id"), col("e_pos"))).as("__e"))
+      .select(col("h"), col("__e")("e_id").as("e_id"), col("__e")("e_pos").as("e_pos"))
+      .localCheckpoint(true) // feeds retire AND keep
+    val tombstones = cur.filter(col("e_id") < epochMin)
+      .select(col("h"), col("e_id"))
+      .localCheckpoint(true) // survives the source generation's GC
+    cur.filter(col("e_id") >= epochMin)
+      .write.mode("overwrite").parquet(s"$destPath/anchors")
+    spark.read.parquet(s"$path/texts")
+      .filter(col("id") >= epochMin)
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$destPath/texts")
+    tombstones
+  }
+
   // ---------------------------------------------------------------------
   // Incremental CDC-chunk dedup over a persisted chunk index
   // ---------------------------------------------------------------------
@@ -2082,6 +2120,40 @@ object Dedup {
       .groupBy("ph").agg(min("owner").as("owner"))
       .write.mode("overwrite").parquet(s"$destPath/chunks")
     copyIngestMarker(spark, path, destPath)
+  }
+
+  /** [[compactChunkIndex]] with a RETENTION horizon — the GDPR/TTL story
+    * for the chunk family (round 15, the split family's
+    * [[compactSplitIndexDropBefore]] ported): chunk hashes whose
+    * recorded first owner predates `epochMin` (ids are arrival order,
+    * so an id horizon IS a time horizon) are RETIRED — their (ph, owner)
+    * rows drop from the compacted index, and a future copy of retired
+    * content re-founds under a fresh owner, which is what "the index
+    * holds nothing older than the horizon" must mean. Returns the
+    * TOMBSTONE stream — one (ph, owner) row per retired hash,
+    * materialized before the rewrite — for an at-ingest consumer to
+    * fold (its accumulated per-doc reports for ids < epochMin drop by
+    * id; the hashes document WHAT was forgotten). Decided on RECORDED
+    * history, like the split family: a post-horizon dup occurrence of a
+    * retired chunk was never indexed (only first owners are), so
+    * equality with the from-scratch index over the retained corpus
+    * holds for horizon-clean feeds (no chunk content straddling
+    * epochMin); a straddling hash forgets conservatively — later
+    * batches re-found it, reporting LESS duplication, never trimming
+    * against forgotten content (ChunkSubstrRetentionSpec pins both). */
+  def compactChunkIndexDropBefore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, destPath: String,
+                                  epochMin: Long): DataFrame = {
+    requireDistinctPaths(spark, path, destPath)
+    val cur = spark.read.parquet(s"$path/chunks")
+      .groupBy("ph").agg(min("owner").as("owner"))
+      .localCheckpoint(true) // feeds retire AND keep
+    val tombstones = cur.filter(col("owner") < epochMin)
+      .localCheckpoint(true) // survives the source generation's GC
+    cur.filter(col("owner") >= epochMin)
+      .write.mode("overwrite").parquet(s"$destPath/chunks")
+    copyIngestMarker(spark, path, destPath)
+    tombstones
   }
 
   /** Paragraph-level exact dedup (the Dolma/CCNet granularity between

@@ -420,9 +420,11 @@ object Multimodal {
     * Returns symmetric edges (src, dst, hamming, rank). */
   def hammingNearDupGraph(hashes: DataFrame, idCol: String, hashCol: String,
                           maxHamming: Int = 3, k: Int = 5,
-                          maxBucket: Int = 100000): DataFrame = {
+                          maxBucket: Int = 100000,
+                          preSpread: Boolean = true): DataFrame = {
     require(k >= 1)
-    val edges = hammingEdges(hashes, idCol, hashCol, maxHamming, maxBucket)
+    val edges = hammingEdges(hashes, idCol, hashCol, maxHamming, maxBucket,
+      preSpread)
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"), col("hamming"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst"), col("hamming")))
     val win = org.apache.spark.sql.expressions.Window
@@ -441,14 +443,21 @@ object Multimodal {
     * and a different shape is needed. Returns (a_id, b_id, hamming)
     * with a_id < b_id. */
   def hammingEdges(hashes: DataFrame, idCol: String, hashCol: String,
-                   maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
+                   maxHamming: Int, maxBucket: Int = 100000,
+                   preSpread: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "multi-index bands thinner than 8 bits degenerate — radius capped at 7")
     val nb = maxHamming + 1
-    // pre-spread before the ×nb band explode — see [[hammingEdgesWide]]
+    // pre-spread before the ×nb band explode — see [[hammingEdgesWide]].
+    // Callers that ALREADY hand this operator a multi-partition,
+    // AQE-exempt relation (imageNearDupGraph/imageDupClusters spread the
+    // raw hashes by phash BEFORE their exact-collapse groupBy, which
+    // satisfies the aggregation's distribution AND parallelizes the
+    // explode map side for free) pass preSpread = false and save the
+    // round-robin exchange entirely — one fewer shuffle of the rep set.
     val np0 = hashes.sparkSession.sessionState.conf.numShufflePartitions
-    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
-      .repartition(np0)
+    val h0 = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    val h = if (preSpread) h0.repartition(np0) else h0
     val bandCols = (0 until nb).map { b =>
       val lo = b * 64 / nb
       val hi = (b + 1) * 64 / nb
@@ -535,7 +544,8 @@ object Multimodal {
     * key, id, 64-bit hash) only — never payloads. Returns
     * (a_id, b_id, hamming) with a_id < b_id. */
   def hammingEdgesWide(hashes: DataFrame, idCol: String, hashCol: String,
-                       maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
+                       maxHamming: Int, maxBucket: Int = 100000,
+                       preSpread: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "radius capped at 15: per-block enumeration beyond 3 flips blows up " +
         "— shrink the radius or move to bit-sampled sketches")
@@ -546,10 +556,12 @@ object Multimodal {
     // explode: its one-partition aggregation output would otherwise run
     // the whole enumeration + shuffle write in a single task (measured
     // 2–6 s per side at sf0.1) — a cheap round-robin shuffle of the
-    // input rows buys a 32-way explode
+    // input rows buys a 32-way explode. preSpread = false when the
+    // caller already hands a multi-partition AQE-exempt relation (see
+    // [[hammingEdges]]).
     val np0 = hashes.sparkSession.sessionState.conf.numShufflePartitions
-    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
-      .repartition(np0)
+    val h0 = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    val h = if (preSpread) h0.repartition(np0) else h0
     // the (block, mask) pairs ride ONE typedlit constant and the variant
     // key is per-row shift/xor algebra — building 4·V(16,f) struct
     // columns inline instead (the first cut) generated ~15k lines of
@@ -642,6 +654,42 @@ object Multimodal {
     math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt.max(1)
   }
 
+  private def combD(n: Int, k: Int): Double =
+    if (k < 0 || k > n) 0.0
+    else (1 to k).foldLeft(1.0)((acc, i) => acc * (n - k + i) / i)
+
+  /** Per-table collision probability of an `bits`-bit sample for a pair
+    * at EXACTLY Hamming distance `radius`, when the join probes the
+    * key's Hamming ball of radius `probe` (multiprobe, Lv et al. VLDB
+    * 2007): the pair collides iff at most `probe` of the sampled
+    * positions differ — hypergeometric sum
+    * Σ_{j<=probe} C(r,j)·C(64−r,s−j)/C(64,s). `probe = 0` equals the
+    * plain [[sketchRecall]] construction. */
+  def sketchCollisionP(radius: Int, bits: Int, probe: Int): Double =
+    (0 to probe).map(j =>
+      combD(radius, j) * combD(64 - radius, bits - j)).sum / combD(64, bits)
+
+  /** [[sketchRecall]] generalized to multiprobe: recall at exactly
+    * `radius` with `tables` tables each probed to key-distance `probe`.
+    * The coverage is EXACT by the split-enumeration midpoint argument
+    * (each join side emits its key's ≤⌈probe/2⌉-flip variants; two keys
+    * within `probe` always share a variant), so this closed form is the
+    * operator's true per-pair recall, not a bound. */
+  def sketchRecallMultiprobe(radius: Int, bits: Int, tables: Int,
+                             probe: Int): Double =
+    1.0 - math.pow(1.0 - sketchCollisionP(radius, bits, probe), tables)
+
+  /** Smallest multiprobe table count meeting `targetRecall` at `radius`
+    * — the probe-1 neighborhood multiplies per-table collision ~(1 +
+    * s·r/(64−r−s)) and probe-2 ~another C(r,2)-factor, cutting the
+    * table count ~6× / ~18× at s = 10, r = 18 vs probe 0. */
+  def sketchTablesForMultiprobe(radius: Int, bits: Int, targetRecall: Double,
+                                probe: Int): Int = {
+    val p = sketchCollisionP(radius, bits, probe)
+    require(p > 0, s"radius $radius with $bits sampled bits can never collide")
+    math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt.max(1)
+  }
+
   /** APPROXIMATE Hamming near-dup pairs for radii PAST 15 — where
     * [[hammingEdgesWide]]'s exact per-block enumeration ends (beyond 3
     * flips per block it blows up, and its own pigeonhole bound says no
@@ -673,8 +721,13 @@ object Multimodal {
   def hammingEdgesSketch(hashes: DataFrame, idCol: String, hashCol: String,
                          maxHamming: Int, bits: Int = 10, tables: Int = 110,
                          seed: String = "sketch",
-                         maxBucket: Int = 100000): DataFrame = {
+                         maxBucket: Int = 100000,
+                         preSpread: Boolean = true,
+                         probe: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63)
+    // probe <= 2 keeps the per-side enumeration at <= 1 flip (s+1
+    // variants); past that the variant volume erodes the table savings
+    require(probe >= 0 && probe <= 2, "multiprobe supports key-distance 0..2")
     val pos = sketchPositions(bits, tables, seed)
     // one packed long per table (6 bits per position, s <= 10 -> 60 bits)
     // rides a single typedlit — same codegen-volume discipline as the
@@ -683,22 +736,46 @@ object Multimodal {
       case (p, i) => p.toLong << (6 * i)
     }.reduce(_ | _))
     val np = hashes.sparkSession.sessionState.conf.numShufflePartitions
-    val h = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
-      .repartition(np) // pre-spread before the ×tables explode (see wide)
-    val keyed = h
+    val h0 = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    // pre-spread before the ×tables explode (see wide); false when the
+    // caller's relation is already multi-partition and AQE-exempt
+    val h = if (preSpread) h0.repartition(np) else h0
+    val base = h
       .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
       .select(col("id"), col("ph"), col("t"),
         expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
           (acc, i) -> acc * 2 +
             (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
-          .as("key"))
-      .repartition(np, col("t"), col("key"))
-      .localCheckpoint(true) // both join sides + the bucket guard
-    val ok = keyed.groupBy("t", "key").agg(count(lit(1)).as("n"))
+          .as("key0"))
+    // MULTIPROBE (Lv et al. 2007), split across the self-join's sides
+    // like the wide operator's enumeration: flipping sampled position i
+    // is flipping BIT i of the packed key — position-independent — so
+    // each side emits its key's <= f-flip variants from one tiny
+    // typedlit and two keys within `probe` always share a variant
+    // (midpoint). Collision becomes key-distance <= probe EXACTLY,
+    // which is what lets sketchRecallMultiprobe stay a closed form and
+    // the SQL oracle replay it as bit_count(xor & mask) <= probe.
+    def flips(f: Int): Array[Long] =
+      if (f == 0) Array(0L) else 0L +: Array.tabulate(bits)(1L << _)
+    def spread(fm: Array[Long]): DataFrame =
+      (if (fm.length == 1) base.select(col("id"), col("ph"), col("t"),
+        col("key0").as("key"))
+      else base.select(col("id"), col("ph"), col("t"), col("key0"),
+        explode(typedlit(fm)).as("fm"))
+        .select(col("id"), col("ph"), col("t"),
+          col("key0").bitwiseXOR(col("fm")).as("key")))
+        .repartition(np, col("t"), col("key"))
+        .localCheckpoint(true) // join side(s) + the bucket guard
+    val fa = probe / 2
+    val fb = probe - fa
+    val bSide = spread(flips(fb))
+    val aSide = if (fa == fb) bSide else spread(flips(fa))
+    val ok = bSide.groupBy("t", "key").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket).select("t", "key")
-    val kk = keyed.join(ok, Seq("t", "key"), "left_semi")
-    kk.select(col("t"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
-      .join(kk.select(col("t"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
+    val aa = aSide.join(ok, Seq("t", "key"), "left_semi")
+    val bb = if (fa == fb) aa else bSide.join(ok, Seq("t", "key"), "left_semi")
+    aa.select(col("t"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
+      .join(bb.select(col("t"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
         Seq("t", "key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "a_ph", "b_id", "b_ph").distinct()
@@ -715,8 +792,15 @@ object Multimodal {
     * their own singleton cluster. */
   def imageDupClusters(docs: DataFrame, idCol: String, payloadCol: String,
                        maxHamming: Int = 3, batchSize: Int = 64): DataFrame = {
+    // phash-keyed spread BEFORE the collapse — satisfies the groupBy's
+    // distribution, is AQE-coalesce-exempt, and parallelizes the band /
+    // variant / table explode downstream without the edge operators'
+    // round-robin pre-spread (preSpread = false): one fewer exchange
+    // per entry (see [[imageNearDupGraph]])
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val reps = imageHashes(docs, idCol, payloadCol, batchSize)
       .filter(col("is_image"))
+      .repartition(np, col("phash"))
       .groupBy("phash")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_exact"))
     // past the equality bands' radius-7 guarantee, route through the
@@ -724,9 +808,22 @@ object Multimodal {
     // bit-sampled sketches (approximate — recall per sketchRecall,
     // deterministic, every returned pair exact)
     val edges =
-      if (maxHamming <= 7) hammingEdges(reps, "doc_id", "phash", maxHamming)
-      else if (maxHamming <= 15) hammingEdgesWide(reps, "doc_id", "phash", maxHamming)
-      else hammingEdgesSketch(reps, "doc_id", "phash", maxHamming)
+      if (maxHamming <= 7)
+        hammingEdges(reps, "doc_id", "phash", maxHamming, preSpread = false)
+      else if (maxHamming <= 15)
+        hammingEdgesWide(reps, "doc_id", "phash", maxHamming, preSpread = false)
+      else
+        // probe-0 sketch, 110 tables — MEASURED choice (SketchAB, round
+        // 15, real 10× rep set: probe0/t110 5.5 s, probe1/t18 7.3 s,
+        // probe2/t6 11 s warm): multiprobe cuts t·n emission but
+        // inflates the bucket self-join by v_a·v_b/p-lift (≈7.8× at
+        // probe 2), and on near-dup image corpora the key mass is
+        // concentrated enough that candidates, not shuffle rows,
+        // dominate. Multiprobe stays a library capability
+        // (probe = 1|2 + sketchTablesForMultiprobe) for spread-key
+        // corpora where the emission term wins.
+        hammingEdgesSketch(reps, "doc_id", "phash", maxHamming,
+          preSpread = false)
     val comps = graft.operators.Dedup.connectedComponentsAuto(
       edges.select("a_id", "b_id"))
     reps.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -745,11 +842,21 @@ object Multimodal {
   def imageNearDupGraph(docs: DataFrame, idCol: String, payloadCol: String,
                         maxHamming: Int = 3, k: Int = 5,
                         batchSize: Int = 64): DataFrame = {
+    // phash-keyed spread BEFORE the collapse: satisfies the groupBy's
+    // required distribution (no second exchange for the agg), is exempt
+    // from AQE's coalesce (the round-13 single-task-explode pathology),
+    // and leaves the rep relation multi-partition — so the band explode
+    // downstream needs NO round-robin pre-spread (preSpread = false),
+    // one fewer exchange end to end. Raw hash rows are 24 bytes fixed
+    // width, so forgoing map-side combine on this exchange is noise.
+    val np = docs.sparkSession.sessionState.conf.numShufflePartitions
     val reps = imageHashes(docs, idCol, payloadCol, batchSize)
       .filter(col("is_image"))
+      .repartition(np, col("phash"))
       .groupBy("phash")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_exact"))
-    val g = hammingNearDupGraph(reps, "doc_id", "phash", maxHamming, k)
+    val g = hammingNearDupGraph(reps, "doc_id", "phash", maxHamming, k,
+      preSpread = false)
     val per = g.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("n_neighbors"),
         min(struct(col("hamming"), col("dst"))).as("__nn"))

@@ -3504,13 +3504,17 @@ object PipelineQueries {
     // of the 64 positions (seeded, deterministic); a pair is a candidate
     // iff some table's sampled bits ALL agree — equivalently
     // (xor(a,b) & table_mask) == 0 — which is exactly how the ORACLE
-    // replays it: the 110 position masks inline as BIGINT literals and
-    // the recursive CC walks the same (approximate BY DESIGN, but
-    // deterministic and replayable) edge set. Recall at exactly-18 is
-    // ~0.95 by the hypergeometric sizing (Multimodal.sketchRecall;
-    // HammingSketchSpec gates planted recall >= 0.95 and per-pair
-    // exactness); ORACLE-GREEN because approximate-but-deterministic
-    // still replays bit-for-bit.
+    // replays it (the 110 position masks inline as BIGINT literals,
+    // round 15 adds the maxBucket guard replay below). Recall at
+    // exactly-18 is ~0.95 by the hypergeometric sizing
+    // (Multimodal.sketchRecall; HammingSketchSpec gates planted recall
+    // >= 0.95 and per-pair exactness). MULTIPROBE (round 15) stays a
+    // library alternative — probe = 1|2 + sketchTablesForMultiprobe cut
+    // the table count 6x/18x at equal recall — but the SketchAB A/B on
+    // the real 10x rep set measured it SLOWER here (5.5 vs 7.3 vs 11 s
+    // for probe 0/1/2): near-dup image corpora concentrate key mass, so
+    // the bucket self-join's v_a·v_b variant inflation outweighs the
+    // t·n emission saving. The entry keeps the measured winner.
     "q_image_clusters_sketch" -> QueryDef(
       (s, d) => Multimodal.imageDupClusters(
         Multimodal.withPgmPayload(docs(s, d), "text", "payload"),

@@ -79,6 +79,21 @@ object StreamingQueries {
     // batches changes cost, never results (the batch-equivalence specs
     // pin this).
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // RocksDB state store (round 15): the default
+    // HDFSBackedStateStoreProvider keeps EVERY partition's state map in
+    // executor heap — fine at sf100 in one 128 GiB JVM, the ceiling at
+    // 100 TB with a realistic watermark horizon (q_stream_enrich's
+    // stream-stream join holds ~240M pairs of state at 100×). RocksDB
+    // spills state to local disk with a bounded block cache, so state
+    // size is bounded by disk, not heap; results are provider-invariant
+    // (same oracles — the driver gate re-certifies every entry) and
+    // changelog checkpointing keeps per-batch commit cost proportional
+    // to the delta, not a full SST upload per batch.
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     s2
   }
 

@@ -54,4 +54,40 @@ class BenchStabilitySpec extends AnyFunSuite {
         offenders.map { case (n, s) => f"$n=$s%.2f" }.mkString(", ") +
         " — reproduce with graft.RepeatDiag, fix or rerun on a quiet box")
   }
+
+  // A deterministic 1-in-5 slow mode is invisible to second-largest/median
+  // (spread 1.0): this gate reads the round-15 per-entry (min, median, max)
+  // triples and fails any SINGLE sample extreme enough that load noise is
+  // implausible even once in an interleaved suite — max/median > 4 with
+  // > 8 s of excess (the q_image_clusters_wide pathology was 26.5 s max on
+  // a 5.4 s median; the worst observed pure-noise excursion was ~3 s).
+  private val MaxSingleSpread = 4.0
+  private val MaxSingleExcessSec = 8.0
+
+  test("no committed bench entry hides an extreme single-sample excursion in its triple") {
+    val path = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    assert(java.nio.file.Files.exists(path), "BENCH_LOCAL.json missing")
+    val body = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val block = """"triples"\s*:\s*\{(.*?)\},"plans"""".r
+      .findFirstMatchIn(body).map(_.group(1))
+    assert(block.isDefined,
+      "no triples map in BENCH_LOCAL.json — rerun `sbt \"runMain graft.Bench\"` " +
+        "(the round-15 artifact schema carries [min, median, max] per entry)")
+    val triples = """"([^"]+)"\s*:\s*\[(-?[0-9.]+),(-?[0-9.]+),(-?[0-9.]+)\]""".r
+      .findAllMatchIn(block.get)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
+      .toMap
+    assert(triples.nonEmpty, "triples map empty")
+    val offenders = triples.toSeq
+      .filter { case (_, (_, med, max)) =>
+        med > 0 && max / med > MaxSingleSpread && max - med > MaxSingleExcessSec
+      }
+      .sortBy { case (_, (_, med, max)) => -(max / med) }
+    assert(offenders.isEmpty,
+      s"extreme single-sample excursions (max/median > $MaxSingleSpread with > " +
+        s"$MaxSingleExcessSec s excess): " +
+        offenders.map { case (n, (_, med, max)) => f"$n med=$med%.2f max=$max%.2f" }
+          .mkString(", ") +
+        " — a recurring 1-in-5 mode, reproduce with graft.RepeatDiag")
+  }
 }
