@@ -50,8 +50,8 @@ object PipelineQueries {
   private val UniSeed = 500 // unigram seed: multi-char inventory cap
   private val UniRounds = 3 // unigram hard-EM rounds
   private val UniVocab = 300 // unigram final vocab cap (multi-char)
-  private val CdcW = 16 // content-defined chunking: boundary gram width
-  private val CdcDiv = 64 // CDC divisor (expected chunk length, chars)
+  private[graft] val CdcW = 16 // content-defined chunking: boundary gram width
+  private[graft] val CdcDiv = 64 // CDC divisor (expected chunk length, chars)
   private val ParaTokens = 20 // paragraph budget for q_paragraph_dedup
   private[graft] val ClsDim = 4096 // hashed-feature buckets (q_quality_classifier + its stream twin)
   private val FitDim = 256 // hashed-feature buckets (q_classifier_fit)
@@ -339,6 +339,49 @@ object PipelineQueries {
            FROM marked GROUP BY doc_id)
          SELECT v.doc_id, v.n_frames, r.n_chunks, r.n_dup_chunks, r.dup_chars
          FROM vseq v JOIN rep r USING (doc_id)""").replaceAll("\\s+", " ")
+
+  /** q_stream_retention_chunks' oracle — the unrolled trajectory of the
+    * chunk-index retention feed: 4 NTILE batches by doc_id; batches 1-3
+    * ingest pre-retention, so finality (corpus-order-first) makes their
+    * accumulated reports EQUAL the from-scratch cdc marking over those
+    * docs; the post-batch-3 compaction retires every chunk hash whose
+    * first owner predates horizon = min + 2/5 of the id range (the
+    * exact [[graft.operators.Dedup.compactChunkIndexDropBefore]] rule,
+    * replayed as `own.owner >= h`); batch 4 then classifies against the
+    * RETAINED hash set plus itself — retired content re-founds. All of
+    * it is integer/md5 arithmetic both engines share. */
+  private[graft] lazy val retentionChunksOracle: String =
+    s"""WITH nt AS MATERIALIZED (SELECT doc_id, text,
+         NTILE(4) OVER (ORDER BY doc_id) AS bk FROM documents),
+       g AS (SELECT doc_id, i - 1 AS pos,
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), $CdcW)), 1, 15))::BIGINT AS h
+         FROM nt, UNNEST(range(1, len(text) - $CdcW + 2)) AS t(i)
+         WHERE len(text) >= $CdcW),
+       cuts AS (SELECT doc_id, 0 AS cut FROM nt WHERE len(text) > 0
+         UNION SELECT doc_id, pos FROM g WHERE h % $CdcDiv = 0
+         UNION SELECT doc_id, len(text) FROM nt WHERE len(text) > 0),
+       chb AS (SELECT doc_id, cut AS s,
+           LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e FROM cuts),
+       chunk AS MATERIALIZED (SELECT chb.doc_id, s, e - s AS clen,
+           md5(substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT))) AS ph, d.bk
+         FROM chb JOIN nt d ON d.doc_id = chb.doc_id WHERE e IS NOT NULL),
+       hz AS (SELECT MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) * 2 // 5 AS h
+         FROM documents),
+       m123 AS (SELECT doc_id, clen,
+           ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, s) = 1 AS keep
+         FROM chunk WHERE bk <= 3),
+       own AS (SELECT ph, MIN(doc_id) AS owner FROM chunk WHERE bk <= 3
+         GROUP BY ph),
+       ret AS (SELECT ph FROM own, hz WHERE owner >= h),
+       m4 AS (SELECT c.doc_id, c.clen,
+           (r.ph IS NULL AND
+             ROW_NUMBER() OVER (PARTITION BY c.ph ORDER BY c.doc_id, c.s) = 1) AS keep
+         FROM chunk c LEFT JOIN ret r ON c.ph = r.ph WHERE c.bk = 4),
+       allm AS (SELECT * FROM m123 UNION ALL SELECT * FROM m4)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dup_chunks,
+         CAST(COALESCE(SUM(clen) FILTER (WHERE NOT keep), 0) AS BIGINT) AS dup_chars
+       FROM allm GROUP BY doc_id""".replaceAll("\\s+", " ")
 
   /** The SQL replay of withPgmPayload + aHash8 for the synthetic P5
     * payloads (32×32 gray, 1 channel): gray byte at 0-based index i is

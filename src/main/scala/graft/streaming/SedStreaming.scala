@@ -631,6 +631,49 @@ object SedStreaming {
       .option("checkpointLocation", ckPath)
       .start()
 
+  /** TEXT CDC-chunk dedup AT INGEST over the persisted chunk index
+    * (Dedup.incrementalCdcDedup) — the text twin of
+    * [[streamingVideoDedup]], plus the RETENTION hook the split loop
+    * carries: each micro-batch chunk-classifies against the active
+    * generation plus itself, writes its per-doc report under
+    * `outPath/batch=<id>` (final at ingest — corpus-order-first), and
+    * every `compactEvery` batches the index compacts through a
+    * crash-safe generation swap; `retention(batchId)` > Long.MinValue
+    * turns that compaction into a dropBefore — chunk hashes owned
+    * before the horizon retire, their tombstones go durable under
+    * `outPath_tombstones/batch=<id>` BEFORE the swap commits, and
+    * later batches RE-FOUND returning content under fresh owners
+    * (ChunkSubstrRetentionSpec semantics, now under the driver gate
+    * via q_stream_retention_chunks). */
+  def streamingCdcDedup(docs: DataFrame, idCol: String, textCol: String,
+                        indexPath: String, outPath: String, ckPath: String,
+                        w: Int = 16, div: Int = 32, compactEvery: Int = 0,
+                        retention: Long => Long = _ => Long.MinValue)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = b.sparkSession
+        val active = graft.operators.GenIndex.active(s, indexPath)
+        graft.operators.Dedup.incrementalCdcDedup(
+            s, b.toDF(), idCol, textCol, active, w, div)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val horizon = retention(batchId)
+          graft.operators.GenIndex.compact(s, indexPath) { (src, dest) =>
+            if (horizon == Long.MinValue)
+              graft.operators.Dedup.compactChunkIndex(s, src, dest)
+            else
+              graft.operators.Dedup.compactChunkIndexDropBefore(
+                  s, src, dest, horizon)
+                .write.mode("overwrite")
+                .parquet(s"${outPath}_tombstones/batch=$batchId")
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", ckPath)
+      .start()
+
   /** Streaming EXACT-DEDUP ingest over the generation-maintained dedup
     * index (graft.operators.Dedup.dedupIndexIngest): each micro-batch is
     * classified against the ACTIVE generation (dup_corpus / dup_delta /

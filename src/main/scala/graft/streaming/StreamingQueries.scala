@@ -641,6 +641,41 @@ object StreamingQueries {
       graft.operators.GenIndex.active(s0, idxPath))
   }
 
+  /** TEXT CDC-chunk dedup at ingest WITH RETENTION (round 15): the
+    * documents table replays as FOUR NTILE batches through the chunk
+    * index loop (SedStreaming.streamingCdcDedup); the compaction after
+    * batch 3 (compactEvery = 3) runs as dropBefore(horizon) with
+    * horizon = min + 2/5 of the id range — chunk hashes first owned
+    * before it RETIRE (tombstones under _tombstones/batch=2), and
+    * batch 4 classifies against the retained index, RE-FOUNDING any
+    * returning retired content under fresh owners. ORACLE-ELIGIBLE:
+    * reports are final at ingest, the retire rule (first owner below
+    * the horizon) replays in SQL, and batch 4's classification is the
+    * retained-hash left-join — the unrolled trajectory
+    * (PipelineQueries.retentionChunksOracle). */
+  def streamRetentionChunks(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_retchunk_feed")
+    val docsDf = Tables.documents(s0, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val mm = docsDf.agg(min("doc_id"), max("doc_id")).first()
+    val horizon = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 5
+    SedStreaming.stageFileStreamNtile(docsDf, "doc_id", dir, chunks = 4)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val outPath = tmp("graft_retchunk_out")
+    val q = SedStreaming.streamingCdcDedup(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
+      tmp("graft_retchunk_idx"), outPath, tmp("graft_retchunk_ck"),
+      graft.sed.PipelineQueries.CdcW, graft.sed.PipelineQueries.CdcDiv,
+      compactEvery = 3,
+      retention = bid => if (bid == 2) horizon else Long.MinValue)
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
+    s0.read.parquet(outPath)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chars")
+  }
+
   /** Frame-sampled video dedup AT INGEST: the documents table's
     * synthetic payloads replayed as an ascending-id file feed into the
     * incremental chunk-index loop (SedStreaming.streamingVideoDedup) —
@@ -992,6 +1027,13 @@ object StreamingQueries {
     // clusters (max rep id >= horizon), retired docs resolve nothing.
     "q_stream_retention_split" -> QueryDef((s, d) => streamRetentionSplit(s, d),
       Some(graft.sed.PipelineQueries.retentionSplitOracle)),
+    // ORACLE-ELIGIBLE (round 15): chunk-index retention under the
+    // driver gate — the mid-feed compaction retires pre-horizon-owned
+    // chunk hashes, batch 4 classifies against the retained index
+    // (retired content re-founds); the oracle is the unrolled NTILE
+    // trajectory with the retire rule replayed in SQL.
+    "q_stream_retention_chunks" -> QueryDef((s, d) => streamRetentionChunks(s, d),
+      Some(graft.sed.PipelineQueries.retentionChunksOracle)),
     "q_stream_video_dedup" -> QueryDef((s, d) => streamVideoDedup(s, d),
       Some(graft.sed.PipelineQueries.videoCdcOracle)),
     "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),
