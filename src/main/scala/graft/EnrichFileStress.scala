@@ -38,6 +38,10 @@ object EnrichFileStress {
         "true")
       ()
     }
+    // A/B extra confs: SPARK_GRAFT_STRESS_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_STRESS_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sed.SedQueries.ensureConfs(spark)

@@ -187,33 +187,58 @@ object Ann {
 
   /** Nearest-centroid assignment of every corpus vector — map-only against
     * broadcast centroids; tie-break = lower centroid id (same rule as
-    * ivfTopK's inline assignment, so both paths bucket identically). */
+    * ivfTopK's inline assignment, so both paths bucket identically).
+    * Dispatches by k like [[clusterAssign]]: above [[AutoRouteK]]
+    * centroids the flat O(k·dim)-per-row scan routes through the
+    * EXACT-pruned cell walk ([[prunedBest]] — bit-equal by
+    * construction, AutoAssignSpec pins it), which is what keeps a
+    * 4096-bucket index ingest O((√k + scanned)·dim) per vector instead
+    * of the whole job (measured: the 100× streaming IVF ingest spent
+    * ~55 s PER BATCH brute-assigning 66k vectors against 4000
+    * centroids). */
   def assignBuckets(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[(Int, Array[Float])]): DataFrame = {
     val spark = corpus.sparkSession
-    val cB = spark.sparkContext.broadcast(
-      centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("bucket", IntegerType)))
-    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
-      it.map { row =>
-        val v = row.getSeq[Float](1).toArray
-        val nv = math.sqrt(dot(v, v))
-        // zero-norm → all cosines NaN → bucket -1 → the vector silently
-        // disappears from every probe-pruned search. Fail loudly instead.
-        require(nv > 0.0,
-          s"assignBuckets: zero-norm embedding at $idCol=${row.getLong(0)} — " +
-            "cosine assignment is undefined; filter zero vectors upstream")
-        var best = -2.0; var bestC = -1
-        cB.value.foreach { case (cid, cv, cn) =>
-          val c = dot(cv, v) / (cn * nv)
-          if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+    val rows =
+      if (centroids.length > AutoRouteK) {
+        val pcB = spark.sparkContext.broadcast(buildPrunedCells(centroids,
+          math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)))
+        corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+          val pc = pcB.value
+          it.map { row =>
+            val v = row.getSeq[Float](1).toArray
+            val nv = math.sqrt(dot(v, v))
+            require(nv > 0.0,
+              s"assignBuckets: zero-norm embedding at $idCol=${row.getLong(0)} — " +
+                "cosine assignment is undefined; filter zero vectors upstream")
+            Row(row.getLong(0), v.toSeq, prunedBest(pc, v, nv)._1)
+          }
         }
-        Row(row.getLong(0), v.toSeq, bestC)
+      } else {
+        val cB = spark.sparkContext.broadcast(
+          centroids.map { case (cid, v) => (cid, v, math.sqrt(dot(v, v))) })
+        corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+          it.map { row =>
+            val v = row.getSeq[Float](1).toArray
+            val nv = math.sqrt(dot(v, v))
+            // zero-norm → all cosines NaN → bucket -1 → the vector silently
+            // disappears from every probe-pruned search. Fail loudly instead.
+            require(nv > 0.0,
+              s"assignBuckets: zero-norm embedding at $idCol=${row.getLong(0)} — " +
+                "cosine assignment is undefined; filter zero vectors upstream")
+            var best = -2.0; var bestC = -1
+            cB.value.foreach { case (cid, cv, cn) =>
+              val c = dot(cv, v) / (cn * nv)
+              if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+            }
+            Row(row.getLong(0), v.toSeq, bestC)
+          }
+        }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -284,7 +309,15 @@ object Ann {
     * query batch that follows. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, centroids: Array[(Int, Array[Float])]): IvfIndex = {
+    // ONE file per bucket, not one per (task × bucket): without the
+    // bucket exchange a 32-task write into a k-bucket layout emits up
+    // to 32k files of a few rows each — at 4096 centroids that is file-
+    // system metadata churn dominating every later scan and swap
+    // (measured: the 100× ingest entry spent its ~174 s on exactly
+    // this). The exchange is batch-sized rows, trivial next to the
+    // write it shrinks.
     assignBuckets(corpus, idCol, vecCol, centroids)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeCentroidSidecar(corpus.sparkSession, path, centroids)
     IvfIndex(path, centroids)
@@ -328,7 +361,16 @@ object Ann {
       else newVecs.select(col(idCol), col(vecCol)).join(
         ivfScan(spark, index.path).select(col("vec_id").as(idCol)),
         Seq(idCol), "left_anti")
-    assignBuckets(batch, idCol, vecCol, index.centroids)
+    // spread the batch to FULL core parallelism before the CPU-heavy
+    // assignment: a file-source micro-batch arrives with as many
+    // partitions as source files (measured 4-5 at 100× — the per-batch
+    // assignment ran near-serial), and the exchange is batch-sized rows;
+    // then one file per TOUCHED bucket per append (see buildIvfIndex) —
+    // also what keeps compactIvfIndexPerBucket's file-count trigger
+    // meaningful
+    val np = math.max(1, spark.sparkContext.defaultParallelism)
+    assignBuckets(batch.repartition(np), idCol, vecCol, index.centroids)
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(index.path)
   }
 
@@ -1204,8 +1246,40 @@ object Ann {
   def clusterAssignPruned(corpus: DataFrame, idCol: String, vecCol: String,
                           centers: Array[(Int, Array[Float])],
                           cells: Int): DataFrame = {
-    require(cells >= 1 && centers.nonEmpty)
     val spark = corpus.sparkSession
+    val pcB = spark.sparkContext.broadcast(buildPrunedCells(centers, cells))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("cos", DoubleType)))
+    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
+      val pc = pcB.value
+      it.map { row =>
+        val v = row.getSeq[Float](1).toArray
+        val nv = math.sqrt(dot(v, v))
+        require(nv > 0.0,
+          s"clusterAssignPruned: zero-norm embedding at ${row.getLong(0)} — " +
+            "cosine assignment is undefined; filter zero vectors upstream")
+        val (bestC, best) = prunedBest(pc, v, nv)
+        Row(row.getLong(0), bestC, best)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Driver-precomputed routing structure behind the EXACT-pruned scans
+    * ([[clusterAssignPruned]] and the auto-routed [[assignBuckets]]):
+    * stride-sampled routing cells, members grouped by nearest cell, and
+    * each cell's max member angle inflated by 1e-7 rad so acos/cos
+    * rounding can only WIDEN the bound. */
+  private case class PrunedCells(
+      cellVecs: Array[Array[Float]], cellNorms: Array[Double],
+      grouped: Map[Int, Array[(Int, Array[Float], Double)]],
+      radius: Map[Int, Double])
+
+  private def buildPrunedCells(centers: Array[(Int, Array[Float])],
+                               cells: Int): PrunedCells = {
+    require(cells >= 1 && centers.nonEmpty)
     val sorted = centers.sortBy(_._1)
     val stride = math.max(1, sorted.length / cells)
     val cellVecs = sorted.indices.collect {
@@ -1228,52 +1302,42 @@ object Ann {
         math.acos(clamp1(dot(cellVecs(c), v) / (cellNorms(c) * nv)))
       }.max + 1e-7)
     }
-    val gB = spark.sparkContext.broadcast((grouped, radius))
-    val cellB = spark.sparkContext.broadcast((cellVecs, cellNorms))
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("cid", IntegerType),
-      StructField("cos", DoubleType)))
-    val rows = corpus.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { it =>
-      val (cv, cn) = cellB.value
-      val (groups, rad) = gB.value
-      it.map { row =>
-        val v = row.getSeq[Float](1).toArray
-        val nv = math.sqrt(dot(v, v))
-        require(nv > 0.0,
-          s"clusterAssignPruned: zero-norm embedding at ${row.getLong(0)} — " +
-            "cosine assignment is undefined; filter zero vectors upstream")
-        // descending routing cosine: the likeliest-winning cells scan
-        // first, raising `best` early so later bounds prune more
-        val order = cv.indices
-          .map(c => (dot(cv(c), v) / (cn(c) * nv), c))
-          .sortBy { case (cos, c) => (-cos, c) }
-        var best = -2.0; var bestC = -1
-        order.foreach { case (cellCos, cell) =>
-          groups.get(cell).foreach { cs =>
-            val bound = math.cos(math.max(0.0,
-              math.acos(clamp1(cellCos)) - rad(cell)))
-            // `bound` is capped at cos(0)=1.0 but member cosines are NOT
-            // clamped (bit-equality with the flat scan forbids it) and can
-            // exceed 1.0 by fp rounding when a row equals a center
-            // bitwise; compare against min(best, 1.0) so a cell holding an
-            // equal-cosine lower-cid duplicate center is never pruned by
-            // that excess
-            if (bound >= math.min(best, 1.0)) {
-              var i = 0
-              while (i < cs.length) {
-                val (cid, cvec, cnorm) = cs(i)
-                val c = dot(cvec, v) / (cnorm * nv)
-                if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
-                i += 1
-              }
-            }
+    PrunedCells(cellVecs, cellNorms, grouped, radius)
+  }
+
+  /** The per-row exact-pruned winner — BIT-EQUAL to the flat broadcast
+    * scan by construction (spherical triangle-inequality bound, same
+    * (cos DESC, cid) tie-break; see [[clusterAssignPruned]]'s scaladoc). */
+  private def prunedBest(pc: PrunedCells, v: Array[Float], nv: Double): (Int, Double) = {
+    // descending routing cosine: the likeliest-winning cells scan
+    // first, raising `best` early so later bounds prune more
+    val cv = pc.cellVecs; val cn = pc.cellNorms
+    val order = cv.indices
+      .map(c => (dot(cv(c), v) / (cn(c) * nv), c))
+      .sortBy { case (cos, c) => (-cos, c) }
+    var best = -2.0; var bestC = -1
+    order.foreach { case (cellCos, cell) =>
+      pc.grouped.get(cell).foreach { cs =>
+        val bound = math.cos(math.max(0.0,
+          math.acos(clamp1(cellCos)) - pc.radius(cell)))
+        // `bound` is capped at cos(0)=1.0 but member cosines are NOT
+        // clamped (bit-equality with the flat scan forbids it) and can
+        // exceed 1.0 by fp rounding when a row equals a center
+        // bitwise; compare against min(best, 1.0) so a cell holding an
+        // equal-cosine lower-cid duplicate center is never pruned by
+        // that excess
+        if (bound >= math.min(best, 1.0)) {
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cvec, cnorm) = cs(i)
+            val c = dot(cvec, v) / (cnorm * nv)
+            if (c > best || (c == best && cid < bestC)) { best = c; bestC = cid }
+            i += 1
           }
         }
-        Row(row.getLong(0), bestC, best)
       }
     }
-    spark.createDataFrame(rows, schema)
+    (bestC, best)
   }
 
   /** [[clusterAssign]] for center counts in the THOUSANDS — the
