@@ -158,8 +158,13 @@ object Bench {
     def spmap(minSpread: Double) = results
       .filter { case (_, _, s, _, _) => s >= minSpread }
       .map { case (k, _, s, _, _) => s"${q(k)}:${rd(s, 100)}" }.mkString("{", ",", "}")
-    // per-entry (min, median, max) triples — full-artifact only
+    // per-entry (min, median, max) triples — full-artifact only. Failed
+    // entries are OMITTED here (no [-1,-1,-1] sentinel): failure is
+    // already explicit twice below — the `failed` name list and -1.0 in
+    // `queries` — so a consumer summing or plotting triples never has to
+    // special-case a sentinel convention.
     val triples = results
+      .filter(_._2 >= 0)
       .map { case (k, m, _, lo, hi) =>
         s"${q(k)}:[${rd(lo, 10000)},${rd(m, 10000)},${rd(hi, 10000)}]" }
       .mkString("{", ",", "}")

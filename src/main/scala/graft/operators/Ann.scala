@@ -926,7 +926,13 @@ object Ann {
     * quiet file) instead of O(index size), so an in-loop generation swap
     * over a mostly-cold index costs what the hot buckets cost — the
     * whole-index rewrite made every swap proportional to the corpus,
-    * which at 100 TB is a scale-killer (VERDICT r14 #1). Content is
+    * which at 100 TB is a scale-killer (VERDICT r14 #1). FRESH-
+    * DESTINATION CONTRACT: `destPath` must differ from `index.path` and
+    * must not already contain bucket directories — the busy-bucket pass
+    * writes mode("append") and the quiet pass hard-links, so a dirty or
+    * self-targeted destination would silently duplicate rows or destroy
+    * the source mid-copy; both are checked loudly at entry (GenIndex
+    * generation dirs satisfy the contract by construction). Content is
     * bit-identical to [[compactIvfIndex]]'s output (same rows, same
     * files for quiet buckets; IvfGenSpec pins search equality and
     * quiet-file preservation); per-bucket file counts stay bounded by
@@ -939,6 +945,23 @@ object Ann {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcP = new org.apache.hadoop.fs.Path(index.path)
     val fs = srcP.getFileSystem(conf)
+    // fresh-destination contract (see scaladoc): resolved-path identity
+    // would append the index onto itself; a pre-populated dest would
+    // double rows through the append + link passes
+    def resolved(p: String) =
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(p))).toString
+    require(resolved(index.path) != resolved(destPath),
+      s"compactIvfIndexPerBucket: destPath must differ from index.path " +
+        s"(both resolve to ${resolved(destPath)}) — an append into the " +
+        "read path duplicates or destroys the index")
+    val destPre = new org.apache.hadoop.fs.Path(destPath)
+    require(!fs.exists(destPre) ||
+      fs.listStatus(destPre).forall(st =>
+        !(st.isDirectory && st.getPath.getName.startsWith("bucket="))),
+      s"compactIvfIndexPerBucket: destPath $destPath already contains " +
+        "bucket directories — per-bucket compaction requires a fresh " +
+        "generation directory (appends would duplicate rows)")
     val buckets: Array[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.Path])] =
       if (!fs.exists(srcP)) Array.empty
       else fs.listStatus(srcP).collect {

@@ -674,7 +674,10 @@ object Multimodal {
     * The coverage is EXACT by the split-enumeration midpoint argument
     * (each join side emits its key's ≤⌈probe/2⌉-flip variants; two keys
     * within `probe` always share a variant), so this closed form is the
-    * operator's true per-pair recall, not a bound. */
+    * operator's true per-pair recall, not a bound. Holds under the
+    * `maxBucket` guard too: the guard counts the 0-flip (true) key
+    * population — never the variant-expanded rows — so multiprobe
+    * does not change which buckets drop. */
   def sketchRecallMultiprobe(radius: Int, bits: Int, tables: Int,
                              probe: Int): Double =
     1.0 - math.pow(1.0 - sketchCollisionP(radius, bits, probe), tables)
@@ -714,8 +717,11 @@ object Multimodal {
     * (t / 2^bits) of all pairs (~11% at the defaults), so like the wide
     * operator this deploys at the REP level of a hierarchical pass
     * (exact collapse → radius-3 → wide → sketch across surviving reps),
-    * receipted by HammingBench. Buckets over `maxBucket` per
-    * (table, key) drop (degenerate-key guard); the shuffle carries
+    * receipted by HammingBench. Buckets whose TRUE (0-flip) key
+    * population exceeds `maxBucket` drop (degenerate-key guard — at
+    * probe >= 1 the guard counts base keys, not the variant-expanded
+    * join rows, so multiprobe never changes which buckets drop); the
+    * shuffle carries
     * (table, 10-bit key, id, hash) only. Returns (a_id, b_id, hamming)
     * with a_id < b_id. */
   def hammingEdgesSketch(hashes: DataFrame, idCol: String, hashCol: String,
@@ -757,23 +763,48 @@ object Multimodal {
     // the SQL oracle replay it as bit_count(xor & mask) <= probe.
     def flips(f: Int): Array[Long] =
       if (f == 0) Array(0L) else 0L +: Array.tabulate(bits)(1L << _)
+    // Degenerate-key guard on the TRUE (0-flip) key population. At
+    // probe >= 1 the spread rows are variant-expanded ~(bits+1)x, so
+    // counting THEM would drop buckets ~11x early and silently undercut
+    // sketchRecallMultiprobe in dense regions. Guard BEFORE the variant
+    // spread instead: a row whose (t, key0) base population exceeds
+    // maxBucket leaves that table entirely — variants included, because
+    // an oversized bucket's variants would otherwise just relocate the
+    // quadratic blowup into its <= bits neighbor buckets. Semantics
+    // match probe 0 per table ("pairs whose endpoint key is degenerate
+    // in table t drop from table t"), and every surviving bucket's join
+    // traffic is bounded by (bits+1)*maxBucket rows per side.
+    val fa = probe / 2
+    val fb = probe - fa
+    val guarded =
+      if (probe == 0) base
+      else {
+        val big = base.groupBy("t", "key0").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select("t", "key0")
+        base.join(big, Seq("t", "key0"), "left_anti")
+      }
     def spread(fm: Array[Long]): DataFrame =
-      (if (fm.length == 1) base.select(col("id"), col("ph"), col("t"),
+      (if (fm.length == 1) guarded.select(col("id"), col("ph"), col("t"),
         col("key0").as("key"))
-      else base.select(col("id"), col("ph"), col("t"), col("key0"),
+      else guarded.select(col("id"), col("ph"), col("t"), col("key0"),
         explode(typedlit(fm)).as("fm"))
         .select(col("id"), col("ph"), col("t"),
           col("key0").bitwiseXOR(col("fm")).as("key")))
         .repartition(np, col("t"), col("key"))
-        .localCheckpoint(true) // join side(s) + the bucket guard
-    val fa = probe / 2
-    val fb = probe - fa
+        .localCheckpoint(true) // join side(s) + the probe-0 bucket guard
     val bSide = spread(flips(fb))
     val aSide = if (fa == fb) bSide else spread(flips(fa))
-    val ok = bSide.groupBy("t", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select("t", "key")
-    val aa = aSide.join(ok, Seq("t", "key"), "left_semi")
-    val bb = if (fa == fb) aa else bSide.join(ok, Seq("t", "key"), "left_semi")
+    val (aa, bb) =
+      if (probe == 0) {
+        // at probe 0 the spread rows ARE the 0-flip rows — keep the
+        // checkpointed-side semi-join (identical semantics, no extra
+        // pass, and the contract entry's gated plan fingerprint stays
+        // byte-stable)
+        val ok = bSide.groupBy("t", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("t", "key")
+        val a2 = aSide.join(ok, Seq("t", "key"), "left_semi")
+        (a2, a2)
+      } else (aSide, bSide)
     aa.select(col("t"), col("key"), col("id").as("a_id"), col("ph").as("a_ph"))
       .join(bb.select(col("t"), col("key"), col("id").as("b_id"), col("ph").as("b_ph")),
         Seq("t", "key"))

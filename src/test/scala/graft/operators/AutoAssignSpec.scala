@@ -79,4 +79,27 @@ class AutoAssignSpec extends SparkSpecBase {
     assert(auto == brute)
     assert(auto == flat, "an extra never-winning center across the switch changed results")
   }
+
+  test("assignBuckets itself is bit-invariant across the switch point (ingest bucketing path)") {
+    // clusterAssign's switch is pinned above; assignBuckets has its OWN
+    // dispatch (the streaming IVF ingest path), so drive it directly:
+    // flat at k = AutoRouteK vs routed at k = AutoRouteK + 1 with a
+    // never-winning extra center must agree, and the routed output must
+    // equal the brute scan's winner
+    val anchors = (0 until 8).map(a => unit(400 + a))
+    val centersAt = Array.tabulate(Ann.AutoRouteK)(c =>
+      (c, jitter(anchors(c % 8), 6100 + c, 0.1f)))
+    val docs = corpus(200, anchors)
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val flat = buckets(Ann.assignBuckets(docs, "vec_id", "embedding", centersAt))
+    val far = unit(998).map(x => -x) // antipodal-ish: wins nothing here
+    val centersOver = centersAt :+ ((Ann.AutoRouteK, far))
+    val routed = buckets(Ann.assignBuckets(docs, "vec_id", "embedding", centersOver))
+    assert(routed == flat,
+      "an extra never-winning center across assignBuckets' switch changed buckets")
+    val brute = collect(Ann.clusterAssignBrute(docs, "vec_id", "embedding", centersOver))
+      .map { case (id, (cid, _)) => id -> cid }
+    assert(routed == brute)
+  }
 }

@@ -135,6 +135,32 @@ class HammingSketchSpec extends SparkSpecBase {
     ()
   }
 
+  test("multiprobe bucket guard counts TRUE key population, not variant-expanded rows") {
+    // 30 identical hashes + one planted pair: every table's bucket holds
+    // 30 base rows. At probe = 2 the variant explode inflates the JOIN
+    // rows to 30 x (bits+1) = 330 per bucket — counting those against
+    // maxBucket = 40 would have dropped every bucket (the pre-fix
+    // behavior); the true population 30 <= 40 must keep them, so the
+    // dense clique AND the planted pair must both come back.
+    val h = 0x5a5a5a5a5a5a5a5aL
+    val partner = h ^ 1L ^ (1L << 17) // distance 2 from the clique
+    val rows = (0 until 30).map(i => (i.toLong, h)) :+ ((99L, partner))
+    val df = rows.toDF("id", "ph")
+    val got = Multimodal.hammingEdgesSketch(df, "id", "ph", 18, 10, 6,
+      probe = 2, maxBucket = 40).as[(Long, Long, Long)].collect()
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // clique: all 30*29/2 distance-0 pairs survive
+    assert((for (a <- 0 until 30; b <- a + 1 until 30)
+      yield (a.toLong, b.toLong)).forall(pairs.contains))
+    // the planted distance-2 partner collides via some table (t = 6 at
+    // probe 2 gives recall >= 0.95 at r = 18; at r = 2 it is ~1)
+    assert((0 until 30).exists(a => pairs.contains((a.toLong, 99L))))
+    // and the guard still fires on TRUE oversize: population 30 > 20
+    val none = Multimodal.hammingEdgesSketch(df, "id", "ph", 18, 10, 6,
+      probe = 2, maxBucket = 20).as[(Long, Long, Long)].collect()
+    assert(none.isEmpty)
+  }
+
   test("imageDupClusters routes past radius 15 through the sketch and still clusters") {
     val docs = documents.limit(60)
     val out = Multimodal.imageDupClusters(

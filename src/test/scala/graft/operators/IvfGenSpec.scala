@@ -132,6 +132,31 @@ class IvfGenSpec extends SparkSpecBase {
     assert(search(root, qs) == search(scratch, qs))
   }
 
+  test("per-bucket compaction refuses a self-targeted or dirty destination (fresh-dest contract)") {
+    val root = freshRoot()
+    Ann.buildIvfIndex(vecs(0 until 40).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, centroids)
+    val idx = Ann.loadIvfIndex(spark, root)
+    // destPath == index.path: append into the read path would duplicate
+    // or destroy the index — must refuse before touching anything
+    val self = intercept[IllegalArgumentException] {
+      Ann.compactIvfIndexPerBucket(spark, idx, root)
+    }
+    assert(self.getMessage.contains("destPath must differ"))
+    // a destination that already holds bucket dirs: the append + link
+    // passes would silently double rows — must refuse
+    val dirty = freshRoot()
+    Ann.buildIvfIndex(vecs(50 until 60).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dirty, centroids)
+    val pre = intercept[IllegalArgumentException] {
+      Ann.compactIvfIndexPerBucket(spark, idx, dirty)
+    }
+    assert(pre.getMessage.contains("fresh"))
+    // and the refusals left both indexes untouched
+    val qs = vecs(200 until 203).toArray
+    assert(search(root, qs).nonEmpty)
+  }
+
   test("a half-written generation under the flat root neither breaks reads nor survives the sweep") {
     val root = freshRoot()
     Ann.buildIvfIndex(vecs(0 until 40).toDF("vec_id", "embedding"),
