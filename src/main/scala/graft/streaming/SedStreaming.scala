@@ -450,11 +450,22 @@ object SedStreaming {
     *    away already-indexed hashes, and duplicate text rows only fan
     *    out extension seeds that the operator's final `distinct`
     *    re-collapses (compaction reclaims the space at maintenance
-    *    cadence). */
+    *    cadence).
+    *
+    * RETENTION (round 16, completing the family): `retention(batchId)`
+    * > Long.MinValue turns that compaction into a dropBefore — anchors
+    * whose earliest occurrence predates the horizon retire, the text
+    * store physically drops pre-horizon docs, tombstones go durable
+    * under `${outPath}_tombstones/batch=<id>` BEFORE the swap commits,
+    * and later batches RE-FOUND returning retired content under fresh
+    * owners (ChunkSubstrRetentionSpec semantics; under the driver gate
+    * via q_stream_retention_substr). A horizon past every id leaves a
+    * readable empty store (writeTextsReadable's schema marker). */
   def streamingSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
                               indexPath: String, outPath: String, ckPath: String,
                               minLen: Int, k: Int = 16, w: Int = 25,
-                              compactEvery: Int = 0)
+                              compactEvery: Int = 0,
+                              retention: Long => Long = _ => Long.MinValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -485,9 +496,17 @@ object SedStreaming {
             delta, idCol, textCol, active, k, w)
         }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.operators.GenIndex.compact(s, indexPath)(
-            (src, dest) => graft.operators.Dedup.compactSubstringIndex(s, src, dest))
-        ()
+          val horizon = retention(batchId)
+          graft.operators.GenIndex.compact(s, indexPath) { (src, dest) =>
+            if (horizon == Long.MinValue)
+              graft.operators.Dedup.compactSubstringIndex(s, src, dest)
+            else
+              graft.operators.Dedup.compactSubstringIndexDropBefore(
+                  s, src, dest, horizon)
+                .write.mode("overwrite")
+                .parquet(s"${outPath}_tombstones/batch=$batchId")
+          }
+          ()
         }
       }
       .option("checkpointLocation", ckPath)

@@ -676,6 +676,45 @@ object StreamingQueries {
       .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chars")
   }
 
+  /** Substring-anchor dedup at ingest WITH RETENTION (round 16 — the
+    * last index family under the retention gate): the documents table
+    * replays as FOUR NTILE batches through the anchor-index loop
+    * (SedStreaming.streamingSubstringDedup); the compaction after
+    * batch 3 (compactEvery = 3) runs as dropBefore(horizon) with
+    * horizon = min + 2/5 of the id range — anchors first seen before it
+    * retire, the TEXT STORE physically drops pre-horizon docs,
+    * tombstones go durable under _tombstones/batch=2, and batch 4
+    * classifies against the retained index, RE-FOUNDING returning
+    * retired content under fresh owners. Rows-only BY DESIGN like
+    * q_stream_substring (the winnowed anchored path does not unroll in
+    * SQL); StreamingSubstrSpec's retention case pins the trajectory —
+    * per-era spans equal the from-scratch anchored operator, the
+    * retired-repeat doc provably re-founds, tombstones enumerate the
+    * forgotten anchors, and the retained text store holds exactly the
+    * post-horizon ids. */
+  def streamRetentionSubstr(s0: SparkSession, d: String): DataFrame = {
+    SedQueries.ensureConfs(s0)
+    val s = streamSession(s0)
+    val dir = tmp("graft_retsubstr_feed")
+    val docsDf = Tables.documents(s0, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val mm = docsDf.agg(min("doc_id"), max("doc_id")).first()
+    val horizon = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 5
+    SedStreaming.stageFileStreamNtile(docsDf, "doc_id", dir, chunks = 4)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val outPath = tmp("graft_retsubstr_out")
+    val q = SedStreaming.streamingSubstringDedup(
+      SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
+      tmp("graft_retsubstr_idx"), outPath, tmp("graft_retsubstr_ck"),
+      graft.sed.PipelineQueries.SubstrL,
+      compactEvery = 3,
+      retention = bid => if (bid == 2) horizon else Long.MinValue)
+    try { q.processAllAvailable(); recordPlan(q) } finally q.stop()
+    s0.read.parquet(outPath)
+      .select("doc_id", "span_id", "span_start", "span_end")
+  }
+
   /** Frame-sampled video dedup AT INGEST: the documents table's
     * synthetic payloads replayed as an ascending-id file feed into the
     * incremental chunk-index loop (SedStreaming.streamingVideoDedup) —
@@ -1034,6 +1073,13 @@ object StreamingQueries {
     // trajectory with the retire rule replayed in SQL.
     "q_stream_retention_chunks" -> QueryDef((s, d) => streamRetentionChunks(s, d),
       Some(graft.sed.PipelineQueries.retentionChunksOracle)),
+    // rows-only BY DESIGN (round 16): substring-index retention under
+    // the driver gate — mid-feed dropBefore retires anchors AND
+    // physically drops pre-horizon texts; the winnowed anchored spans
+    // don't unroll in SQL, so the trajectory is pinned by
+    // StreamingSubstrSpec's retention case instead.
+    "q_stream_retention_substr" -> QueryDef((s, d) => streamRetentionSubstr(s, d),
+      None),
     "q_stream_video_dedup" -> QueryDef((s, d) => streamVideoDedup(s, d),
       Some(graft.sed.PipelineQueries.videoCdcOracle)),
     "q_stream_blocklist" -> QueryDef((s, d) => streamBlocklist(s, d),

@@ -183,4 +183,41 @@ class ChunkSubstrRetentionSpec extends SparkSpecBase {
     assert(got == want)
     assert(got.contains(20L) && !got.contains(21L) && !got.contains(22L))
   }
+
+  test("empty-survivor horizon: retiring EVERY id leaves readable stores that accept later ingest") {
+    // the r15 latent bug: a horizon past every text id wrote an empty
+    // partitioned texts/ (just _SUCCESS) that the next read failed
+    // schema inference on — the marker in writeTextsReadable fixes it
+    val era1 = Seq((1L, blob(100)), (2L, blob(60) + blob(60)))
+    val idx = tmp("graft-substrempty")
+    Dedup.buildSubstringIndex(era1.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val dest = tmp("graft-substrempty-dst")
+    val tomb = Dedup.compactSubstringIndexDropBefore(spark, idx, dest, 100L)
+    assert(tomb.count() > 0, "fixture must actually retire anchors")
+    // the regression reads: both stores must stay readable at zero rows
+    assert(spark.read.parquet(s"$dest/texts").count() == 0)
+    assert(spark.read.parquet(s"$dest/anchors").count() == 0)
+    // and the emptied store still works as an index: classify + admit a
+    // fresh batch (repeating RETIRED content — re-founds, trims nothing),
+    // then the appended texts coexist with the schema marker
+    val batch = Seq((200L, era1.head._2), (201L, blob(90)))
+    val spans = Dedup.incrementalSubstringDedup(spark,
+      batch.toDF("doc_id", "text"), "doc_id", "text", dest, 40)
+    assert(spans.count() == 0, "retired content must re-found, not trim")
+    Dedup.appendToSubstringIndex(spark, batch.toDF("doc_id", "text"),
+      "doc_id", "text", dest)
+    assert(spark.read.parquet(s"$dest/texts")
+      .select("id").as[Long].collect().toSet == Set(200L, 201L))
+    // chunk family under the same all-retired horizon (non-partitioned
+    // store — must also stay readable and re-ingestable)
+    val cidx = tmp("graft-chunkempty")
+    Dedup.incrementalCdcDedup(spark, era1.toDF("doc_id", "text"),
+      "doc_id", "text", cidx, 16, 32).collect()
+    val cdest = tmp("graft-chunkempty-dst")
+    Dedup.compactChunkIndexDropBefore(spark, cidx, cdest, 100L).collect()
+    assert(spark.read.parquet(s"$cdest/chunks").count() == 0)
+    val creport = reports(Dedup.incrementalCdcDedup(spark,
+      batch.toDF("doc_id", "text"), "doc_id", "text", cdest, 16, 32))
+    assert(creport(200L)._2 == 0, "retired chunks must re-found as owners")
+  }
 }

@@ -122,4 +122,62 @@ class StreamingSubstrSpec extends SparkSpecBase {
     assert(late.map(_._1).toSet.intersect(got.keySet).nonEmpty,
       "the post-restart chunk must trim against pre-restart text")
   }
+
+  test("mid-feed retention: anchors+texts retire, tombstones go durable, returning retired content re-founds") {
+    // era-disjoint alphabets (a-m vs n-z) keep every 16-gram hash on one
+    // side of the horizon — horizon-clean by construction — except the
+    // deliberate straddler doc 15, which repeats RETIRED era-1 content
+    def textA(n: Int): String = (0 until n).map(_ => ('a' + rng.nextInt(13)).toChar).mkString
+    def textB(n: Int): String = (0 until n).map(_ => ('n' + rng.nextInt(13)).toChar).mkString
+    val sharedA = textA(80)
+    val sharedB = textB(80)
+    val era1 = Seq(
+      (1L, textA(50) + sharedA + textA(40)),
+      (2L, textA(30) + sharedA + textA(60)), // trims vs doc 1
+      (3L, textA(120)), (4L, textA(110)))
+    val era2 = Seq(
+      (11L, textB(30) + sharedB + textB(50)),
+      (12L, textB(130)),
+      (13L, sharedB + textB(90)),            // trims vs doc 11
+      (15L, sharedA + textB(50)),            // RETIRED content: must re-found
+      (16L, textB(100)))
+    val s = session()
+    val dir = Files.createTempDirectory("graft_sstr_ret_in").toString
+    val out = Files.createTempDirectory("graft_sstr_ret_out").toString
+    val idx = Files.createTempDirectory("graft_sstr_ret_idx").toString
+    // 4 single-file batches: era1 as bids 0-1, era2 as bids 2-3;
+    // compactEvery = 2 -> swaps after bid 1 (the dropBefore, horizon 11
+    // = everything ingested so far retires) and after bid 3 (plain)
+    (era1.grouped(2) ++ era2.grouped(3)).zipWithIndex
+      .foreach { case (c, i) => feed(s, dir, c.toSeq, i) }
+    val q = SedStreaming.streamingSubstringDedup(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+      "doc_id", "text", idx, out,
+      Files.createTempDirectory("graft_sstr_ret_ck").toString, 40,
+      compactEvery = 2,
+      retention = bid => if (bid == 1) 11L else Long.MinValue)
+    try q.processAllAvailable() finally q.stop()
+    val got = spansOf(spark.read.parquet(out))
+    // per-era spans equal the from-scratch anchored operator per era:
+    // era 1 ran before the horizon, era 2 entirely against the retained
+    // (emptied) index — the straddler finds nothing to trim against
+    assert(got.filter(_._1 <= 4L) == spansOf(Dedup.substringDedupAnchored(
+      era1.toDF("doc_id", "text"), "doc_id", "text", 40)))
+    assert(got.filter(_._1 >= 11L) == spansOf(Dedup.substringDedupAnchored(
+      era2.toDF("doc_id", "text"), "doc_id", "text", 40)))
+    // discriminating: WITHOUT retention the straddler would have trimmed
+    assert(spansOf(Dedup.substringDedupAnchored(
+      (era1 ++ era2).toDF("doc_id", "text"), "doc_id", "text", 40))
+      .contains(15L))
+    assert(!got.contains(15L), "retired content must re-found, not trim")
+    // tombstones durable before the swap committed, all pre-horizon
+    val tomb = spark.read.parquet(s"${out}_tombstones/batch=1")
+    assert(tomb.count() > 0)
+    assert(tomb.select(max("e_id")).as[Long].head() < 11L)
+    // the active generation's text store holds exactly the era-2 ids —
+    // era 1 physically left disk
+    val active = graft.operators.GenIndex.active(spark, idx)
+    assert(spark.read.parquet(s"$active/texts")
+      .select("id").as[Long].collect().toSet == era2.map(_._1).toSet)
+  }
 }
