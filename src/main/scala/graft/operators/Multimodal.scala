@@ -815,6 +815,136 @@ object Multimodal {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** ASYMMETRIC multiprobe Hamming LOOKUP — query-batch-vs-corpus, the
+    * INDEX shape where multiprobe finally wins (round 16; the SELF-join
+    * A/B in SketchAB measured it losing there — candidate volume
+    * dominates a near-dup-heavy self-join — so [[hammingEdgesSketch]]
+    * keeps probe 0 and THIS operator carries the probe): the corpus
+    * emits exactly ONE row per (table, key) per hash — no variants ever
+    * ride the big side — while each query emits its key's FULL
+    * ≤`probe`-flip ball (1 + s + C(s,2) = 56 variants at s = 10,
+    * probe = 2) on the small side only. A (query, corpus) pair collides
+    * iff some table's sampled positions differ in ≤ `probe` bits —
+    * the same exact key-distance semantics as the split-enumeration
+    * self-join, so [[sketchRecallMultiprobe]] is this operator's true
+    * per-pair recall and [[sketchTablesForMultiprobe]] its sizing dial:
+    * at radius 18 / 0.95 recall the corpus shuffles 6 rows per hash
+    * instead of probe-0's 110 — an 18× cut of the dominant (corpus
+    * emission) term that the variant ball never touches, because it
+    * multiplies only the |Q|-sized side (LookupAB receipts the win).
+    * Degenerate corpus buckets over `maxBucket` TRUE population drop
+    * (same guard semantics as the self-join). Everything returned is an
+    * exact verified pair, and the emitted set is a pure function of
+    * (inputs, seed, params) — replayable in SQL as
+    * `bit_count(xor(qh, ch) & table_mask) <= probe` over the inlined
+    * position masks, which is how q_image_query's oracle certifies it.
+    * Returns (query_id, match_id, hamming); self-pairs are returned
+    * (a query present in the corpus matches itself at 0) — callers
+    * filter by id. */
+  def hammingLookupSketch(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, hashCol: String,
+                          maxHamming: Int, bits: Int = 10, tables: Int = 6,
+                          seed: String = "sketch", probe: Int = 2,
+                          maxBucket: Int = 100000): DataFrame = {
+    val c = sketchKeyed(corpus, idCol, hashCol, bits, tables, seed)
+      .repartition(
+        corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("t"), col("key0"))
+      .localCheckpoint(true) // guard + join probe side share it
+    lookupJoin(c, queries, idCol, hashCol, maxHamming, bits, tables, seed,
+      probe, maxBucket)
+  }
+
+  /** One row per (table, sampled-key) per input hash — the relation both
+    * the inline lookup and the persisted index share. */
+  private def sketchKeyed(df: DataFrame, idCol: String, hashCol: String,
+                          bits: Int, tables: Int, seed: String): DataFrame = {
+    val packed: Array[Long] = sketchPositions(bits, tables, seed)
+      .map(_.zipWithIndex.map { case (p, i) => p.toLong << (6 * i) }.reduce(_ | _))
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+      .repartition(np) // pre-spread before the ×tables explode
+      .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
+      .select(col("id"), col("ph"), col("t"),
+        expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+          (acc, i) -> acc * 2 +
+            (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
+          .as("key0"))
+  }
+
+  /** The query-ball-vs-keyed-corpus join shared by [[hammingLookupSketch]]
+    * and [[hammingLookupIndexed]]. `corpusKeyed` carries
+    * (id, ph, t, key0). */
+  private def lookupJoin(corpusKeyed: DataFrame, queries: DataFrame,
+                         idCol: String, hashCol: String, maxHamming: Int,
+                         bits: Int, tables: Int, seed: String,
+                         probe: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63)
+    require(probe >= 0 && probe <= 2, "lookup multiprobe supports 0..2 flips")
+    // TRUE-population degenerate-key guard (only the corpus can be
+    // degenerate at scale; the query ball multiplies rows AFTER this)
+    val ok = corpusKeyed.groupBy("t", "key0").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("t", "key0")
+    val cOk = corpusKeyed.join(ok, Seq("t", "key0"), "left_semi")
+      .select(col("t"), col("key0").as("key"),
+        col("id").as("match_id"), col("ph").as("c_ph"))
+    // the query ball: XOR masks for every ≤probe-subset of the key bits
+    val ball: Array[Long] = {
+      val singles = Array.tabulate(bits)(1L << _)
+      val pairs = for {
+        i <- 0 until bits; j <- (i + 1) until bits
+      } yield (1L << i) | (1L << j)
+      probe match {
+        case 0 => Array(0L)
+        case 1 => 0L +: singles
+        case _ => (0L +: singles) ++ pairs
+      }
+    }
+    val qv = sketchKeyed(queries, idCol, hashCol, bits, tables, seed)
+      .select(col("id").as("query_id"), col("ph").as("q_ph"), col("t"),
+        col("key0"), explode(typedlit(ball)).as("fm"))
+      .select(col("query_id"), col("q_ph"), col("t"),
+        col("key0").bitwiseXOR(col("fm")).as("key"))
+    qv.join(cOk, Seq("t", "key"))
+      .filter(expr("bit_count(q_ph ^ c_ph)") <= maxHamming)
+      .select("query_id", "match_id", "q_ph", "c_ph").distinct()
+      .withColumn("hamming", expr("bit_count(q_ph ^ c_ph)").cast("long"))
+      .select("query_id", "match_id", "hamming")
+  }
+
+  /** PERSIST the lookup corpus as a sketch index — where the asymmetric
+    * multiprobe sizing is a pure, config-independent win: the index
+    * holds `tables` rows per hash, so probe-2 sizing (6 tables at 0.95
+    * recall / radius 18) writes, stores, and — at query time — SCANS
+    * 18× less than probe-0's 110 tables. At 100 TB the index artifact
+    * IS the cost of this shape (build I/O, disk, per-query scan);
+    * LookupAB receipts bytes + build + indexed-query wall side by side.
+    * Layout: parquet (id, ph, t, key0) exchanged once on (t, key0) so
+    * each bucket lands contiguously; readers re-shuffle only the tiny
+    * query side. */
+  def buildHammingSketchIndex(corpus: DataFrame, idCol: String,
+                              hashCol: String, path: String,
+                              bits: Int = 10, tables: Int = 6,
+                              seed: String = "sketch"): Unit =
+    sketchKeyed(corpus, idCol, hashCol, bits, tables, seed)
+      .repartition(
+        corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("t"), col("key0"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Probe a query batch against a [[buildHammingSketchIndex]] artifact.
+    * (bits, tables, seed, probe) must match the build's sizing —
+    * results are then identical to [[hammingLookupSketch]] on the same
+    * corpus (the spec pins it). */
+  def hammingLookupIndexed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame,
+                           idCol: String, hashCol: String,
+                           maxHamming: Int, bits: Int = 10, tables: Int = 6,
+                           seed: String = "sketch", probe: Int = 2,
+                           maxBucket: Int = 100000): DataFrame =
+    lookupJoin(spark.read.parquet(path), queries, idCol, hashCol,
+      maxHamming, bits, tables, seed, probe, maxBucket)
+
   /** Image near-dup CLUSTERS — the q_dedup_clusters shape in the image
     * domain: decode → aHash → exact collapse → [[hammingEdges]] within
     * `maxHamming` → connected components (min-label) → one row per

@@ -3606,6 +3606,69 @@ object PipelineQueries {
         GROUP BY 1""".replaceAll("\\s+", " ")
       }),
 
+    // ASYMMETRIC-multiprobe image LOOKUP through a PERSISTED sketch
+    // index (round 16): every 10th image rep probes the rep corpus for
+    // matches within Hamming 18. The corpus persists as ONE row per
+    // (table, key) per hash across only t =
+    // sketchTablesForMultiprobe(18, 10, 0.95, 2) = 6 tables, and each
+    // query emits its key's ≤2-flip ball (56 variants) on the small
+    // side only — at equal 0.95 recall the INDEX ARTIFACT is the win
+    // (LookupAB on the 10× rep set: 11.4× fewer bytes, 3× faster build,
+    // indexed-query wall 1.07 vs 1.35 s against probe-0's 110 tables);
+    // the inline self-join keeps probe 0 where SketchAB measured
+    // candidates dominating. ORACLE-GREEN: collision is EXACTLY
+    // bit_count(xor & table_mask) <= 2 over the 6 inlined position
+    // masks, corpus-side maxBucket guard replayed structurally like
+    // q_image_clusters_sketch (HammingSketchSpec pins indexed == inline
+    // == the driver-side mask replay).
+    "q_image_query" -> QueryDef(
+      (s, d) => {
+        val reps = Multimodal.imageHashes(
+            Multimodal.withPgmPayload(docs(s, d), "text", "payload"),
+            "doc_id", "payload")
+          .filter(col("is_image"))
+          .groupBy("phash").agg(min("doc_id").as("doc_id"))
+          .localCheckpoint(true) // feeds the index build AND the queries
+        val t2 = Multimodal.sketchTablesForMultiprobe(18, 10, 0.95, 2)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_imgq_idx").toString + "/idx"
+        Multimodal.buildHammingSketchIndex(reps, "doc_id", "phash", idx,
+          10, t2, "sketch")
+        Multimodal.hammingLookupIndexed(s, idx,
+            reps.filter(col("doc_id") % 10 === 0),
+            "doc_id", "phash", maxHamming = 18, bits = 10, tables = t2,
+            probe = 2)
+          .filter(col("query_id") =!= col("match_id"))
+      },
+      Some {
+        val t = Multimodal.sketchTablesForMultiprobe(18, 10, 0.95, 2)
+        val vals = Multimodal.sketchPositions(10, t, "sketch")
+          .map(_.map(p => 1L << p).reduce(_ | _))
+          .zipWithIndex
+          .map { case (m, i) => s"($i, CAST($m AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH $imageHashCtes,
+        reps AS MATERIALIZED (SELECT phash, MIN(doc_id) AS doc_id
+          FROM ihash GROUP BY phash),
+        masks(t, m) AS (VALUES $vals),
+        keyed AS MATERIALIZED (SELECT r.doc_id, r.phash, mk.t AS t,
+            r.phash & mk.m AS kb
+          FROM reps r CROSS JOIN masks mk),
+        ok AS (SELECT t, kb FROM keyed GROUP BY t, kb
+          HAVING COUNT(*) <= 100000),
+        kk AS (SELECT k.doc_id, k.phash, k.t FROM keyed k
+          JOIN ok ON k.t = ok.t AND k.kb = ok.kb),
+        e AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS match_id,
+            CAST(bit_count(xor(q.phash, c.phash)) AS BIGINT) AS hamming
+          FROM reps q
+          JOIN kk c ON bit_count(xor(q.phash, c.phash)
+              & (SELECT m FROM masks WHERE masks.t = c.t)) <= 2
+          WHERE q.doc_id % 10 = 0
+            AND bit_count(xor(q.phash, c.phash)) <= 18)
+        SELECT query_id, match_id, hamming FROM e
+        WHERE query_id != match_id""".replaceAll("\\s+", " ")
+      }),
+
     // Frame-sampled video dedup through the CDC chunker (round 12): each
     // video's sampled-frame hash tokens concatenate in frame order and
     // content-defined chunking runs over THAT sequence — shared clips

@@ -161,6 +161,52 @@ class HammingSketchSpec extends SparkSpecBase {
     assert(none.isEmpty)
   }
 
+  test("asymmetric lookup: planted recall clears 0.95 at the probe-2 table count; exact, deterministic, self-pairs returned") {
+    val n = 250
+    val rows = planted(n, R)
+    val df = rows.toDF("id", "ph")
+    // queries = the even ids (bases + half the fillers) — the corpus
+    // stays the full set, so every planted base should find its partner
+    val qrows = rows.filter(_._1 % 2 == 0)
+    val t = Multimodal.sketchTablesForMultiprobe(R, 10, 0.95, 2)
+    val got = Multimodal.hammingLookupSketch(df, qrows.toDF("id", "ph"),
+      "id", "ph", R, 10, t, probe = 2).as[(Long, Long, Long)].collect()
+    val byId = rows.toMap
+    val qIds = qrows.map(_._1).toSet
+    got.foreach { case (q, c, hd) =>
+      assert(qIds.contains(q), s"non-query id $q on the query side")
+      assert(java.lang.Long.bitCount(byId(q) ^ byId(c)) == hd && hd <= R)
+    }
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    // every query matches itself at distance 0 (ball contains 0 flips)
+    assert(qIds.forall(q => gotSet.contains((q, q))))
+    val hit = (0 until n).count(k => gotSet.contains((2L * k, 2L * k + 1)))
+    assert(hit >= math.ceil(0.95 * n).toInt,
+      s"planted lookup recall ${hit.toDouble / n} below 0.95 with $t tables")
+    val again = Multimodal.hammingLookupSketch(df, qrows.toDF("id", "ph"),
+      "id", "ph", R, 10, t, probe = 2)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(again == gotSet)
+    // and the emitted set equals the driver-side replay of "some table's
+    // sampled bits differ in <= 2 positions" — the oracle's exact rule
+    val masks = Multimodal.sketchPositions(10, t, "sketch")
+      .map(_.map(p => 1L << p).reduce(_ | _))
+    val expect = (for {
+      (q, hq) <- qrows; (c, hc) <- rows
+      if java.lang.Long.bitCount(hq ^ hc) <= R
+      if masks.exists(m => java.lang.Long.bitCount((hq ^ hc) & m) <= 2)
+    } yield (q, c)).toSet
+    assert(gotSet == expect)
+    // the persisted-index path returns the identical set
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-lkidx").toString + "/idx"
+    Multimodal.buildHammingSketchIndex(df, "id", "ph", idxPath, 10, t, "sketch")
+    val viaIdx = Multimodal.hammingLookupIndexed(spark, idxPath,
+      qrows.toDF("id", "ph"), "id", "ph", R, 10, t, probe = 2)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(viaIdx == gotSet)
+  }
+
   test("imageDupClusters routes past radius 15 through the sketch and still clusters") {
     val docs = documents.limit(60)
     val out = Multimodal.imageDupClusters(
