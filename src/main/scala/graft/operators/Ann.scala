@@ -902,7 +902,7 @@ object Ann {
     * index part files are immutable once written — appends always create
     * NEW files, so a linked inode is never mutated under the new
     * generation. */
-  private def linkOrCopyFile(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def linkOrCopyFile(fs: org.apache.hadoop.fs.FileSystem,
                              src: org.apache.hadoop.fs.Path,
                              dst: org.apache.hadoop.fs.Path,
                              conf: org.apache.hadoop.conf.Configuration): Unit = {

@@ -878,6 +878,228 @@ object Dedup {
     copyIngestMarker(spark, path, destPath)
   }
 
+  // ---------------------------------------------------------------------
+  // Churn-proportional (LSM delta) compaction for the LSH index families
+  // ---------------------------------------------------------------------
+
+  /** Manifest of the part files a delta compaction wrote per table — the
+    * next swap's quiet/busy oracle. JSON {table: [names...]}. */
+  private val CompactManifest = "_compacted_files.json"
+
+  private def partFilesOf(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).collect {
+      case st if st.isFile && st.getPath.getName.startsWith("part-") =>
+        st.getPath.getName
+    }.toSeq.sorted
+
+  private def readCompactManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String): Map[String, Set[String]] = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/$CompactManifest")
+    if (!fs.exists(mp)) Map.empty
+    else {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      // flat {"table":["f1","f2"],...} — names never contain quotes
+      "\"([^\"]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r.findAllMatchIn(txt).map { m =>
+        m.group(1) -> "\"([^\"]+)\"".r.findAllMatchIn(m.group(2))
+          .map(_.group(1)).toSet
+      }.toMap
+    }
+  }
+
+  private def writeCompactManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String,
+                                   m: Map[String, Seq[String]]): Unit = {
+    val body = m.toSeq.sortBy(_._1).map { case (t, fsq) =>
+      "\"" + t + "\":[" + fsq.sorted.map("\"" + _ + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/$CompactManifest"), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** One table's move under delta compaction. Returns (action taken
+    * ("link" | "delta" | "full"), dest file list, new tier count) for
+    * the manifest. `tiers` counts delta swaps since the last full
+    * rewrite — at `fullRewriteOver` the table escalates to `full`,
+    * which re-bases the manifest and resets the counter (bounding file
+    * growth at base + fullRewriteOver, since each delta swap adds one
+    * folded file). `fold` is the table's within-delta debris collapse
+    * (exact-duplicate rows from crash replays — replays re-append
+    * within the same swap interval, so duplicates never straddle the
+    * base/delta boundary); `full` is the table's whole semantic
+    * rewrite. */
+  private def moveTableDelta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, destPath: String, table: String,
+                             base: Set[String], tiers: Int,
+                             fullRewriteOver: Int,
+                             fold: DataFrame => DataFrame,
+                             full: () => Unit): (String, Seq[String], Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcDir = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = srcDir.getFileSystem(conf)
+    val current = partFilesOf(fs, srcDir)
+    val deltaNames = current.filterNot(base.contains)
+    val destDir = new org.apache.hadoop.fs.Path(s"$destPath/$table")
+    if ((deltaNames.nonEmpty && tiers >= fullRewriteOver) ||
+        base.exists(b => !current.contains(b)) ||
+        (base.isEmpty && current.nonEmpty)) {
+      // tier budget spent, a manifest referencing vanished files
+      // (foreign interference), or no manifest base yet (first
+      // compaction of a legacy index — the whole table IS the delta,
+      // and the full rewrite both caps it and re-bases the manifest):
+      // escalate to the full semantic rewrite
+      full()
+      ("full", partFilesOf(fs, destDir), 0)
+    } else if (deltaNames.isEmpty) {
+      fs.mkdirs(destDir)
+      current.foreach(n => Ann.linkOrCopyFile(fs,
+        new org.apache.hadoop.fs.Path(srcDir, n),
+        new org.apache.hadoop.fs.Path(destDir, n), conf))
+      ("link", current, tiers)
+    } else {
+      fs.mkdirs(destDir)
+      val baseNames = current.filter(base.contains)
+      baseNames.foreach(n => Ann.linkOrCopyFile(fs,
+        new org.apache.hadoop.fs.Path(srcDir, n),
+        new org.apache.hadoop.fs.Path(destDir, n), conf))
+      // fold the delta tier alone and land it as ONE fresh part file
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$destPath/.${table}_delta_tmp")
+      fold(spark.read.parquet(
+          deltaNames.map(n => new org.apache.hadoop.fs.Path(srcDir, n).toString): _*))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // part names embed a fresh write-job UUID — never collide with
+      // the linked base names
+      val renamed = partFilesOf(fs, tmp).map { n =>
+        fs.rename(new org.apache.hadoop.fs.Path(tmp, n),
+          new org.apache.hadoop.fs.Path(destDir, n))
+        n
+      }
+      fs.delete(tmp, true)
+      ("delta", baseNames ++ renamed, tiers + 1)
+    }
+  }
+
+  /** CHURN-PROPORTIONAL compaction for the exact+near dedup index — the
+    * LSH-family answer to [[Ann.compactIvfIndexPerBucket]] (VERDICT r15
+    * task: "per-bucket compaction for the band tables"). The IVF
+    * template (link quiet bucket DIRS) does NOT transfer: band keys are
+    * minhashes, so appends HASH-SPREAD across the key space and every
+    * key-partition would be busy every swap — for LSH tables the churn
+    * axis is TIME (append tiers), not KEY. So this compacts LSM-style:
+    * each table's files recorded by the last compaction (the manifest)
+    * are its BASE tier and move by hard link (O(metadata), never a
+    * Spark job); files appended since are the DELTA tier, folded alone
+    * (within-delta debris distinct — crash replays re-append within one
+    * swap interval, so duplicates never straddle the boundary) and
+    * landed as one fresh file, O(churn). A table whose tier count
+    * exceeds `fullRewriteOver` escalates to [[compactDedupIndex]]'s
+    * whole rewrite for that table (re-applying the band bucket cap),
+    * which re-bases the manifest — classic tiered compaction, amortized
+    * O(corpus/fullRewriteOver) per swap. Readers are invariant to the
+    * deferral by construction: the candidate distinct absorbs linked
+    * debris, the probe cap is applied at classify time
+    * (countDistinct per matched (band, key)), and min-resolution folds
+    * label/owner history — the same contracts that make APPENDS safe.
+    * Zero-churn swap = pure links + a manifest write. Returns
+    * (table → action) for receipts; BandCompactBench prices it. */
+  def compactDedupIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, destPath: String,
+                             maxBucket: Int = 10000,
+                             fullRewriteOver: Int = 16): Map[String, String] = {
+    requireDistinctPaths(spark, path, destPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val manifest = readCompactManifest(fs, path)
+    val actions = Seq(
+      ("hashes", (d: DataFrame) =>
+        d.groupBy("content_hash").agg(min("keeper").as("keeper")),
+        () => spark.read.parquet(s"$path/hashes")
+          .groupBy("content_hash").agg(min("keeper").as("keeper"))
+          .write.mode("overwrite").parquet(s"$destPath/hashes")),
+      ("bands", (d: DataFrame) => d.distinct(),
+        () => {
+          val bands = spark.read.parquet(s"$path/bands").distinct()
+            .localCheckpoint(true)
+          val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+            .filter(col("n") <= maxBucket).select("band", "key")
+          bands.join(ok, Seq("band", "key"), "left_semi")
+            .repartition(col("key"))
+            .write.mode("overwrite").parquet(s"$destPath/bands")
+        }),
+      ("shingles", (d: DataFrame) =>
+        d.groupBy("keeper").agg(first("sh").as("sh")),
+        () => spark.read.parquet(s"$path/shingles")
+          .groupBy("keeper").agg(first("sh").as("sh"))
+          .write.mode("overwrite").parquet(s"$destPath/shingles"))
+    ).map { case (t, fold, full) =>
+      val (act, files, tiers) = moveTableDelta(spark, path, destPath, t,
+        manifest.getOrElse(t, Set.empty),
+        manifest.getOrElse(s"$t#tiers", Set.empty)
+          .headOption.map(_.toInt).getOrElse(0),
+        fullRewriteOver, fold, full)
+      (t, act, files, tiers)
+    }
+    writeCompactManifest(fs, destPath,
+      actions.flatMap { case (t, _, f, tiers) =>
+        Seq(t -> f, s"$t#tiers" -> Seq(tiers.toString)) }.toMap)
+    copyIngestMarker(spark, path, destPath)
+    actions.map { case (t, a, _, _) => t -> a }.toMap
+  }
+
+  /** [[compactDedupIndexDelta]] for the SPLIT index (adds the clusters
+    * label-history table, whose delta fold is a plain distinct — the
+    * read path min-resolves labels, so stale base rows are inert until
+    * the next full rewrite folds them). */
+  def compactSplitIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, destPath: String,
+                             maxBucket: Int = 10000,
+                             fullRewriteOver: Int = 16): Map[String, String] = {
+    requireDistinctPaths(spark, path, destPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val manifest = readCompactManifest(fs, path)
+    val actions = Seq(
+      ("clusters", (d: DataFrame) => d.distinct(),
+        () => spark.read.parquet(s"$path/clusters")
+          .groupBy("keeper").agg(min("label").as("label"))
+          .write.mode("overwrite").parquet(s"$destPath/clusters")),
+      ("bands", (d: DataFrame) => d.distinct(),
+        () => {
+          val sBands = spark.read.parquet(s"$path/bands").distinct()
+            .localCheckpoint(true)
+          val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") <= maxBucket).select("band", "key")
+          sBands.join(sOk, Seq("band", "key"), "left_semi")
+            .write.mode("overwrite").parquet(s"$destPath/bands")
+        }),
+      ("shingles", (d: DataFrame) =>
+        d.groupBy("keeper").agg(first("sh").as("sh")),
+        () => spark.read.parquet(s"$path/shingles")
+          .groupBy("keeper").agg(first("sh").as("sh"))
+          .write.mode("overwrite").parquet(s"$destPath/shingles")),
+      ("hashes", (d: DataFrame) => d.distinct(),
+        () => spark.read.parquet(s"$path/hashes").distinct()
+          .write.mode("overwrite").parquet(s"$destPath/hashes"))
+    ).map { case (t, fold, full) =>
+      val (act, files, tiers) = moveTableDelta(spark, path, destPath, t,
+        manifest.getOrElse(t, Set.empty),
+        manifest.getOrElse(s"$t#tiers", Set.empty)
+          .headOption.map(_.toInt).getOrElse(0),
+        fullRewriteOver, fold, full)
+      (t, act, files, tiers)
+    }
+    writeCompactManifest(fs, destPath,
+      actions.flatMap { case (t, _, f, tiers) =>
+        Seq(t -> f, s"$t#tiers" -> Seq(tiers.toString)) }.toMap)
+    copyIngestMarker(spark, path, destPath)
+    actions.map { case (t, a, _, _) => t -> a }.toMap
+  }
+
   /** One classify-and-admit step of the exact-dedup ingestion loop over
     * a GENERATION-MAINTAINED index root — [[incrementalDedup]] +
     * [[appendToDedupIndex]] against the ACTIVE generation
@@ -936,8 +1158,12 @@ object Dedup {
     appendToDedupIndex(delta, classified, idCol, textCol, active,
       numHashes, rowsPerBand, shingleN)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      // in-loop swaps are churn-proportional (round 16): base tiers
+      // hard-link, only the files appended since the last swap fold;
+      // the whole rewrite still runs when tier count crosses the
+      // escalation threshold (and on the first, manifest-less swap)
       GenIndex.compact(spark, root)((src, dest) =>
-        compactDedupIndex(spark, src, dest, maxBucket))
+        compactDedupIndexDelta(spark, src, dest, maxBucket))
       ()
     }
     classified

@@ -597,7 +597,10 @@ object SedStreaming {
           val horizon = retention(batchId)
           graft.operators.GenIndex.compact(s, indexPath) { (src, dest) =>
             if (horizon == Long.MinValue)
-              graft.operators.Dedup.compactSplitIndex(s, src, dest, maxBucket)
+              // churn-proportional: base tiers link, delta tier folds
+              // (round 16); retention swaps stay whole-rewrite — a
+              // horizon filter must visit every row anyway
+              graft.operators.Dedup.compactSplitIndexDelta(s, src, dest, maxBucket)
             else
               graft.operators.Dedup.compactSplitIndexDropBefore(
                   s, src, dest, horizon, maxBucket)
