@@ -92,7 +92,14 @@ object Bench {
     // warmup rounds: 1 by default; 0 for one-shot scale-stress runs where
     // a second full pass would double a very long job
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    // optional comma-separated name filter (SPARK_GRAFT_BENCH_ONLY) for
+    // targeted re-measurement — e.g. the 100x tail at runs >= 3; the
+    // emitted artifact then covers only the filtered entries and must
+    // not be committed as a full BENCH_LOCAL.json
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = names.map(_ -> Array.fill(runs)(-1.0)).toMap
     // plan-stability fingerprints (round 12): hashed from the final
     // measured round's already-planned DataFrame (free — sparkPlan is
@@ -186,7 +193,9 @@ object Bench {
     // per-query-map-free summary the driver can always parse; the
     // detail lives in the committed BENCH_LOCAL.json
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"n":${results.length},$env}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // a filtered run must never masquerade as the committed full artifact
+    val artifact = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()

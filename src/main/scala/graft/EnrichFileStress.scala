@@ -24,9 +24,12 @@ object EnrichFileStress {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val provider = args.lift(2).getOrElse("rocksdb")
+    // state partitions — the contract entry runs StatePartitions/2 = 4;
+    // the stress default stays 32 (the r15 receipt's config)
+    val partitions = args.lift(3).map(_.toInt).getOrElse(32)
     val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -104,8 +107,35 @@ object EnrichFileStress {
     q.stop()
     val wall = (System.nanoTime() - t0) / 1e9
     val peakHeapMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576
+    // WHERE the state time goes (VERDICT r16 task 1: probe CPU vs
+    // commit): state-operator timings summed across micro-batches, plus
+    // the provider's own commit-latency custom metrics when RocksDB.
+    // These are PER-STORE-TASK sums (wall x parallelism), so compare
+    // them to each other, not to wall_sec.
+    import scala.jdk.CollectionConverters._
+    var updMs, rmMs, commitMs = 0L
+    val custom = scala.collection.mutable.Map.empty[String, Long]
+    q.recentProgress.foreach(_.stateOperators.foreach { so =>
+      updMs += so.allUpdatesTimeMs
+      rmMs += so.allRemovalsTimeMs
+      commitMs += so.commitTimeMs
+      so.customMetrics.asScala.foreach { case (k, v) =>
+        custom(k) = custom.getOrElse(k, 0L) + v.longValue()
+      }
+    })
+    val interesting = Seq("rocksdbCommitFlushLatency",
+      "rocksdbCommitCompactLatency", "rocksdbCommitCheckpointLatency",
+      "rocksdbCommitFileSyncLatencyMs", "rocksdbWriterStallLatencyMs",
+      "rocksdbGetLatency", "rocksdbPutLatency",
+      "rocksdbGetCount", "rocksdbPutCount",
+      "rocksdbTotalBytesRead", "rocksdbTotalBytesWritten",
+      "rocksdbTotalBytesReadByCompaction",
+      "rocksdbTotalBytesWrittenByCompaction",
+      "rocksdbTotalCompactionLatencyMs", "rocksdbTotalFlushLatencyMs")
+      .flatMap(k => custom.get(k).map(v => s""""$k":$v"""))
+      .mkString(",")
     val rows = spark.read.parquet(s"$work/out").count()
-    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"provider":"$provider","peak_state_rows":$peakStateRows,"peak_state_mb":${peakStateBytes / 1048576},"peak_heap_mb":$peakHeapMb,"sf":"$sfDir"}""")
+    println(f"""{"metric":"enrich_file_stress","rows":$rows,"wall_sec":$wall%.1f,"chunks":$chunks,"provider":"$provider","partitions":$partitions,"peak_state_rows":$peakStateRows,"peak_state_mb":${peakStateBytes / 1048576},"peak_heap_mb":$peakHeapMb,"updates_ms":$updMs,"removals_ms":$rmMs,"commit_ms":$commitMs,"sf":"$sfDir"${if (interesting.nonEmpty) "," + interesting else ""}}""")
     spark.stop()
   }
 }

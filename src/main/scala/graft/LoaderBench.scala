@@ -19,7 +19,18 @@ object LoaderBench {
   private val MpesFile = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
 
   def main(args: Array[String]): Unit = {
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "20").toInt
+    // `runMain graft.LoaderBench <n>` = AMORTIZING mode: replicate each
+    // raw fixture to n distinctly-named copies and bench the load over
+    // those — the scale where Spark's fixed per-job floor (~0.05-0.5 s
+    // at local[32]) amortizes and rows/s is the honest comparable
+    // against the reference's warm-dask ms-scale fixture targets. The
+    // reference's implied rate is its fixture rows / its target seconds;
+    // this mode prints graft's rows/s at ~100x the fixture so the two
+    // rates compare like-for-like (both warm, both amortized over their
+    // own job floors).
+    val amortize = args.headOption.map(_.toInt).getOrElse(0)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS",
+      if (amortize > 0) "5" else "20").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,15 +65,34 @@ object LoaderBench {
     val flashBufDir = java.nio.file.Files.createTempDirectory("lb_flash").toString
     val sxpBufDir = java.nio.file.Files.createTempDirectory("lb_sxp").toString
 
+    // replicate a fixture into n distinctly-named copies (the loaders
+    // key buffers and file ids by name)
+    def replicate(srcs: Seq[String], n: Int): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("lb_rep")
+      (0 until n).map { i =>
+        val src = java.nio.file.Paths.get(srcs(i % srcs.size))
+        val name = src.getFileName.toString.replace(".h5", f"_rep$i%03d.h5")
+        val dst = dir.resolve(name)
+        java.nio.file.Files.copy(src, dst)
+        dst.toString
+      }
+    }
+
+    val (flashIn, sxpIn, mpesIn, tag) =
+      if (amortize > 0)
+        (replicate(flashFiles, amortize), replicate(Seq(SxpFile), amortize),
+          replicate(Seq(MpesFile), amortize), s""","files":$amortize""")
+      else (flashFiles, Seq(SxpFile), Seq(MpesFile), "")
+
     val parts = Seq(
       bench("loader_compute_flash", () => graft.io.FlashBuffer.processAndLoad(
-        spark, flashFiles, flashBufDir)._1),
+        spark, flashIn, flashBufDir)._1),
       bench("loader_compute_sxp", () => graft.io.FlashBuffer.processAndLoad(
-        spark, Seq(SxpFile), sxpBufDir, graft.io.FlashReader.sxpChannels,
+        spark, sxpIn, sxpBufDir, graft.io.FlashReader.sxpChannels,
         ubidOffset = 0, daq = graft.io.FlashReader.DaqSxp)._1),
       bench("loader_compute_mpes",
-        () => graft.io.SedReader.readMpesH5(spark, Seq(MpesFile))))
-    println(s"""{"metric":"loader_compute","repeats":$repeats,${parts.mkString(",")}}""")
+        () => graft.io.SedReader.readMpesH5(spark, mpesIn)))
+    println(s"""{"metric":"loader_compute","repeats":$repeats$tag,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

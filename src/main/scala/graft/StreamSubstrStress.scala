@@ -27,6 +27,14 @@ object StreamSubstrStress {
     val out = java.nio.file.Files.createTempDirectory("graft_sss_out").toString
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // contract-configuration parity (round 16): the driver entries run
+    // on RocksDB state with changelog checkpointing
+    // (StreamingQueries.streamSession), so this receipt must too
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
     val t0 = System.nanoTime()
     val q = graft.streaming.SedStreaming.streamingSubstringDedup(

@@ -58,7 +58,24 @@ object FlashBuffer {
   def schemaCheck(spark: SparkSession, paths: Seq[String],
                   expected: Set[String]): Unit =
     paths.filter(exists(spark, _)).foreach { p =>
-      val have = spark.read.parquet(p).schema.fieldNames.toSet
+      // direct footer read of one part file — a spark.read schema
+      // resolution costs ~10-30 ms of driver work PER FILE, which at
+      // 2N buffer dirs per load dominated the amortizing LoaderBench
+      val dir = new org.apache.hadoop.fs.Path(p)
+      val fsys = fs(spark, p)
+      val have = fsys.listStatus(dir)
+        .find(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+          f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          import scala.jdk.CollectionConverters._
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          finally r.close()
+        }
+        .getOrElse(spark.read.parquet(p).schema.fieldNames.toSet)
       if (have != expected) {
         val missingInParquet = expected -- have
         val missingInConfig = have -- expected
@@ -125,16 +142,23 @@ object FlashBuffer {
         .write.mode("overwrite").parquet(s.timed)
     }
     // re-key file_id to the global sorted position so ids stay stable
-    // across incremental loads (each buffer was written with file_id 0)
-    val eParts = sets.zipWithIndex.map { case (s, i) =>
-      spark.read.parquet(s.electron)
-        .withColumn("file_id", lit(i.toLong))
+    // across incremental loads (each buffer was written with file_id 0).
+    // ONE multi-path scan per granularity, file_id derived from the
+    // buffer-directory name through a literal map — a per-file
+    // read + N-way unionByName planned 2N relations and took ~30 s of
+    // pure driver analysis at 100 files (LoaderBench amortizing mode
+    // caught it); buffer dir names are unique by construction
+    // (electron_<stem>/timed_<stem> under one folder).
+    def loadKeyed(paths: Seq[String]): DataFrame = {
+      val nameToId: Map[String, Long] = paths.zipWithIndex.map { case (p, i) =>
+        p.substring(p.lastIndexOf('/') + 1) -> i.toLong
+      }.toMap
+      spark.read.parquet(paths: _*)
+        .withColumn("file_id", element_at(typedlit(nameToId),
+          regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1)))
     }
-    val tParts = sets.zipWithIndex.map { case (s, i) =>
-      spark.read.parquet(s.timed).withColumn("file_id", lit(i.toLong))
-    }
-    val electron0 = eParts.reduce(_ unionByName _)
-    val timed0 = tParts.reduce(_ unionByName _)
+    val electron0 = loadKeyed(sets.map(_.electron))
+    val timed0 = loadKeyed(sets.map(_.timed))
     val electron1 = fillAcrossFiles(electron0, channels)
     val timed1 = fillAcrossFiles(timed0, channels)
     val electron =

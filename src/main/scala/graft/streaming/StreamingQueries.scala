@@ -219,13 +219,18 @@ object StreamingQueries {
     * two watermarks together. */
   def streamEnrich(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
-    // A symmetric-hash stream-stream join commits FOUR state stores per
-    // side per partition per batch (keyToNumValues + keyWithIndexToValue
-    // x left/right) — 8x the per-partition store budget of the single-
-    // store aggregations. Halving the partitions equalizes the per-batch
-    // delta-commit count with the other entries while the state stays
-    // partitioned and shuffled.
-    val s = streamSession(s0, StatePartitions / 2)
+    // The stream-stream join is PROBE-CPU-bound on RocksDB, not
+    // commit-bound as it was on the HDFS provider (r16 profile,
+    // EnrichFileStress breakdown at 100×: 1,394 s of state-update task
+    // time — 536M gets through the disk format — against 5.8 s of
+    // commit; changelog checkpointing already made commits cheap). The
+    // r15 setting halved partitions to 4 to cut per-batch delta-commit
+    // count, which CONCURRENCY-STARVED the probe at scale: 4 → 16
+    // partitions measured 467.5 → 142.1 s at 100× (3.3×) with heap
+    // still bounded (2.8 GB). The small-feed fixed cost this buys back
+    // is real but bounded (warm sf0.1 A/B: 5.5 → 9.1 s) and the 100×
+    // saving is ~25× larger — the scale-correct trade.
+    val s = streamSession(s0, StatePartitions * 2)
     val base = Tables.events(s0, d)
       .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us",
         "CAST(value AS DOUBLE) AS v")
