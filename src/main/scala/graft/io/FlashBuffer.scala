@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.operators.DfOps
 
@@ -57,7 +58,10 @@ object FlashBuffer {
     * config no longer declares). */
   def schemaCheck(spark: SparkSession, paths: Seq[String],
                   expected: Set[String]): Unit =
-    paths.filter(exists(spark, _)).foreach { p =>
+    // footer reads are independent metadata ops — do them driver-
+    // parallel (at 400 buffers the serial pass was most of the warm
+    // load's remaining per-file floor)
+    paths.filter(exists(spark, _)).asJava.parallelStream().forEach { p =>
       // direct footer read of one part file — a spark.read schema
       // resolution costs ~10-30 ms of driver work PER FILE, which at
       // 2N buffer dirs per load dominated the amortizing LoaderBench
