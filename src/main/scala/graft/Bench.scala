@@ -197,7 +197,7 @@ object Bench {
     val artifact = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
     spark.stop()
     // after spark.stop() so no shutdown logging follows it
     println(compact)

@@ -65,6 +65,38 @@ object EnrichFileStress {
       .asScala.filter(_.getType == java.lang.management.MemoryType.HEAP)
     heapPools.foreach(_.resetPeakUsage())
 
+    // WHERE the state time goes (VERDICT r16 task 1: probe CPU vs
+    // commit): accumulate state-operator timings + provider custom
+    // metrics via a LISTENER — q.recentProgress retains only the last
+    // ~spark.sql.streaming.numRecentProgressUpdates (~100) reports, so
+    // a >=100-micro-batch profile summed post-hoc silently undercounts
+    // the early batches (ADVICE r16). Events arrive on the listener bus
+    // after the batch completes; quiescence is awaited before printing.
+    var updMs, rmMs, commitMs = 0L
+    val custom = scala.collection.mutable.Map.empty[String, Long]
+    val lastBatchSeen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val pr = e.progress
+        custom.synchronized {
+          pr.stateOperators.foreach { so =>
+            updMs += so.allUpdatesTimeMs
+            rmMs += so.allRemovalsTimeMs
+            commitMs += so.commitTimeMs
+            so.customMetrics.asScala.foreach { case (k, v) =>
+              custom(k) = custom.getOrElse(k, 0L) + v.longValue()
+            }
+          }
+        }
+        lastBatchSeen.updateAndGet(b => math.max(b, pr.batchId))
+        ()
+      }
+    }
+    spark.streams.addListener(listener)
+
     val t0 = System.nanoTime()
     val evSrc = SedStreaming.fileStream(spark, s"$work/events", StructType(Seq(
       StructField("event_id", LongType), StructField("ts_us", LongType),
@@ -100,29 +132,23 @@ object EnrichFileStress {
     })
     poll.setDaemon(true); poll.start()
     q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
     Option(q.lastProgress).foreach(_.stateOperators.foreach { so =>
       peakStateRows = math.max(peakStateRows, so.numRowsTotal)
       peakStateBytes = math.max(peakStateBytes, so.memoryUsedBytes)
     })
+    // drain the listener bus before reading the totals: the final
+    // batch's progress event may still be in flight after
+    // processAllAvailable returns (bounded wait, outside wall_sec)
+    val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (lastBatchSeen.get < lastBatch && System.nanoTime() < deadline)
+      Thread.sleep(50)
     q.stop()
-    val wall = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
     val peakHeapMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1048576
-    // WHERE the state time goes (VERDICT r16 task 1: probe CPU vs
-    // commit): state-operator timings summed across micro-batches, plus
-    // the provider's own commit-latency custom metrics when RocksDB.
-    // These are PER-STORE-TASK sums (wall x parallelism), so compare
-    // them to each other, not to wall_sec.
-    import scala.jdk.CollectionConverters._
-    var updMs, rmMs, commitMs = 0L
-    val custom = scala.collection.mutable.Map.empty[String, Long]
-    q.recentProgress.foreach(_.stateOperators.foreach { so =>
-      updMs += so.allUpdatesTimeMs
-      rmMs += so.allRemovalsTimeMs
-      commitMs += so.commitTimeMs
-      so.customMetrics.asScala.foreach { case (k, v) =>
-        custom(k) = custom.getOrElse(k, 0L) + v.longValue()
-      }
-    })
+    // The listener totals are PER-STORE-TASK sums (wall x parallelism),
+    // so compare them to each other, not to wall_sec.
     val interesting = Seq("rocksdbCommitFlushLatency",
       "rocksdbCommitCompactLatency", "rocksdbCommitCheckpointLatency",
       "rocksdbCommitFileSyncLatencyMs", "rocksdbWriterStallLatencyMs",

@@ -157,9 +157,22 @@ object FlashBuffer {
       val nameToId: Map[String, Long] = paths.zipWithIndex.map { case (p, i) =>
         p.substring(p.lastIndexOf('/') + 1) -> i.toLong
       }.toMap
+      // duplicate basenames across source dirs would silently collapse in
+      // the map and corrupt file_id stability — refuse up front
+      require(nameToId.size == paths.size,
+        s"duplicate buffer dir basenames across ${paths.size} paths " +
+          s"(only ${nameToId.size} distinct)")
+      // input_file_name() is URI-encoded — decode before the lookup so a
+      // dir name with a space/%/non-ASCII stem still resolves; and fail
+      // LOUDLY on a miss (a silent null file_id corrupts the cross-file
+      // forward fill with no error)
       spark.read.parquet(paths: _*)
-        .withColumn("file_id", element_at(typedlit(nameToId),
-          regexp_extract(input_file_name(), "([^/]+)/[^/]+$", 1)))
+        .withColumn("file_id", coalesce(
+          element_at(typedlit(nameToId),
+            regexp_extract(url_decode(input_file_name()), "([^/]+)/[^/]+$", 1)),
+          raise_error(concat(
+            lit("FlashBuffer.loadKeyed: no file_id for input file "),
+            input_file_name()))))
     }
     val electron0 = loadKeyed(sets.map(_.electron))
     val timed0 = loadKeyed(sets.map(_.timed))

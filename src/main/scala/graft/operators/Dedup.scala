@@ -926,8 +926,8 @@ object Dedup {
     * the manifest. `tiers` counts delta swaps since the last full
     * rewrite — at `fullRewriteOver` the table escalates to `full`,
     * which re-bases the manifest and resets the counter (bounding file
-    * growth at base + fullRewriteOver, since each delta swap adds one
-    * folded file). `fold` is the table's within-delta debris collapse
+    * growth at base + O(fullRewriteOver), since each delta swap adds a
+    * byte-sized handful of folded files — one per ~128 MB of delta). `fold` is the table's within-delta debris collapse
     * (exact-duplicate rows from crash replays — replays re-append
     * within the same swap interval, so duplicates never straddle the
     * base/delta boundary); `full` is the table's whole semantic
@@ -966,12 +966,19 @@ object Dedup {
       baseNames.foreach(n => Ann.linkOrCopyFile(fs,
         new org.apache.hadoop.fs.Path(srcDir, n),
         new org.apache.hadoop.fs.Path(destDir, n), conf))
-      // fold the delta tier alone and land it as ONE fresh part file
+      // fold the delta tier alone and land it as fresh part file(s):
+      // the fold's partition count is sized from the delta tier's
+      // BYTES (target ~128 MB/file, capped) — a fixed coalesce(1)
+      // would single-thread a large inter-swap append and grow one
+      // unbounded file (only tier COUNT, not size, triggers the full
+      // rewrite). Small deltas still land as one file.
       val tmp = new org.apache.hadoop.fs.Path(
         s"$destPath/.${table}_delta_tmp")
-      fold(spark.read.parquet(
-          deltaNames.map(n => new org.apache.hadoop.fs.Path(srcDir, n).toString): _*))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val deltaPaths = deltaNames.map(n => new org.apache.hadoop.fs.Path(srcDir, n))
+      val deltaBytes = deltaPaths.map(p => fs.getFileStatus(p).getLen).sum
+      val foldParts = math.min(512L, deltaBytes / (128L * 1024 * 1024) + 1).toInt
+      fold(spark.read.parquet(deltaPaths.map(_.toString): _*))
+        .coalesce(foldParts).write.mode("overwrite").parquet(tmp.toString)
       // part names embed a fresh write-job UUID — never collide with
       // the linked base names
       val renamed = partFilesOf(fs, tmp).map { n =>

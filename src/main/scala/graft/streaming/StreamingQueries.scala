@@ -904,7 +904,9 @@ object StreamingQueries {
 
     def streamEnrich(s0: SparkSession, d: String): DataFrame = {
       SedQueries.ensureConfs(s0)
-      val s = streamSession(s0, StatePartitions / 2)
+      // same partition config as the contract entry (r16 moved it to
+      // StatePartitions * 2) so the twin exercises the shipped plan
+      val s = streamSession(s0, StatePartitions * 2)
       import s.implicits._
       val base = Tables.events(s0, d)
         .selectExpr("CAST(event_id AS BIGINT) AS id", "ts_us",

@@ -16,6 +16,15 @@ base_path, partial_path = sys.argv[1], sys.argv[2]
 base = json.load(open(base_path))
 part = json.load(open(partial_path))
 
+# A failed tail entry is -1 in part['queries'] but ABSENT from
+# part['triples'] (no-sentinel convention) — merging it would either
+# KeyError below or overwrite a valid base median with -1. Refuse.
+bad = sorted(set(part.get("failed", [])) |
+             {k for k, v in part["queries"].items() if v < 0})
+if bad:
+    sys.exit(f"refusing to merge: tail entries failed in the partial "
+             f"run: {', '.join(bad)} — re-run them before merging")
+
 tail = sorted(part["queries"])
 base["tail_runs"] = part["runs"]
 base["tail_load1"] = part["load1"]
