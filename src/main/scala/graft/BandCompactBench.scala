@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * links), (d) a delta swap after a small append (base links, only the
   * appended files fold), and asserts the delta-compacted and
   * whole-rewritten generations classify a probe batch identically.
-  * Usage: runMain graft.BandCompactBench <sfDir> */
+  * Usage: runMain graft.BandCompactBench <sfDir> [chunks]
+  * — second arg `chunks` prices the CHUNK family
+  * (Dedup.compactChunkIndexDelta, round 17) the same way: whole
+  * rewrite vs manifest founding vs zero-churn link swap vs
+  * append-delta fold, with per-doc report equality asserted. */
 object BandCompactBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/sfbig")
@@ -39,6 +43,40 @@ object BandCompactBench {
       val r = f
       println(f"$name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
+    }
+    if (args.lift(1).contains("chunks")) {
+      // CHUNK family: same lifecycle pricing over the (ph, owner) table
+      val idx = tmp("graft-bcb-cidx")
+      t(s"chunk_build n=$n")(Dedup.incrementalCdcDedup(
+        spark, docs, "doc_id", "text", idx, 16, 32)
+        .queryExecution.toRdd.count())
+      val w = tmp("graft-bcb-cw")
+      t("whole_rewrite")(Dedup.compactChunkIndex(spark, idx, w))
+      val d1 = tmp("graft-bcb-cd1")
+      println("first_delta(actions=" +
+        t("first_delta")(Dedup.compactChunkIndexDelta(spark, idx, d1)) + ")")
+      val d2 = tmp("graft-bcb-cd2")
+      println("zero_churn(actions=" +
+        t("zero_churn")(Dedup.compactChunkIndexDelta(spark, d1, d2)) + ")")
+      t("append")(Dedup.incrementalCdcDedup(
+        spark, append, "doc_id", "text", d2, 16, 32)
+        .queryExecution.toRdd.count())
+      val d3 = tmp("graft-bcb-cd3")
+      println("append_delta(actions=" +
+        t("append_delta")(Dedup.compactChunkIndexDelta(spark, d2, d3)) + ")")
+      val w2 = tmp("graft-bcb-cw2")
+      t("whole_rewrite_post_append")(Dedup.compactChunkIndex(spark, d2, w2))
+      // probe both (incrementalCdcDedup classifies BEFORE its append,
+      // so the returned reports reflect the pre-probe index state)
+      def report(p: String) = Dedup.incrementalCdcDedup(
+          spark, probe, "doc_id", "text", p, 16, 32)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chars")
+        .collect().toSet
+      val eq = report(d3) == report(w2)
+      println(s"report_equal=$eq")
+      require(eq, "delta-compacted chunk report diverged from whole rewrite")
+      spark.stop()
+      return
     }
     val idx = tmp("graft-bcb-idx")
     t(s"build n=$n")(Dedup.buildDedupIndex(docs, "doc_id", "text", idx))

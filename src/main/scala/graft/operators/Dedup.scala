@@ -2391,6 +2391,49 @@ object Dedup {
     copyIngestMarker(spark, path, destPath)
   }
 
+  /** [[compactDedupIndexDelta]] for the CHUNK index — closing the last
+    * whole-rewrite index family (§8 r16): the single `chunks/`
+    * (ph, owner) table moves LSM-style. Manifest base tier by hard
+    * link (O(metadata), no Spark job); the inter-swap delta folds
+    * alone with a WITHIN-DELTA min-owner fold and lands as
+    * byte-sized part file(s), O(churn). Correct because the read path
+    * ([[incrementalCdcDedup]]'s probe) min-resolves owners ACROSS
+    * tiers — min is associative, so folding the delta alone preserves
+    * every hash's global min owner, and crash-replay duplicate rows
+    * (which re-append within one swap interval, never straddling the
+    * base/delta boundary) collapse in the fold. A table whose tier
+    * count exceeds `fullRewriteOver` escalates to
+    * [[compactChunkIndex]]'s global min-owner rewrite, which re-bases
+    * the manifest — same tiered-compaction amortization as the
+    * band families. Returns (table → action) for receipts. */
+  def compactChunkIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, destPath: String,
+                             fullRewriteOver: Int = 16): Map[String, String] = {
+    requireDistinctPaths(spark, path, destPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val manifest = readCompactManifest(fs, path)
+    val actions = Seq(
+      ("chunks", (d: DataFrame) =>
+        d.groupBy("ph").agg(min("owner").as("owner")),
+        () => spark.read.parquet(s"$path/chunks")
+          .groupBy("ph").agg(min("owner").as("owner"))
+          .write.mode("overwrite").parquet(s"$destPath/chunks"))
+    ).map { case (t, fold, full) =>
+      val (act, files, tiers) = moveTableDelta(spark, path, destPath, t,
+        manifest.getOrElse(t, Set.empty),
+        manifest.getOrElse(s"$t#tiers", Set.empty)
+          .headOption.map(_.toInt).getOrElse(0),
+        fullRewriteOver, fold, full)
+      (t, act, files, tiers)
+    }
+    writeCompactManifest(fs, destPath,
+      actions.flatMap { case (t, _, f, tiers) =>
+        Seq(t -> f, s"$t#tiers" -> Seq(tiers.toString)) }.toMap)
+    copyIngestMarker(spark, path, destPath)
+    actions.map { case (t, a, _, _) => t -> a }.toMap
+  }
+
   /** [[compactChunkIndex]] with a RETENTION horizon — the GDPR/TTL story
     * for the chunk family (round 15, the split family's
     * [[compactSplitIndexDropBefore]] ported): chunk hashes whose

@@ -645,8 +645,11 @@ object SedStreaming {
           .select("doc_id", "n_frames", "n_chunks", "n_dup_chunks", "dup_chars")
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          graft.operators.GenIndex.compact(s, indexPath)(
-            (src, dest) => graft.operators.Dedup.compactChunkIndex(s, src, dest))
+          // LSM-style: base tier links, delta folds O(churn)
+          graft.operators.GenIndex.compact(s, indexPath) { (src, dest) =>
+            graft.operators.Dedup.compactChunkIndexDelta(s, src, dest)
+            ()
+          }
         ()
         }
       }
@@ -682,8 +685,11 @@ object SedStreaming {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           val horizon = retention(batchId)
           graft.operators.GenIndex.compact(s, indexPath) { (src, dest) =>
-            if (horizon == Long.MinValue)
-              graft.operators.Dedup.compactChunkIndex(s, src, dest)
+            if (horizon == Long.MinValue) {
+              // LSM-style: base tier links, delta folds O(churn)
+              graft.operators.Dedup.compactChunkIndexDelta(s, src, dest)
+              ()
+            }
             else
               graft.operators.Dedup.compactChunkIndexDropBefore(
                   s, src, dest, horizon)

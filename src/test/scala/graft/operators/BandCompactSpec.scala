@@ -164,4 +164,77 @@ class BandCompactSpec extends SparkSpecBase {
       .as[(Long, Long, String)].collect().toSet
     assert(assign(d2) == assign(w))
   }
+
+  /** Probing mutates a chunk index (incrementalCdcDedup classifies AND
+    * appends), so equality probes run against a throwaway copy. */
+  private def copyDir(src: String): String = {
+    val dst = tmp("graft-chunkc-copy")
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) { java.nio.file.Files.createDirectories(t); () }
+      else { java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING); () }
+    }
+    dst
+  }
+
+  test("chunk family: full -> link -> delta lifecycle; reports equal the whole-rewrite twin") {
+    val pool = (0 until 5).map(_ => blob(400))
+    // materialized ONCE — blob() draws from the stateful rng, so a
+    // re-invocation would generate different probe content
+    def docs(ids: Range) = ids.map { id =>
+      if (id % 2 == 0) (id.toLong, pool(id % pool.size))                     // exact dup
+      else (id.toLong, pool(id % pool.size).take(200) + blob(200))           // shared prefix
+    }
+    val seed = docs(1 to 40)
+    val append = docs(100 to 120)
+    val probe = docs(500 to 520)
+    def probeReport(path: String): Set[(Long, Long, Long, Long)] =
+      Dedup.incrementalCdcDedup(spark, probe.toDF("doc_id", "text"),
+          "doc_id", "text", copyDir(path), 16, 32)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chars")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val idx = tmp("graft-chunkc")
+    Dedup.incrementalCdcDedup(spark, seed.toDF("doc_id", "text"),
+      "doc_id", "text", idx, 16, 32).collect()
+
+    // swap 1: no manifest -> escalates to the full rewrite
+    val d1 = tmp("graft-chunkc-d1")
+    assert(Dedup.compactChunkIndexDelta(spark, idx, d1) == Map("chunks" -> "full"))
+    assert(probeReport(d1) == probeReport(idx))
+
+    // swap 2: zero churn -> pure link, file names preserved
+    val d2 = tmp("graft-chunkc-d2")
+    assert(Dedup.compactChunkIndexDelta(spark, d1, d2) == Map("chunks" -> "link"))
+    assert(files(d2, "chunks") == files(d1, "chunks"),
+      "chunk files changed across a link swap")
+
+    // append a batch TWICE (crash-replay debris), swap 3 -> delta:
+    // base tier moves by link, only the delta folds
+    val b = append.toDF("doc_id", "text")
+    Dedup.incrementalCdcDedup(spark, b, "doc_id", "text", d2, 16, 32).collect()
+    Dedup.incrementalCdcDedup(spark, b, "doc_id", "text", d2, 16, 32).collect()
+    val base = files(d1, "chunks")
+    val d3 = tmp("graft-chunkc-d3")
+    assert(Dedup.compactChunkIndexDelta(spark, d2, d3) == Map("chunks" -> "delta"))
+    assert(base.subsetOf(files(d3, "chunks")),
+      "base chunk tier must move by link (names preserved)")
+    val w = tmp("graft-chunkc-w")
+    Dedup.compactChunkIndex(spark, d2, w)
+    assert(probeReport(d3) == probeReport(w))
+    // the within-delta min-owner fold collapsed the replay debris:
+    // delta-tier rows are unique per hash
+    val deltaFiles = (files(d3, "chunks") -- base).toSeq.map(n => s"$d3/chunks/$n")
+    assert(deltaFiles.nonEmpty)
+    val delta = spark.read.parquet(deltaFiles: _*)
+    assert(delta.groupBy("ph").count().filter(col("count") > 1).count() == 0,
+      "delta fold left duplicate owner rows")
+
+    // swap 4: zero churn again -> link
+    val d4 = tmp("graft-chunkc-d4")
+    assert(Dedup.compactChunkIndexDelta(spark, d3, d4) == Map("chunks" -> "link"))
+    assert(probeReport(d4) == probeReport(w))
+  }
 }
