@@ -13,7 +13,19 @@ import org.apache.spark.sql.functions._
   * variant-free by construction. Match counts print so the A/B also
   * certifies the three configs agree (recall differences would show as
   * count drift far beyond the ~0.95 gate).
-  * Usage: runMain graft.LookupAB <sfDir> */
+  *
+  * WIDE mode (round 17, §8 item 2): `runMain graft.LookupAB - wide
+  * [n] [q]` A/Bs KEY WIDTH at a synthetic multi-million-hash corpus —
+  * bits 10 vs 14 vs 16, each at its own probe-2 / 0.95-recall table
+  * count (6 / 17 / 30). The 10-bit key saturates at 1024 buckets, so
+  * at n = 4M each query variant probes ~3.9k random corpus rows
+  * (1.31M candidates/query at t = 6); bits = 16 cuts the per-bucket
+  * population 64× for 5× more tables and a 2.4× bigger ball — ~5.2×
+  * fewer candidates/query, paid for by 5× more index rows/bytes.
+  * Corpus hashes are uniform xxhash64; queries are sampled corpus
+  * hashes with id-deterministic bit flips (k = id %% 24, so ~3/4 of
+  * queries sit within radius 18 and the match counts discriminate).
+  * Usage: runMain graft.LookupAB <sfDir> [wide [n] [q]] */
 object LookupAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -24,6 +36,7 @@ object LookupAB {
     spark.sparkContext.setLogLevel("ERROR")
     graft.sed.SedQueries.ensureConfs(spark)
     import graft.operators.Multimodal
+    if (args.lift(1).contains("wide")) { wideMode(spark, args); return }
     val docs = graft.sed.Tables.documents(spark, sfDir)
     val reps = Multimodal.imageHashes(
         Multimodal.withPgmPayload(docs, "text", "payload"), "doc_id", "payload")
@@ -66,6 +79,62 @@ object LookupAB {
       println(f"index probe$probe t$tbl build $bs%.2f s bytes ${du(path)}")
       t(s"indexed_probe${probe}_t$tbl")(Multimodal.hammingLookupIndexed(
         spark, path, qs, "doc_id", "phash", 18, 10, tbl, probe = probe)
+        .queryExecution.toRdd.count())
+    }
+    spark.stop()
+  }
+
+  /** Key-width A/B at a synthetic multi-million-hash corpus (see
+    * scaladoc WIDE mode). */
+  private def wideMode(spark: SparkSession, args: Array[String]): Unit = {
+    import graft.operators.Multimodal
+    val n = args.lift(2).map(_.toLong).getOrElse(4000000L)
+    val nq = args.lift(3).map(_.toInt).getOrElse(1000)
+    val corpus = spark.range(n)
+      .select(col("id"), expr("xxhash64(id)").as("ph"))
+      .localCheckpoint(true)
+    // queries: every (n/nq)th corpus hash with k = id % 24 deterministic
+    // bit flips — ~3/4 land within radius 18 of their source
+    val stride = math.max(1L, n / nq)
+    val sampled = corpus.filter(col("id") % stride === 0)
+      .select("id", "ph").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val queries = sampled.map { case (id, ph) =>
+      val k = (id % 24).toInt
+      val rnd = new scala.util.Random(id)
+      val flips = rnd.shuffle((0 until 64).toList).take(k)
+      (id, flips.foldLeft(ph)((h, p) => h ^ (1L << p)))
+    }.toSeq
+    import spark.implicits._
+    val qs = queries.toDF("id", "ph").localCheckpoint(true)
+    println(s"wide corpus n=$n queries=${qs.count()}")
+    def t(name: String)(f: => Long): Unit =
+      (0 until 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val e = f
+        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s matches=$e")
+      }
+    def du(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(hp).getLength
+    }
+    Seq(10, 14, 16).foreach { bits =>
+      val tbl = Multimodal.sketchTablesForMultiprobe(18, bits, 0.95, 2)
+      println(s"bits=$bits tables=$tbl " +
+        s"recall=${Multimodal.sketchRecallMultiprobe(18, bits, tbl, 2)}")
+      t(s"inline_b${bits}_t$tbl")(Multimodal.hammingLookupSketch(
+        corpus, qs, "id", "ph", 18, bits, tbl, probe = 2)
+        .queryExecution.toRdd.count())
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-lkwide-b$bits").toString + "/idx"
+      val b0 = System.nanoTime()
+      Multimodal.buildHammingSketchIndex(corpus, "id", "ph", path,
+        bits, tbl, "sketch")
+      println(f"index b$bits t$tbl build ${(System.nanoTime() - b0) / 1e9}%.2f s " +
+        s"bytes ${du(path)}")
+      t(s"indexed_b${bits}_t$tbl")(Multimodal.hammingLookupIndexed(
+        spark, path, qs, "id", "ph", 18, bits, tbl, probe = 2)
         .queryExecution.toRdd.count())
     }
     spark.stop()

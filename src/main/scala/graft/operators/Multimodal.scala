@@ -614,7 +614,10 @@ object Multimodal {
     * arithmetic on (seed, table index), so the SAME positions can be
     * inlined into an engine-portable SQL oracle. */
   def sketchPositions(bits: Int, tables: Int, seed: String): Array[Array[Int]] = {
-    require(bits >= 1 && bits <= 10 && tables >= 1)
+    // bits 11..16 serve the asymmetric LOOKUP path only (wider keys for
+    // corpus-scale bucket spread — round 17); the self-join operator's
+    // 6-bit-per-position packing caps at 10 and guards itself
+    require(bits >= 1 && bits <= 16 && tables >= 1)
     Array.tabulate(tables) { t =>
       val d = MessageDigest.getInstance("MD5")
         .digest(s"$seed:$t".getBytes("UTF-8"))
@@ -734,6 +737,9 @@ object Multimodal {
     // probe <= 2 keeps the per-side enumeration at <= 1 flip (s+1
     // variants); past that the variant volume erodes the table savings
     require(probe >= 0 && probe <= 2, "multiprobe supports key-distance 0..2")
+    // this operator's packed-long key (6 bits/position) caps at 10
+    // sampled positions; wider keys live on the asymmetric lookup path
+    require(bits <= 10, "hammingEdgesSketch supports bits <= 10")
     val pos = sketchPositions(bits, tables, seed)
     // one packed long per table (6 bits per position, s <= 10 -> 60 bits)
     // rides a single typedlit — same codegen-volume discipline as the
@@ -856,20 +862,34 @@ object Multimodal {
   }
 
   /** One row per (table, sampled-key) per input hash — the relation both
-    * the inline lookup and the persisted index share. */
+    * the inline lookup and the persisted index share. Up to 10 sampled
+    * positions ride the self-join operator's packed-long literal; bits
+    * 11..16 (wider keys: 2^bits buckets cut corpus-scale random-
+    * collision tails 16–64× — round 17, §8 item 2) carry each table's
+    * positions as an array literal instead, same key0 arithmetic. */
   private def sketchKeyed(df: DataFrame, idCol: String, hashCol: String,
                           bits: Int, tables: Int, seed: String): DataFrame = {
-    val packed: Array[Long] = sketchPositions(bits, tables, seed)
-      .map(_.zipWithIndex.map { case (p, i) => p.toLong << (6 * i) }.reduce(_ | _))
     val np = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
+    val base = df.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
       .repartition(np) // pre-spread before the ×tables explode
-      .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
-      .select(col("id"), col("ph"), col("t"),
-        expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
-          (acc, i) -> acc * 2 +
-            (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
-          .as("key0"))
+    if (bits <= 10) {
+      val packed: Array[Long] = sketchPositions(bits, tables, seed)
+        .map(_.zipWithIndex.map { case (p, i) => p.toLong << (6 * i) }.reduce(_ | _))
+      base
+        .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
+        .select(col("id"), col("ph"), col("t"),
+          expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+            (acc, i) -> acc * 2 +
+              (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
+            .as("key0"))
+    } else {
+      val pos: Array[Seq[Int]] = sketchPositions(bits, tables, seed).map(_.toSeq)
+      base
+        .select(col("id"), col("ph"), posexplode(typedlit(pos)).as(Seq("t", "pk")))
+        .select(col("id"), col("ph"), col("t"),
+          expr("""aggregate(pk, CAST(0 AS BIGINT),
+            (acc, p) -> acc * 2 + (shiftright(ph, p) & 1))""").as("key0"))
+    }
   }
 
   /** The query-ball-vs-keyed-corpus join shared by [[hammingLookupSketch]]

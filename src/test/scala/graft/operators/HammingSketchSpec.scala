@@ -207,6 +207,67 @@ class HammingSketchSpec extends SparkSpecBase {
     assert(viaIdx == gotSet)
   }
 
+  test("WIDE-key lookup (bits = 14): planted recall clears 0.95, emitted set equals the mask replay, index path identical") {
+    // bits 11..16 ride the array-literal key path (the packed-long form
+    // caps at 10 positions) — same collision semantics, 16x more
+    // buckets per table for corpus-scale random-collision control
+    val n = 200
+    // dedicated rng: the planted draw must not depend on how much of
+    // the shared stream preceding tests consumed (recall on a FIXED
+    // draw is deterministic — suite-order drift here means a gate that
+    // passes alone and fails in the full run)
+    val wideRng = new scala.util.Random(1707)
+    val rows: Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      (0 until n).foreach { k =>
+        val base = wideRng.nextLong()
+        val flips = wideRng.shuffle((0 until 64).toList).take(R)
+        out += ((2L * k, base))
+        out += ((2L * k + 1, flips.foldLeft(base)((h, p) => h ^ (1L << p))))
+      }
+      (0 until n).foreach(k => out += ((100000L + k, wideRng.nextLong())))
+      out.toSeq
+    }
+    val df = rows.toDF("id", "ph")
+    val qrows = rows.filter(_._1 % 2 == 0)
+    val bits = 14
+    val t = Multimodal.sketchTablesForMultiprobe(R, bits, 0.97, 2) // margin over the 0.95 gate
+    val got = Multimodal.hammingLookupSketch(df, qrows.toDF("id", "ph"),
+      "id", "ph", R, bits, t, probe = 2).as[(Long, Long, Long)].collect()
+    val byId = rows.toMap
+    got.foreach { case (q, c, hd) =>
+      assert(java.lang.Long.bitCount(byId(q) ^ byId(c)) == hd && hd <= R)
+    }
+    val gotSet = got.map(p => (p._1, p._2)).toSet
+    // exact collision rule: some table's sampled bits differ in <= 2
+    val masks = Multimodal.sketchPositions(bits, t, "sketch")
+      .map(_.map(p => 1L << p).reduce(_ | _))
+    val expect = (for {
+      (q, hq) <- qrows; (c, hc) <- rows
+      if java.lang.Long.bitCount(hq ^ hc) <= R
+      if masks.exists(m => java.lang.Long.bitCount((hq ^ hc) & m) <= 2)
+    } yield (q, c)).toSet
+    assert(gotSet == expect,
+      s"emitted ${gotSet.size} vs replay ${expect.size}; " +
+        s"missing=${(expect -- gotSet).take(5)} extra=${(gotSet -- expect).take(5)}")
+    val hit = (0 until n).count(k => gotSet.contains((2L * k, 2L * k + 1)))
+    assert(hit >= math.ceil(0.95 * n).toInt,
+      s"planted wide-key recall ${hit.toDouble / n} below 0.95 with $t tables at bits=$bits")
+    // persisted wide-key index returns the identical set
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-lkidx-wide").toString + "/idx"
+    Multimodal.buildHammingSketchIndex(df, "id", "ph", idxPath, bits, t, "sketch")
+    val viaIdx = Multimodal.hammingLookupIndexed(spark, idxPath,
+      qrows.toDF("id", "ph"), "id", "ph", R, bits, t, probe = 2)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(viaIdx == gotSet)
+    // the self-join operator refuses wide bits (its packing caps at 10)
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingEdgesSketch(df, "id", "ph", R, 14, t)
+    }
+    ()
+  }
+
   test("imageDupClusters routes past radius 15 through the sketch and still clusters") {
     val docs = documents.limit(60)
     val out = Multimodal.imageDupClusters(
