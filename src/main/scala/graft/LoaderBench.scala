@@ -19,6 +19,7 @@ object LoaderBench {
   private val MpesFile = "/root/reference/tests/data/loader/mpes/Scan0030_2.h5"
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("big")) { bigMode(args); return }
     // `runMain graft.LoaderBench <n>` = AMORTIZING mode: replicate each
     // raw fixture to n distinctly-named copies and bench the load over
     // those — the scale where Spark's fixed per-job floor (~0.05-0.5 s
@@ -93,6 +94,62 @@ object LoaderBench {
       bench("loader_compute_mpes",
         () => graft.io.SedReader.readMpesH5(spark, mpesIn)))
     println(s"""{"metric":"loader_compute","repeats":$repeats$tag,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+
+  /** BIG-FILE mode (VERDICT r16 task 4 — the loader crossover receipt):
+    * `runMain graft.LoaderBench big <flashDir> <sxpDir>` loads
+    * MakeBigH5-generated production-size raw files (~1M electron rows
+    * per file instead of the fixtures' ~4-6k) and reports min/median
+    * seconds + rows/s, so the fixture-scale per-file floor (~5 ms
+    * listing + footer after the r16 rewrite, but ~50-100 ms of per-file
+    * H5 parse setup before it) is amortized over production-shaped
+    * files and graft's rows/s compares honestly against the
+    * reference-implied rate (895,652 flash / 340,500 sxp rows/s).
+    * Pass "-" for a dir to skip that loader. */
+  private def bigMode(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val flashDir = args.lift(1).getOrElse("-")
+    val sxpDir = args.lift(2).getOrElse("-")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(0, 100000, 1, 4).selectExpr("sum(id % 7)").collect() // warm JVM
+    def h5In(dir: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.toString).filter(_.endsWith(".h5")).toSeq.sorted
+      finally s.close()
+    }
+    def bench(name: String, build: () => org.apache.spark.sql.DataFrame): String = {
+      val rows = build().queryExecution.toRdd.count() // warm pass (creates buffers)
+      val times = (0 until repeats).map { _ =>
+        val t0 = System.nanoTime()
+        build().queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val min = times.head
+      val med = times(repeats / 2)
+      f""""$name":{"min":$min%.4f,"median":$med%.4f,"rows":$rows,"rows_per_sec":${(rows / min).toLong}}"""
+    }
+    val parts = Seq.newBuilder[String]
+    if (flashDir != "-") {
+      val buf = java.nio.file.Files.createTempDirectory("lb_bigflash").toString
+      parts += bench("loader_compute_flash_big", () =>
+        graft.io.FlashBuffer.processAndLoad(spark, h5In(flashDir), buf)._1)
+    }
+    if (sxpDir != "-") {
+      val buf = java.nio.file.Files.createTempDirectory("lb_bigsxp").toString
+      parts += bench("loader_compute_sxp_big", () =>
+        graft.io.FlashBuffer.processAndLoad(spark, h5In(sxpDir), buf,
+          graft.io.FlashReader.sxpChannels, ubidOffset = 0,
+          daq = graft.io.FlashReader.DaqSxp)._1)
+    }
+    println(s"""{"metric":"loader_compute_big","repeats":$repeats,${parts.result().mkString(",")}}""")
     spark.stop()
   }
 }

@@ -29,9 +29,18 @@ TARGETS = {
 # floor that dominates at fixture size and amortizes to zero at any real
 # scale (see LoaderBench's scaladoc; rows/s is the honest comparable
 # there). They are recorded for completeness but excluded from the
-# worst-ratio gate.
+# worst-ratio gate; their own gates are rows/s-based (below).
 FLOOR_DOMINATED = {"loader_compute_flash", "loader_compute_mpes",
                    "loader_compute_sxp"}
+
+# Reference-implied throughput: the fixture's loaded rows divided by the
+# published warm-compute target seconds (the rate the reference would
+# sustain if its fixture-scale time held at scale).
+REF_IMPLIED_ROWS_PER_SEC = {
+    "loader_compute_flash": 895652,
+    "loader_compute_mpes": 18704277,
+    "loader_compute_sxp": 340500,
+}
 
 
 def run(main, *args):
@@ -52,11 +61,40 @@ def main() -> int:
     m = re.search(r'"metric":"inv_dfield","value":([0-9.]+)', out)
     if m:
         got["inv_dfield"] = float(m.group(1))
+    loader_re = (r'"(loader_compute_\w+)":\{"min":([0-9.]+),'
+                 r'"median":([0-9.]+),"rows":(\d+),"rows_per_sec":(\d+)')
+
+    def parse_loader(out):
+        return {m.group(1): {"sec": float(m.group(2)),
+                             "median": float(m.group(3)),
+                             "rows": int(m.group(4)),
+                             "rows_per_sec": int(m.group(5))}
+                for m in re.finditer(loader_re, out)}
+
     out = run("LoaderBench")
-    for m in re.finditer(r'"(loader_compute_\w+)":\{"min":([0-9.]+)', out):
-        got[m.group(1)] = float(m.group(2))
+    for k, v in parse_loader(out).items():
+        got[k] = v["sec"]
+    # AMORTIZING receipts (round 15/16): n replicated fixtures amortize
+    # Spark's fixed per-job floor; rows/s at the largest n is the honest
+    # comparable against the reference's warm-dask ms-scale targets.
+    amortized = {}
+    for n in (100, 400):
+        for k, v in parse_loader(run("LoaderBench", str(n))).items():
+            amortized.setdefault(k, {})[f"f{n}"] = v
+    # BIG-FILE crossover receipt (round 17): production-size synthetic
+    # raw files (~1M rows/file, MakeBigH5-tiled from the real fixtures)
+    # amortize the per-FILE floor; the gate is rows/s within 2x of the
+    # reference-implied rate.
+    import os
+    if not os.path.isdir("/tmp/bigh5_flash"):
+        run("MakeBigH5", "flash", "250", "4", "/tmp/bigh5_flash")
+    if not os.path.isdir("/tmp/bigh5_sxp"):
+        run("MakeBigH5", "sxp", "500", "4", "/tmp/bigh5_sxp")
+    big = parse_loader(run("LoaderBench", "big", "/tmp/bigh5_flash",
+                           "/tmp/bigh5_sxp"))
     rows = {}
     worst = 0.0
+    rows_gates_ok = True
     for k, target in sorted(TARGETS.items()):
         v = got.get(k)
         ratio = round(v / target, 4) if v is not None else None
@@ -64,13 +102,38 @@ def main() -> int:
                    "gated": k not in FLOOR_DOMINATED}
         if ratio is not None and k not in FLOOR_DOMINATED:
             worst = max(worst, ratio)
-        note = "  (job-floor-dominated, ungated)" if k in FLOOR_DOMINATED else ""
+        note = "  (job-floor-dominated, wall-ungated)" if k in FLOOR_DOMINATED else ""
         print(f"{k:24s} {v if v is not None else 'MISSING'!s:>10} "
               f"vs {target:8.3f}  ratio {ratio}{note}")
+        if k in REF_IMPLIED_ROWS_PER_SEC:
+            ref = REF_IMPLIED_ROWS_PER_SEC[k]
+            rows[k]["ref_implied_rows_per_sec"] = ref
+            if k in amortized:
+                rows[k]["amortized"] = amortized[k]
+            if k == "loader_compute_mpes":
+                # no buffered big-file path for mpes (straight-from-h5
+                # loader); its rows gate is the f400 amortizing receipt
+                f400 = amortized.get(k, {}).get("f400", {})
+                rps = f400.get("rows_per_sec", 0)
+                rows[k]["rows_per_sec_ratio_at_f400"] = round(rps / ref, 3)
+                rows[k]["gate"] = "rows_per_sec_at_f400 >= ref_implied_rows_per_sec"
+                rows[k]["rows_gate_ok"] = rps >= ref
+            else:
+                b = big.get(f"{k}_big", {})
+                rps = b.get("rows_per_sec", 0)
+                rows[k]["big_file"] = b
+                rows[k]["big_rows_per_sec_ratio"] = round(rps / ref, 3)
+                rows[k]["gate"] = ("big-file (1M rows/file) rows/s within "
+                                   "2x of ref_implied_rows_per_sec")
+                rows[k]["rows_gate_ok"] = 2 * rps >= ref
+            rows_gates_ok &= rows[k]["rows_gate_ok"]
+            print(f"{k:24s} rows-gate {'OK' if rows[k]['rows_gate_ok'] else 'FAIL'}"
+                  f" ({rps:,} rows/s vs implied {ref:,})")
     artifact = {
         "metric": "baseline_bench",
         "date": time.strftime("%Y-%m-%d"),
         "worst_ratio": worst,
+        "rows_gates_ok": rows_gates_ok,
         "entries": rows,
     }
     with open("BASELINE_BENCH.json", "w") as f:
@@ -80,8 +143,9 @@ def main() -> int:
         print(f"MISSING: {missing}")
         return 1
     print(f"worst ratio vs reference targets: {worst} "
-          f"({'inside' if worst <= 2.0 else 'OUTSIDE'} the 2x bar)")
-    return 0
+          f"({'inside' if worst <= 2.0 else 'OUTSIDE'} the 2x bar); "
+          f"loader rows-gates {'all OK' if rows_gates_ok else 'FAILING'}")
+    return 0 if rows_gates_ok else 1
 
 
 if __name__ == "__main__":
