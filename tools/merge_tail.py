@@ -26,12 +26,19 @@ if bad:
              f"run: {', '.join(bad)} — re-run them before merging")
 
 tail = sorted(part["queries"])
+# UNION into any prior merge (a second tail batch must not erase the
+# first batch's triples)
 base["tail_runs"] = part["runs"]
 base["tail_load1"] = part["load1"]
 base["tail_calib_sec"] = part["calib_sec"]
-base["tail_triples"] = {k: part["triples"][k] for k in tail}
+base.setdefault("tail_triples", {}).update(
+    {k: part["triples"][k] for k in tail})
 for k in tail:
     base["queries"][k] = part["queries"][k]
+    # keep the main triples map coherent with the merged medians (the
+    # runs=1 triple it replaces was degenerate [x,x,x] anyway)
+    if "triples" in base:
+        base["triples"][k] = part["triples"][k]
 base["value"] = round(sum(v for v in base["queries"].values() if v >= 0), 4)
 json.dump(base, open(base_path, "w"))
 print(f"merged {len(tail)} tail entries at runs={part['runs']}; "
