@@ -894,18 +894,35 @@ object Multimodal {
 
   /** The query-ball-vs-keyed-corpus join shared by [[hammingLookupSketch]]
     * and [[hammingLookupIndexed]]. `corpusKeyed` carries
-    * (id, ph, t, key0). */
+    * (id, ph, t, key0). `preGuarded` skips the degenerate-bucket
+    * recount for an index that [[buildHammingSketchIndex]] already
+    * guarded at build time (same `maxBucket`) — without it every query
+    * batch pays a full index scan + aggregate before the probe.
+    * `broadcastQueries` broadcasts the |Q|·tables·ball variant relation
+    * so the CORPUS side never shuffles — the asymmetric shape this
+    * operator exists for (round-17 LookupAB receipt: the unbroadcast
+    * plan shuffled the full 4M×t-row index per batch, and the planner
+    * cannot know the derived ball is small); pass false only when the
+    * query batch itself is too large to broadcast (|Q|·tables·ball
+    * rows), and chunk the batch instead at scale. */
   private def lookupJoin(corpusKeyed: DataFrame, queries: DataFrame,
                          idCol: String, hashCol: String, maxHamming: Int,
                          bits: Int, tables: Int, seed: String,
-                         probe: Int, maxBucket: Int): DataFrame = {
+                         probe: Int, maxBucket: Int,
+                         preGuarded: Boolean = false,
+                         broadcastQueries: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 63)
     require(probe >= 0 && probe <= 2, "lookup multiprobe supports 0..2 flips")
     // TRUE-population degenerate-key guard (only the corpus can be
     // degenerate at scale; the query ball multiplies rows AFTER this)
-    val ok = corpusKeyed.groupBy("t", "key0").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select("t", "key0")
-    val cOk = corpusKeyed.join(ok, Seq("t", "key0"), "left_semi")
+    val guarded =
+      if (preGuarded) corpusKeyed
+      else {
+        val ok = corpusKeyed.groupBy("t", "key0").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("t", "key0")
+        corpusKeyed.join(ok, Seq("t", "key0"), "left_semi")
+      }
+    val cOk = guarded
       .select(col("t"), col("key0").as("key"),
         col("id").as("match_id"), col("ph").as("c_ph"))
     // the query ball: XOR masks for every ≤probe-subset of the key bits
@@ -920,11 +937,12 @@ object Multimodal {
         case _ => (0L +: singles) ++ pairs
       }
     }
-    val qv = sketchKeyed(queries, idCol, hashCol, bits, tables, seed)
+    val qv0 = sketchKeyed(queries, idCol, hashCol, bits, tables, seed)
       .select(col("id").as("query_id"), col("ph").as("q_ph"), col("t"),
         col("key0"), explode(typedlit(ball)).as("fm"))
       .select(col("query_id"), col("q_ph"), col("t"),
         col("key0").bitwiseXOR(col("fm")).as("key"))
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
     qv.join(cOk, Seq("t", "key"))
       .filter(expr("bit_count(q_ph ^ c_ph)") <= maxHamming)
       .select("query_id", "match_id", "q_ph", "c_ph").distinct()
@@ -945,25 +963,42 @@ object Multimodal {
   def buildHammingSketchIndex(corpus: DataFrame, idCol: String,
                               hashCol: String, path: String,
                               bits: Int = 10, tables: Int = 6,
-                              seed: String = "sketch"): Unit =
-    sketchKeyed(corpus, idCol, hashCol, bits, tables, seed)
+                              seed: String = "sketch",
+                              maxBucket: Int = 100000): Unit = {
+    // TRUE-population degenerate-bucket guard applied at BUILD time
+    // (round 17): rows in (t, key0) buckets over `maxBucket` never
+    // land in the artifact, so readers skip the per-batch full-scan
+    // recount ([[hammingLookupIndexed]] preGuarded) — the guard is a
+    // pure function of the corpus, identical whenever it runs.
+    val keyed = sketchKeyed(corpus, idCol, hashCol, bits, tables, seed)
+      .localCheckpoint(true) // guard count + filtered write share it
+    val ok = keyed.groupBy("t", "key0").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("t", "key0")
+    keyed.join(ok, Seq("t", "key0"), "left_semi")
       .repartition(
         corpus.sparkSession.sessionState.conf.numShufflePartitions,
         col("t"), col("key0"))
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Probe a query batch against a [[buildHammingSketchIndex]] artifact.
-    * (bits, tables, seed, probe) must match the build's sizing —
-    * results are then identical to [[hammingLookupSketch]] on the same
-    * corpus (the spec pins it). */
+    * (bits, tables, seed, probe, maxBucket) must match the build's
+    * sizing — results are then identical to [[hammingLookupSketch]] on
+    * the same corpus (the spec pins it). The build already dropped
+    * degenerate buckets, so the probe is one map-side index scan into a
+    * broadcast of the query ball — the corpus never shuffles (pass
+    * `broadcastQueries = false` and chunk the batch when
+    * |Q|·tables·ball is itself too large to broadcast). */
   def hammingLookupIndexed(spark: org.apache.spark.sql.SparkSession,
                            path: String, queries: DataFrame,
                            idCol: String, hashCol: String,
                            maxHamming: Int, bits: Int = 10, tables: Int = 6,
                            seed: String = "sketch", probe: Int = 2,
-                           maxBucket: Int = 100000): DataFrame =
+                           maxBucket: Int = 100000,
+                           broadcastQueries: Boolean = true): DataFrame =
     lookupJoin(spark.read.parquet(path), queries, idCol, hashCol,
-      maxHamming, bits, tables, seed, probe, maxBucket)
+      maxHamming, bits, tables, seed, probe, maxBucket,
+      preGuarded = true, broadcastQueries = broadcastQueries)
 
   /** Image near-dup CLUSTERS — the q_dedup_clusters shape in the image
     * domain: decode → aHash → exact collapse → [[hammingEdges]] within

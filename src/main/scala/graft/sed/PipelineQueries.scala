@@ -3669,6 +3669,67 @@ object PipelineQueries {
         WHERE query_id != match_id""".replaceAll("\\s+", " ")
       }),
 
+    // WIDE-KEY variant of the asymmetric lookup (round 17, §8 item 2):
+    // same persisted-index probe at bits = 14 — 2^14 = 16,384 buckets
+    // per table instead of 2^10 = 1,024, the corpus-scale dial that
+    // cuts random-collision candidate tails 16× (LookupAB wide mode
+    // receipts the crossover at a 4M-hash corpus; at THIS fixture scale
+    // the two widths are equivalent and the entry certifies the wide
+    // key path's exactness under the driver oracle). t =
+    // sketchTablesForMultiprobe(18, 14, 0.95, 2) = 17 tables at the
+    // same 0.95 recall; collision is EXACTLY bit_count(xor & mask) <= 2
+    // over the 17 inlined 14-bit position masks. The wide path carries
+    // positions as an array literal (the packed-long form caps at 10);
+    // HammingSketchSpec pins wide-key recall, mask-replay equality, and
+    // indexed == inline.
+    "q_image_query_wide" -> QueryDef(
+      (s, d) => {
+        val reps = Multimodal.imageHashes(
+            Multimodal.withPgmPayload(docs(s, d), "text", "payload"),
+            "doc_id", "payload")
+          .filter(col("is_image"))
+          .groupBy("phash").agg(min("doc_id").as("doc_id"))
+          .localCheckpoint(true) // feeds the index build AND the queries
+        val t2 = Multimodal.sketchTablesForMultiprobe(18, 14, 0.95, 2)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_imgqw_idx").toString + "/idx"
+        Multimodal.buildHammingSketchIndex(reps, "doc_id", "phash", idx,
+          14, t2, "sketch")
+        Multimodal.hammingLookupIndexed(s, idx,
+            reps.filter(col("doc_id") % 10 === 0),
+            "doc_id", "phash", maxHamming = 18, bits = 14, tables = t2,
+            probe = 2)
+          .filter(col("query_id") =!= col("match_id"))
+      },
+      Some {
+        val t = Multimodal.sketchTablesForMultiprobe(18, 14, 0.95, 2)
+        val vals = Multimodal.sketchPositions(14, t, "sketch")
+          .map(_.map(p => 1L << p).reduce(_ | _))
+          .zipWithIndex
+          .map { case (m, i) => s"($i, CAST($m AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH $imageHashCtes,
+        reps AS MATERIALIZED (SELECT phash, MIN(doc_id) AS doc_id
+          FROM ihash GROUP BY phash),
+        masks(t, m) AS (VALUES $vals),
+        keyed AS MATERIALIZED (SELECT r.doc_id, r.phash, mk.t AS t,
+            r.phash & mk.m AS kb
+          FROM reps r CROSS JOIN masks mk),
+        ok AS (SELECT t, kb FROM keyed GROUP BY t, kb
+          HAVING COUNT(*) <= 100000),
+        kk AS (SELECT k.doc_id, k.phash, k.t FROM keyed k
+          JOIN ok ON k.t = ok.t AND k.kb = ok.kb),
+        e AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS match_id,
+            CAST(bit_count(xor(q.phash, c.phash)) AS BIGINT) AS hamming
+          FROM reps q
+          JOIN kk c ON bit_count(xor(q.phash, c.phash)
+              & (SELECT m FROM masks WHERE masks.t = c.t)) <= 2
+          WHERE q.doc_id % 10 = 0
+            AND bit_count(xor(q.phash, c.phash)) <= 18)
+        SELECT query_id, match_id, hamming FROM e
+        WHERE query_id != match_id""".replaceAll("\\s+", " ")
+      }),
+
     // Frame-sampled video dedup through the CDC chunker (round 12): each
     // video's sampled-frame hash tokens concatenate in frame order and
     // content-defined chunking runs over THAT sequence — shared clips
