@@ -833,16 +833,19 @@ object Dedup {
       classified.filter(col("status") === "new").select(idCol), Seq(idCol), "left_semi")
       .localCheckpoint(true) // feeds three appends; hashes/ LAST is the gate
     val numBands = numHashes / rowsPerBand
-    withBandKeys(minhashSignatures(admit, idCol, textCol, numHashes, shingleN),
-        numHashes, rowsPerBand)
-      .select(col(idCol).as("keeper"),
-        explode(array((0 until numBands).map(b =>
-          struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
-      .select(col("keeper"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .write.mode("append").parquet(s"$path/bands")
-    shingleSets(admit, idCol, textCol, shingleN)
-      .withColumnRenamed(idCol, "keeper")
-      .write.mode("append").parquet(s"$path/shingles")
+    // bands/ and shingles/ are independent non-gate appends — overlapped
+    // (Par §2.6; r17); hashes/ still lands strictly after both
+    Par.all(
+      () => withBandKeys(minhashSignatures(admit, idCol, textCol, numHashes, shingleN),
+          numHashes, rowsPerBand)
+        .select(col(idCol).as("keeper"),
+          explode(array((0 until numBands).map(b =>
+            struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
+        .select(col("keeper"), col("bk.band").as("band"), col("bk.key").as("key"))
+        .write.mode("append").parquet(s"$path/bands"),
+      () => shingleSets(admit, idCol, textCol, shingleN)
+        .withColumnRenamed(idCol, "keeper")
+        .write.mode("append").parquet(s"$path/shingles"))
     // hashes/ LAST: it is the gate that decides future status, so a crash
     // between the appends replays the whole admit identically (the doc
     // still classifies `new`); the duplicate band/shingle rows that
@@ -862,19 +865,23 @@ object Dedup {
                         path: String, destPath: String,
                         maxBucket: Int = 10000): Unit = {
     requireDistinctPaths(spark, path, destPath)
-    spark.read.parquet(s"$path/hashes")
-      .groupBy("content_hash").agg(min("keeper").as("keeper"))
-      .write.mode("overwrite").parquet(s"$destPath/hashes")
-    // distinct drops crash-replay duplicate rows; distinct KEEPERS for the
-    // cap so that debris cannot push a legitimate bucket over it
-    val bands = spark.read.parquet(s"$path/bands").distinct().localCheckpoint(true)
-    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket).select("band", "key")
-    bands.join(ok, Seq("band", "key"), "left_semi").repartition(col("key"))
-      .write.mode("overwrite").parquet(s"$destPath/bands")
-    spark.read.parquet(s"$path/shingles")
-      .groupBy("keeper").agg(first("sh").as("sh"))
-      .write.mode("overwrite").parquet(s"$destPath/shingles")
+    // the three table rewrites are independent — overlapped (Par; r17)
+    Par.all(
+      () => spark.read.parquet(s"$path/hashes")
+        .groupBy("content_hash").agg(min("keeper").as("keeper"))
+        .write.mode("overwrite").parquet(s"$destPath/hashes"),
+      () => {
+        // distinct drops crash-replay duplicate rows; distinct KEEPERS for
+        // the cap so that debris cannot push a legitimate bucket over it
+        val bands = spark.read.parquet(s"$path/bands").distinct().localCheckpoint(true)
+        val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("band", "key")
+        bands.join(ok, Seq("band", "key"), "left_semi").repartition(col("key"))
+          .write.mode("overwrite").parquet(s"$destPath/bands")
+      },
+      () => spark.read.parquet(s"$path/shingles")
+        .groupBy("keeper").agg(first("sh").as("sh"))
+        .write.mode("overwrite").parquet(s"$destPath/shingles"))
     copyIngestMarker(spark, path, destPath)
   }
 
@@ -1043,19 +1050,23 @@ object Dedup {
         () => spark.read.parquet(s"$path/shingles")
           .groupBy("keeper").agg(first("sh").as("sh"))
           .write.mode("overwrite").parquet(s"$destPath/shingles"))
-    ).map { case (t, fold, full) =>
+    )
+    // per-table moves are independent (distinct src/dest dirs, manifest
+    // written after ALL) — overlap them so one table's fold/rewrite tail
+    // back-fills the others' (Par §2.6; r17)
+    val moved = Par.run(actions.map { case (t, fold, full) => () =>
       val (act, files, tiers) = moveTableDelta(spark, path, destPath, t,
         manifest.getOrElse(t, Set.empty),
         manifest.getOrElse(s"$t#tiers", Set.empty)
           .headOption.map(_.toInt).getOrElse(0),
         fullRewriteOver, fold, full)
       (t, act, files, tiers)
-    }
+    })
     writeCompactManifest(fs, destPath,
-      actions.flatMap { case (t, _, f, tiers) =>
+      moved.flatMap { case (t, _, f, tiers) =>
         Seq(t -> f, s"$t#tiers" -> Seq(tiers.toString)) }.toMap)
     copyIngestMarker(spark, path, destPath)
-    actions.map { case (t, a, _, _) => t -> a }.toMap
+    moved.map { case (t, a, _, _) => t -> a }.toMap
   }
 
   /** [[compactDedupIndexDelta]] for the SPLIT index (adds the clusters
@@ -1092,19 +1103,21 @@ object Dedup {
       ("hashes", (d: DataFrame) => d.distinct(),
         () => spark.read.parquet(s"$path/hashes").distinct()
           .write.mode("overwrite").parquet(s"$destPath/hashes"))
-    ).map { case (t, fold, full) =>
+    )
+    // independent per-table moves overlap (see compactDedupIndexDelta)
+    val moved = Par.run(actions.map { case (t, fold, full) => () =>
       val (act, files, tiers) = moveTableDelta(spark, path, destPath, t,
         manifest.getOrElse(t, Set.empty),
         manifest.getOrElse(s"$t#tiers", Set.empty)
           .headOption.map(_.toInt).getOrElse(0),
         fullRewriteOver, fold, full)
       (t, act, files, tiers)
-    }
+    })
     writeCompactManifest(fs, destPath,
-      actions.flatMap { case (t, _, f, tiers) =>
+      moved.flatMap { case (t, _, f, tiers) =>
         Seq(t -> f, s"$t#tiers" -> Seq(tiers.toString)) }.toMap)
     copyIngestMarker(spark, path, destPath)
-    actions.map { case (t, a, _, _) => t -> a }.toMap
+    moved.map { case (t, a, _, _) => t -> a }.toMap
   }
 
   /** One classify-and-admit step of the exact-dedup ingestion loop over
@@ -1457,11 +1470,16 @@ object Dedup {
     val banded = withBandKeys(
       minhashSignatures(reps, idCol, textCol, numHashes, shingleN),
       numHashes, rowsPerBand)
-    val dBands = banded.select(col(idCol),
+    val dBands0 = banded.select(col(idCol),
         explode(array((0 until numBands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("key"))): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint(true) // feeds the candidate join AND the admit
+    // dBands (feeds the candidate join AND the admit) and shB (the
+    // verify shingle sets) derive independently from the materialized
+    // reps — their eager materializations overlap (Par §2.6; r17)
+    val Seq(dBands, shB) = Par.run(Seq(
+      () => dBands0.localCheckpoint(true),
+      () => shingleSets(reps, idCol, textCol, shingleN).localCheckpoint(true)))
     // cross-batch probe, SKEW-GUARDED: a degenerate band key accumulates
     // index rows across batches, so an uncapped probe's matched set for
     // that key would grow per batch and erode the O(|batch| + matched)
@@ -1485,8 +1503,6 @@ object Dedup {
         Seq("band", "key"))
       .select(col(idCol).as("a_id"), col("keeper").as("b_id")).distinct()
     // verify: in-batch over fresh shingle sets; cross against the index's
-    val shB = shingleSets(reps, idCol, textCol, shingleN)
-      .localCheckpoint(true)
     val verIn = jaccardOf(candIn
         .join(shB.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
         .join(shB.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id"))
@@ -1508,21 +1524,19 @@ object Dedup {
           .select(col("a_id"), col("__lab").as("b_id")))
       .localCheckpoint(true)
     val comps = connectedComponentsAuto(edges).localCheckpoint(true)
-    // new label per new rep (own id when untouched)
-    val repLab = reps.select(col(idCol))
-      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol).as("keeper"), coalesce(col("label"), col(idCol)).as("label"))
-      .localCheckpoint(true) // feeds the clusters append AND the output join
-    // merge corrections: a touched label whose component min moved down
-    val remaps = kLab.select(col("__lab").as("old_label")).distinct()
-      .join(comps.withColumnRenamed("id", "old_label"), Seq("old_label"))
-      .filter(col("label") < col("old_label"))
-      .localCheckpoint(true)
-    val corrections = idxClusters
-      .join(remaps.select(col("old_label").as("label"),
-        col("label").as("__new")), Seq("label"))
-      .select(col("keeper"), col("__new").as("label"))
-      .localCheckpoint(true) // materialized BEFORE the clusters/ append reads+writes the same path
+    // repLab (new label per new rep — own id when untouched; feeds the
+    // clusters append AND the output join) and remaps (merge
+    // corrections: a touched label whose component min moved down) both
+    // derive only from materialized frames — overlapped (Par; r17)
+    val Seq(repLab, remaps) = Par.run(Seq(
+      () => reps.select(col(idCol))
+        .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .select(col(idCol).as("keeper"), coalesce(col("label"), col(idCol)).as("label"))
+        .localCheckpoint(true),
+      () => kLab.select(col("__lab").as("old_label")).distinct()
+        .join(comps.withColumnRenamed("id", "old_label"), Seq("old_label"))
+        .filter(col("label") < col("old_label"))
+        .localCheckpoint(true)))
     // at-ingest assignment for EVERY batch doc: corpus-dup docs resolve
     // their keeper's post-batch label; batch docs take their rep's
     val corpusLab = idxClusters
@@ -1534,13 +1548,22 @@ object Dedup {
       .select(col("keeper").as("__ck"),
         coalesce(col("__r"), col("__lab0")).as("__clab"))
     val batchLab = repLab.select(col("keeper").as("__dk"), col("label").as("__blab"))
-    val assigned = tagged
-      .join(corpusLab, Seq("__ck"), "left")
-      .join(batchLab, Seq("__dk"), "left")
-      .select(col(idCol),
-        coalesce(col("__clab"), col("__blab")).as("cluster_label"))
-      .withColumn("split", splitOf(col("cluster_label"), seed))
-      .localCheckpoint(true)
+    // corrections (materialized BEFORE the clusters/ append reads+writes
+    // the same path) and assigned are independent given remaps/repLab —
+    // overlapped (Par; r17)
+    val Seq(corrections, assigned) = Par.run(Seq(
+      () => idxClusters
+        .join(remaps.select(col("old_label").as("label"),
+          col("label").as("__new")), Seq("label"))
+        .select(col("keeper"), col("__new").as("label"))
+        .localCheckpoint(true),
+      () => tagged
+        .join(corpusLab, Seq("__ck"), "left")
+        .join(batchLab, Seq("__dk"), "left")
+        .select(col(idCol),
+          coalesce(col("__clab"), col("__blab")).as("cluster_label"))
+        .withColumn("split", splitOf(col("cluster_label"), seed))
+        .localCheckpoint(true)))
     // the replay marker commits BEFORE any external write — see the
     // staged docstring's crash-window analysis
     ingestMm.foreach(recordIngestMax(spark, path, _))
@@ -1551,13 +1574,17 @@ object Dedup {
       // the earlier appends' duplicates are harmless by construction
       // (label rows absorb into min-resolution, duplicate band rows into
       // the candidate distinct, duplicate shingle rows only re-emit edges
-      // CC already contracts) and compaction reclaims the space.
-      corrections.unionByName(repLab)
-        .write.mode("append").parquet(s"$path/clusters")
-      dBands.select(col(idCol).as("keeper"), col("band"), col("key"))
-        .write.mode("append").parquet(s"$path/bands")
-      shB.withColumnRenamed(idCol, "keeper")
-        .write.mode("append").parquet(s"$path/shingles")
+      // CC already contracts) and compaction reclaims the space. The
+      // three non-gate appends are mutually independent (distinct
+      // tables, all inputs localCheckpointed) — overlapped (Par; r17);
+      // only the gate's strictly-after ordering is crash-semantic.
+      Par.all(
+        () => corrections.unionByName(repLab)
+          .write.mode("append").parquet(s"$path/clusters"),
+        () => dBands.select(col(idCol).as("keeper"), col("band"), col("key"))
+          .write.mode("append").parquet(s"$path/bands"),
+        () => shB.withColumnRenamed(idCol, "keeper")
+          .write.mode("append").parquet(s"$path/shingles"))
       repLab.select(col("keeper").as(idCol))
         .join(tagged.select(col(idCol), col("__h")), Seq(idCol))
         .select(col("__h").as("content_hash"), col(idCol).as("keeper"))
@@ -1582,20 +1609,26 @@ object Dedup {
                         path: String, destPath: String,
                         maxBucket: Int = 10000): Unit = {
     requireDistinctPaths(spark, path, destPath)
-    spark.read.parquet(s"$path/clusters")
-      .groupBy("keeper").agg(min("label").as("label"))
-      .write.mode("overwrite").parquet(s"$destPath/clusters")
-    val sBands = spark.read.parquet(s"$path/bands").distinct()
-      .localCheckpoint(true)
-    val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket).select("band", "key")
-    sBands.join(sOk, Seq("band", "key"), "left_semi")
-      .write.mode("overwrite").parquet(s"$destPath/bands")
-    spark.read.parquet(s"$path/shingles")
-      .groupBy("keeper").agg(first("sh").as("sh"))
-      .write.mode("overwrite").parquet(s"$destPath/shingles")
-    spark.read.parquet(s"$path/hashes").distinct()
-      .write.mode("overwrite").parquet(s"$destPath/hashes")
+    // the four table rewrites are independent (distinct src/dest) —
+    // overlapped so each rewrite's reduce tail back-fills the next
+    // rewrite's scan (Par §2.6; r17)
+    Par.all(
+      () => spark.read.parquet(s"$path/clusters")
+        .groupBy("keeper").agg(min("label").as("label"))
+        .write.mode("overwrite").parquet(s"$destPath/clusters"),
+      () => {
+        val sBands = spark.read.parquet(s"$path/bands").distinct()
+          .localCheckpoint(true)
+        val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket).select("band", "key")
+        sBands.join(sOk, Seq("band", "key"), "left_semi")
+          .write.mode("overwrite").parquet(s"$destPath/bands")
+      },
+      () => spark.read.parquet(s"$path/shingles")
+        .groupBy("keeper").agg(first("sh").as("sh"))
+        .write.mode("overwrite").parquet(s"$destPath/shingles"),
+      () => spark.read.parquet(s"$path/hashes").distinct()
+        .write.mode("overwrite").parquet(s"$destPath/hashes"))
     copyIngestMarker(spark, path, destPath)
   }
 
@@ -1637,23 +1670,28 @@ object Dedup {
     val keep = cur.join(
         tombstones.withColumnRenamed("old_label", "label"), Seq("label"), "left_anti")
       .localCheckpoint(true)
-    keep.select("keeper", "label")
-      .write.mode("overwrite").parquet(s"$destPath/clusters")
     val keepKeepers = keep.select("keeper")
-    val sBands = spark.read.parquet(s"$path/bands").distinct()
-      .join(keepKeepers, Seq("keeper"), "left_semi")
-      .localCheckpoint(true)
-    val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket).select("band", "key")
-    sBands.join(sOk, Seq("band", "key"), "left_semi")
-      .write.mode("overwrite").parquet(s"$destPath/bands")
-    spark.read.parquet(s"$path/shingles")
-      .groupBy("keeper").agg(first("sh").as("sh"))
-      .join(keepKeepers, Seq("keeper"), "left_semi")
-      .write.mode("overwrite").parquet(s"$destPath/shingles")
-    spark.read.parquet(s"$path/hashes").distinct()
-      .join(keepKeepers, Seq("keeper"), "left_semi")
-      .write.mode("overwrite").parquet(s"$destPath/hashes")
+    // keep/ tombstones are materialized (localCheckpoint) — the four
+    // retained-table rewrites are independent and overlap (Par; r17)
+    Par.all(
+      () => keep.select("keeper", "label")
+        .write.mode("overwrite").parquet(s"$destPath/clusters"),
+      () => {
+        val sBands = spark.read.parquet(s"$path/bands").distinct()
+          .join(keepKeepers, Seq("keeper"), "left_semi")
+          .localCheckpoint(true)
+        val sOk = sBands.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket).select("band", "key")
+        sBands.join(sOk, Seq("band", "key"), "left_semi")
+          .write.mode("overwrite").parquet(s"$destPath/bands")
+      },
+      () => spark.read.parquet(s"$path/shingles")
+        .groupBy("keeper").agg(first("sh").as("sh"))
+        .join(keepKeepers, Seq("keeper"), "left_semi")
+        .write.mode("overwrite").parquet(s"$destPath/shingles"),
+      () => spark.read.parquet(s"$path/hashes").distinct()
+        .join(keepKeepers, Seq("keeper"), "left_semi")
+        .write.mode("overwrite").parquet(s"$destPath/hashes"))
     copyIngestMarker(spark, path, destPath)
     tombstones
   }
@@ -2091,13 +2129,17 @@ object Dedup {
     * Both writes shuffle hashes and ids; text moves once, straight into
     * its bucket. */
   def buildSubstringIndex(corpus: DataFrame, idCol: String, textCol: String,
-                          path: String, k: Int = 16, w: Int = 25): Unit = {
-    earliestAnchors(corpus, idCol, textCol, k, w)
-      .write.mode("overwrite").parquet(s"$path/anchors")
-    corpus.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("tb", pmod(col("id"), lit(SubstrTextBuckets)).cast("int"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/texts")
-  }
+                          path: String, k: Int = 16, w: Int = 25): Unit =
+    // the two halves are independent writes — overlapped (Par §2.6; r17).
+    // Crash contract unchanged: readers require BOTH anchors/ and texts/
+    // to exist (either-half-only re-founds with overwrite), so partial
+    // completion in ANY order is absorbed.
+    Par.all(
+      () => earliestAnchors(corpus, idCol, textCol, k, w)
+        .write.mode("overwrite").parquet(s"$path/anchors"),
+      () => corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("tb", pmod(col("id"), lit(SubstrTextBuckets)).cast("int"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/texts"))
 
   /** One (h, e_id, e_pos) row per distinct winnowed-anchor hash: the
     * (id, pos)-earliest occurrence — the index unit of
@@ -2227,12 +2269,17 @@ object Dedup {
                              delta: DataFrame, idCol: String, textCol: String,
                              path: String, k: Int = 16, w: Int = 25): Unit = {
     val idxH = spark.read.parquet(s"$path/anchors").select("h")
-    earliestAnchors(delta, idCol, textCol, k, w)
-      .join(idxH, Seq("h"), "left_anti")
-      .write.mode("append").parquet(s"$path/anchors")
-    delta.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("tb", pmod(col("id"), lit(SubstrTextBuckets)).cast("int"))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/texts")
+    // independent tables — overlapped (Par; r17). Replay in either crash
+    // order is absorbed: anchor re-appends anti-join away, duplicate
+    // text rows only fan out extension seeds the final distinct
+    // re-collapses (the streamingSubstringDedup restart contract).
+    Par.all(
+      () => earliestAnchors(delta, idCol, textCol, k, w)
+        .join(idxH, Seq("h"), "left_anti")
+        .write.mode("append").parquet(s"$path/anchors"),
+      () => delta.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("tb", pmod(col("id"), lit(SubstrTextBuckets)).cast("int"))
+        .write.mode("append").partitionBy("tb").parquet(s"$path/texts"))
   }
 
   /** Rewrite a substring index compactly: coalesce append-accumulated
@@ -2243,12 +2290,14 @@ object Dedup {
   def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
                             path: String, destPath: String): Unit = {
     requireDistinctPaths(spark, path, destPath)
-    spark.read.parquet(s"$path/anchors")
-      .groupBy("h").agg(min(struct(col("e_id"), col("e_pos"))).as("__e"))
-      .select(col("h"), col("__e")("e_id").as("e_id"), col("__e")("e_pos").as("e_pos"))
-      .write.mode("overwrite").parquet(s"$destPath/anchors")
-    writeTextsReadable(spark,
-      spark.read.parquet(s"$path/texts").repartition(col("tb")), destPath)
+    // independent table rewrites — overlapped (Par; r17)
+    Par.all(
+      () => spark.read.parquet(s"$path/anchors")
+        .groupBy("h").agg(min(struct(col("e_id"), col("e_pos"))).as("__e"))
+        .select(col("h"), col("__e")("e_id").as("e_id"), col("__e")("e_pos").as("e_pos"))
+        .write.mode("overwrite").parquet(s"$destPath/anchors"),
+      () => writeTextsReadable(spark,
+        spark.read.parquet(s"$path/texts").repartition(col("tb")), destPath))
   }
 
   /** Write a (possibly empty) `texts/` table so it is ALWAYS readable.
@@ -2304,15 +2353,17 @@ object Dedup {
     val tombstones = cur.filter(col("e_id") < epochMin)
       .select(col("h"), col("e_id"))
       .localCheckpoint(true) // survives the source generation's GC
-    cur.filter(col("e_id") >= epochMin)
-      .write.mode("overwrite").parquet(s"$destPath/anchors")
     // horizon past every text id leaves zero survivors — the marker in
     // writeTextsReadable keeps the store readable instead of leaving a
-    // schema-inference trap (r15 §8 empty-survivor hardening)
-    writeTextsReadable(spark,
-      spark.read.parquet(s"$path/texts")
-        .filter(col("id") >= epochMin)
-        .repartition(col("tb")), destPath)
+    // schema-inference trap (r15 §8 empty-survivor hardening).
+    // cur/tombstones are materialized — the two rewrites overlap (Par; r17)
+    Par.all(
+      () => cur.filter(col("e_id") >= epochMin)
+        .write.mode("overwrite").parquet(s"$destPath/anchors"),
+      () => writeTextsReadable(spark,
+        spark.read.parquet(s"$path/texts")
+          .filter(col("id") >= epochMin)
+          .repartition(col("tb")), destPath))
     tombstones
   }
 

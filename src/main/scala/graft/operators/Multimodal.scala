@@ -741,24 +741,18 @@ object Multimodal {
     // sampled positions; wider keys live on the asymmetric lookup path
     require(bits <= 10, "hammingEdgesSketch supports bits <= 10")
     val pos = sketchPositions(bits, tables, seed)
-    // one packed long per table (6 bits per position, s <= 10 -> 60 bits)
-    // rides a single typedlit — same codegen-volume discipline as the
-    // wide operator's mask table
-    val packed: Array[Long] = pos.map(_.zipWithIndex.map {
-      case (p, i) => p.toLong << (6 * i)
-    }.reduce(_ | _))
     val np = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val h0 = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
     // pre-spread before the ×tables explode (see wide); false when the
     // caller's relation is already multi-partition and AQE-exempt
     val h = if (preSpread) h0.repartition(np) else h0
+    // ALL table keys in one native loop (SketchKeys — r17: the former
+    // per-(row × table) interpreted aggregate() fold dominated the scan
+    // at 110 tables), posexploded back to the identical (t, key0) rows
     val base = h
-      .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
-      .select(col("id"), col("ph"), col("t"),
-        expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
-          (acc, i) -> acc * 2 +
-            (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
-          .as("key0"))
+      .select(col("id"), col("ph"),
+        posexplode(org.apache.spark.sql.graft.SketchKeys(col("ph"), pos))
+          .as(Seq("t", "key0")))
     // MULTIPROBE (Lv et al. 2007), split across the self-join's sides
     // like the wide operator's enumeration: flipping sampled position i
     // is flipping BIT i of the packed key — position-independent — so
@@ -872,24 +866,14 @@ object Multimodal {
     val np = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).cast("long").as("id"), col(hashCol).as("ph"))
       .repartition(np) // pre-spread before the ×tables explode
-    if (bits <= 10) {
-      val packed: Array[Long] = sketchPositions(bits, tables, seed)
-        .map(_.zipWithIndex.map { case (p, i) => p.toLong << (6 * i) }.reduce(_ | _))
-      base
-        .select(col("id"), col("ph"), posexplode(typedlit(packed)).as(Seq("t", "pk")))
-        .select(col("id"), col("ph"), col("t"),
-          expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
-            (acc, i) -> acc * 2 +
-              (shiftright(ph, CAST(shiftright(pk, i * 6) & 63 AS INT)) & 1))""")
-            .as("key0"))
-    } else {
-      val pos: Array[Seq[Int]] = sketchPositions(bits, tables, seed).map(_.toSeq)
-      base
-        .select(col("id"), col("ph"), posexplode(typedlit(pos)).as(Seq("t", "pk")))
-        .select(col("id"), col("ph"), col("t"),
-          expr("""aggregate(pk, CAST(0 AS BIGINT),
-            (acc, p) -> acc * 2 + (shiftright(ph, p) & 1))""").as("key0"))
-    }
+    // ALL table keys in one native loop (SketchKeys — r17; replaces the
+    // per-(row × table) interpreted aggregate() fold on BOTH the packed
+    // (bits <= 10) and array-literal (11..16) paths — key0 arithmetic
+    // unchanged, so the persisted-index layout and every oracle replay
+    // are bit-identical)
+    base.select(col("id"), col("ph"),
+      posexplode(org.apache.spark.sql.graft.SketchKeys(
+        col("ph"), sketchPositions(bits, tables, seed))).as(Seq("t", "key0")))
   }
 
   /** The query-ball-vs-keyed-corpus join shared by [[hammingLookupSketch]]

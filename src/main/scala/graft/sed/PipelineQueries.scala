@@ -1113,8 +1113,12 @@ object PipelineQueries {
     "q_token_fertility" -> QueryDef(
       (s, d) => {
         val df = docs(s, d)
-        val (_, bpeVocab) = Tokenizer.bpeFitWithVocab(df, "text", BpeK)
-        val (_, wpVocab) = Tokenizer.wordpieceFitWithVocab(df, "text", BpeK)
+        // the two K-round fit loops are independent driver-side job
+        // sequences — overlapped (Par §2.6; r17): each round's small
+        // pair-count jobs back-fill the other loop's argmax gaps
+        val Seq(bpeVocab, wpVocab) = graft.operators.Par.run(Seq(
+          () => Tokenizer.bpeFitWithVocab(df, "text", BpeK)._2,
+          () => Tokenizer.wordpieceFitWithVocab(df, "text", BpeK)._2))
         val enc = Tokenizer.bpeApplyTrained(df, "doc_id", "text", bpeVocab)
           .select(col("doc_id"), col("n_bpe_tokens").as("__n_sub"),
             lit("bpe").as("algorithm"))
@@ -1950,29 +1954,29 @@ object PipelineQueries {
     // corpus sum is order-independent and engine-exact:
     // H_u = lnU(n) − (Σ c·lnU(c)) div n with lnU = floor(round(ln,6)·1e6
     // + 0.5) — the Lm.scala micro-unit pattern. The whole operator is
-    // MAP-ONLY in Spark: per-doc char counts come from an in-row
-    // sort + run-cut of the char array (the Classifier.featurize trick),
-    // never a corpus-wide (doc, char) shuffle; the oracle groups by
-    // (doc, char) instead — shapes differ, integers agree.
+    // MAP-ONLY in Spark: per-doc char counts come from ONE native pass
+    // (CharRunCounts — r17: the former regexp_extract_all char-array +
+    // array_sort + run-cut built a UTF8String and a Matcher region PER
+    // CHARACTER and dominated the 100× scan at 58 s; the fused
+    // expression emits the same count multiset), never a corpus-wide
+    // (doc, char) shuffle; the oracle groups by (doc, char) instead —
+    // shapes differ, integers agree (CharEntropySpec pins the
+    // formulation equality on unicode/empty/flood fixtures).
     "q_char_entropy" -> QueryDef(
       (s, d) => {
         def lnU(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           floor(round(log(x.cast("double")), 6) * 1000000 + 0.5).cast("long")
         docs(s, d)
-          .withColumn("__cs", array_sort(
-            regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))))
-          .filter(size(col("__cs")) >= 1)
-          .withColumn("__st", filter(sequence(lit(0), size(col("__cs")) - 1),
-            i => (i === 0) || (get(col("__cs"), i) =!= get(col("__cs"), i - 1))))
-          .withColumn("__cnts", transform(sequence(lit(0), size(col("__st")) - 1),
-            j => (coalesce(get(col("__st"), j + 1), size(col("__cs")))
-              - get(col("__st"), j)).cast("long")))
-          .withColumn("__n", size(col("__cs")).cast("long"))
+          .withColumn("__cnts",
+            org.apache.spark.sql.graft.CharRunCounts(col("text")))
+          .filter(size(col("__cnts")) >= 1)
+          .withColumn("__n",
+            aggregate(col("__cnts"), lit(0L), (acc, c) => acc + c))
           .withColumn("__S",
             aggregate(col("__cnts"), lit(0L), (acc, c) => acc + c * lnU(c)))
           .select(col("doc_id"),
             col("__n").as("n_chars_tot"),
-            size(col("__st")).cast("long").as("n_distinct_chars"),
+            size(col("__cnts")).cast("long").as("n_distinct_chars"),
             // `div` = exact integer division (DuckDB `//` twin)
             (lnU(col("__n")) - expr("__S div __n")).as("entropy_u"))
       },

@@ -811,7 +811,7 @@ object SedStreaming {
   private val RowsPerChunk = 1500000L
 
   def stageFileStream(df: DataFrame, tsCol: String, dir: String,
-                      chunks: Int = 0): Unit = {
+                      chunks: Int = 0): Int = {
     val n =
       if (chunks > 0) chunks
       else math.min(16L, math.max(3L,
@@ -830,6 +830,9 @@ object SedStreaming {
     parts.zipWithIndex.foreach { case (part, i) =>
       fs.setTimes(part, base + i * 60000L, -1)
     }
+    // the chunk count doubles as the caller's feed-size signal (scale-
+    // adaptive state partitioning derives from it — r17)
+    n
   }
 
   /** Stage a batch table as a DETERMINISTIC file-source feed (round 13):

@@ -71,6 +71,12 @@ object StreamingQueries {
     val s2 = s.newSession()
     SedQueries.ensureConfs(s2)
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // A/B hook (r17): flip confs inside the cloned stream session from
+    // the environment without touching the caller's session — profiling
+    // only, never set by the contract entries themselves
+    sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); s2.conf.set(k, v)
+    })
     // processAllAvailable() would otherwise schedule no-data micro-batches
     // purely to advance the watermark — re-committing EVERY state store
     // delta (8 per partition for a stream-stream join) with zero new rows,
@@ -219,31 +225,41 @@ object StreamingQueries {
     * two watermarks together. */
   def streamEnrich(s0: SparkSession, d: String): DataFrame = {
     SedQueries.ensureConfs(s0)
-    // The stream-stream join is PROBE-CPU-bound on RocksDB, not
-    // commit-bound as it was on the HDFS provider (r16 profile,
-    // EnrichFileStress breakdown at 100×: 1,394 s of state-update task
-    // time — 536M gets through the disk format — against 5.8 s of
-    // commit; changelog checkpointing already made commits cheap). The
-    // r15 setting halved partitions to 4 to cut per-batch delta-commit
-    // count, which CONCURRENCY-STARVED the probe at scale: 4 → 16
-    // partitions measured 467.5 → 142.1 s at 100× (3.3×) with heap
-    // still bounded (2.8 GB). The small-feed fixed cost this buys back
-    // is real but bounded (warm sf0.1 A/B: 5.5 → 9.1 s) and the 100×
-    // saving is ~25× larger — the scale-correct trade.
-    val s = streamSession(s0, StatePartitions * 2)
     val base = Tables.events(s0, d)
       .selectExpr("CAST(event_id AS BIGINT) AS event_id", "ts_us",
         "CAST(value AS DOUBLE) AS v")
     val evDir = tmp("graft_enrich_ev")
     val snDir = tmp("graft_enrich_sn")
-    SedStreaming.stageFileStream(base, "ts_us", evDir)
+    val evChunks = SedStreaming.stageFileStream(base, "ts_us", evDir)
     SedStreaming.stageFileStream(
       base.filter(col("event_id") % 100 === 0).toDF("sensor_id", "sts_us", "reading"),
       "sts_us", snDir)
+    val s = streamSession(s0, enrichStatePartitions(evChunks))
     runToParquet(s, enrichChain(
       SedStreaming.fileStream(s, evDir, evSchema),
       SedStreaming.fileStream(s, snDir, snSchema)))
   }
+
+  /** SCALE-ADAPTIVE state partitioning for the stream-stream join
+    * (optimization guide §2: derive partitioning from input size, never a
+    * constant tuned for one scale). The join is PROBE-CPU-bound on
+    * RocksDB at scale, not commit-bound (r16 profile, EnrichFileStress
+    * breakdown at 100×: 1,394 s of state-update task time — 536M gets
+    * through the disk format — against 5.8 s of commit; changelog
+    * checkpointing already made commits cheap): 4 → 16 partitions
+    * measured 467.5 → 142.1 s at 100× (3.3×) with heap still bounded
+    * (2.8 GB). On SMALL feeds the trade inverts — per-batch delta-commit
+    * count dominates and fewer partitions win (r16's warm sf0.1 A/B:
+    * 5.5 s at 4 partitions vs 9.1 s at 16; the r16 artifact paid
+    * 4.80 → 6.65 s for pinning 16 globally). The staged chunk count IS
+    * the feed-size signal (~1.5M rows/chunk): feeds under ~6M rows keep
+    * the commit-bound setting, larger feeds take the probe-concurrency
+    * one. Results are partition-invariant (the driver oracle re-certifies
+    * the entry at every SF; FileStreamSpec pins twin equality). A
+    * production deployment sizes this from its own cluster/feed instead
+    * — the derivation, not the constants, is the contract. */
+  private[streaming] def enrichStatePartitions(chunks: Int): Int =
+    if (chunks >= 5) StatePartitions * 2 else StatePartitions / 2
 
   /** Incremental windowed histogram — the flagship sed streaming shape:
     * per-event value binned within event-time windows, counts maintained
@@ -904,14 +920,16 @@ object StreamingQueries {
 
     def streamEnrich(s0: SparkSession, d: String): DataFrame = {
       SedQueries.ensureConfs(s0)
-      // same partition config as the contract entry (r16 moved it to
-      // StatePartitions * 2) so the twin exercises the shipped plan
-      val s = streamSession(s0, StatePartitions * 2)
-      import s.implicits._
+      import s0.implicits._
       val base = Tables.events(s0, d)
         .selectExpr("CAST(event_id AS BIGINT) AS id", "ts_us",
           "CAST(value AS DOUBLE) AS v")
         .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+      // same SCALE-ADAPTIVE partition rule as the contract entry
+      // (enrichStatePartitions over the contract's ~1.5M-row chunking)
+      // so the twin exercises the shipped configuration at every scale
+      val s = streamSession(s0, enrichStatePartitions(
+        math.max(3, (base.length + 1499999) / 1500000)))
       val sensorRows = base.filter(_._1 % 100 == 0)
       val evMs = emptyStream[(Long, Long, Double)](s)
       val snMs = emptyStream[(Long, Long, Double)](s)
