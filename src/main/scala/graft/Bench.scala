@@ -188,11 +188,38 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(0.0)},"triples":$triples,"plans":$plansJson,"queries":${qmap(10000)}}"""
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},$env,"spread":${spmap(1.3)},"queries":${qmap(1000)}}"""
     // the TRUE last stdout line must fit the driver's bounded tail
-    // capture (~2 KB, keeps the END of the stream — the 8 KB per-query
-    // compact line was front-truncated mid-key in rounds 9-10): a
-    // per-query-map-free summary the driver can always parse; the
-    // detail lives in the committed BENCH_LOCAL.json
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"n":${results.length},$env}"""
+    // capture (2000 chars, keeps the END of the stream — the 8 KB
+    // per-query compact line was front-truncated mid-key in rounds 9-10
+    // and again in the r17 driver run, leaving PERF_r17.per_query EMPTY).
+    // r18 measurement fix (guide §1; VERDICT r17 item 2): fold a
+    // per-query map back INTO the final line — the driver contract has
+    // always been one JSON line WITH "queries" — but bounded so the
+    // whole line survives the 2000-char window: entries are added in
+    // DESCENDING median order (the expensive entries are the
+    // comparability signal; the omitted cheap ones sum to noise) until
+    // the line reaches ~1900 chars. "queries_in_line" vs "n" makes the
+    // truncation explicit, and the COMPLETE map still ships three ways:
+    // the compact line above, the chunked lines below, and the committed
+    // BENCH_LOCAL.json.
+    val byCost = results.filter(_._2 >= 0).sortBy { case (k, m, _, _, _) => (-m, k) }
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"sf":${q(sfDir)},"n":${results.length},$env,"queries_in_line":NNN,"queries":{"""
+    val budget = 1900 - head.length - 2
+    val inLine = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    byCost.foreach { case (k, m, _, _, _) =>
+      val ent = s"${q(k)}:${rd(m, 1000)}"
+      if (used + ent.length + 1 <= budget) { inLine += ent; used += ent.length + 1 }
+    }
+    val summary = head.replace("NNN", inLine.length.toString) +
+      inLine.mkString(",") + "}}"
+    // complete per-query coverage in tail-safe CHUNK lines (each a valid
+    // standalone JSON object well under the capture window) printed just
+    // before the summary — a reader of any suffix of the stream can
+    // reconstruct the map for every entry the window reaches
+    val chunkLines = results.map { case (k, m, _, _, _) => s"${q(k)}:${rd(m, 1000)}" }
+      .grouped(30).zipWithIndex.map { case (g, i) =>
+        s"""{"metric":"bench_queries","part":${i + 1},"runs":$runs,"queries":{${g.mkString(",")}}}"""
+      }.toSeq
     // a filtered run must never masquerade as the committed full artifact
     val artifact = if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
@@ -201,8 +228,9 @@ object Bench {
     spark.stop()
     // after spark.stop() so no shutdown logging follows it
     println(compact)
+    chunkLines.foreach(println)
     println(summary)
-    emitAfterSbt(summary)
+    emitAfterSbt(chunkLines :+ summary)
   }
 
   /** Driver-artifact self-sufficiency (round 10): under a forked sbt run
@@ -220,19 +248,25 @@ object Bench {
     * no-op flag for pipes/ttys. Bounded 120 s poll; a no-proc or
     * no-permission environment degrades to a silent no-op (the normal
     * println above already carried the data). */
-  private def emitAfterSbt(json: String): Unit =
+  private def emitAfterSbt(jsonLines: Seq[String]): Unit =
     try {
       val stat = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
       // /proc/self/stat: `pid (comm) state ppid …` — comm may contain
       // spaces/parens, so parse from the LAST ')'
       val ppid = stat.substring(stat.lastIndexOf(')') + 2).split(" ")(1)
-      require(json.indexOf('\'') < 0, "packed JSON must stay shell-single-quote safe")
+      jsonLines.foreach(j =>
+        require(j.indexOf('\'') < 0, "packed JSON must stay shell-single-quote safe"))
+      // r18: re-emit the per-query chunk lines AND the summary, so the
+      // true last bytes of the driver's captured stream are maximally
+      // per-query data (the chunk lines preceding the final summary)
+      // rather than sbt's `[success]` banner
+      val body = jsonLines.map(j => s"printf '%s\\n' '$j'").mkString("\n")
       val script =
         s"""exec >>/proc/$ppid/fd/1 2>/dev/null || exit 0
            |i=0
            |while [ -e /proc/$ppid ] && [ $$i -lt 600 ]; do sleep 0.2; i=$$((i+1)); done
-           |printf '%s\\n' '$json'
+           |$body
            |""".stripMargin
       new ProcessBuilder("sh", "-c", script).start()
       ()

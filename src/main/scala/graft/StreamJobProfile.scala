@@ -16,12 +16,28 @@ import org.apache.spark.sql.SparkSession
 object StreamJobProfile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    var builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook (moved here from streamSession in r18 — profiling only,
+    // NEVER read by the contract entries): semicolon-separated k=v confs.
+    // Applied at BUILDER time so they land in the SparkConf and are
+    // inherited by the cloned stream sessions (newSession() does not see
+    // runtime conf.set on the parent); each is echoed loudly so a profile
+    // run can never be mistaken for the shipped configuration. Keys the
+    // entries pin in code (state partitions, provider) stay pinned.
+    sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          System.err.println(s"[profile] conf override: $k=$v")
+          builder = builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_STREAM_CONF entry '$kv' is not of the form key=value")
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args(0); val name = args(1)
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()

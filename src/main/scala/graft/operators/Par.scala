@@ -32,14 +32,32 @@ private[graft] object Par {
         pool.submit(new java.util.concurrent.Callable[A] { def call(): A = f() })
       }
       var firstFailure: Throwable = null
+      var interrupted = false
       val out = futures.map { fut =>
-        try Some(fut.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure == null) firstFailure = e.getCause
-            None
+        // An interrupt on the WAITING thread must not abort the
+        // wait-for-ALL contract: already-submitted Spark write jobs would
+        // keep running while the caller unwinds into its crash-recovery
+        // path. Re-enter get() until THIS future settles, record the
+        // interrupt, and re-assert the flag for the caller afterwards.
+        var res: Option[A] = None
+        var settled = false
+        while (!settled) {
+          try { res = Some(fut.get()); settled = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure == null) firstFailure = e.getCause
+              settled = true
+            case e: java.util.concurrent.CancellationException =>
+              if (firstFailure == null) firstFailure = e
+              settled = true
+            case e: InterruptedException =>
+              interrupted = true
+              if (firstFailure == null) firstFailure = e
+          }
         }
+        res
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (firstFailure != null) throw firstFailure
       out.map(_.get)
     } finally pool.shutdownNow()

@@ -810,12 +810,19 @@ object SedStreaming {
     * per-batch state-store commits. */
   private val RowsPerChunk = 1500000L
 
+  /** Adaptive chunk count for a feed of `rows` rows — the ONE formula
+    * stageFileStream and the MemoryStream twins share, so the twin's
+    * scale-adaptive settings (e.g. enrichStatePartitions) can never
+    * drift from the contract entries' if RowsPerChunk or the clamp
+    * changes. */
+  private[streaming] def chunksFor(rows: Long): Int =
+    math.min(16L, math.max(3L, (rows + RowsPerChunk - 1) / RowsPerChunk)).toInt
+
   def stageFileStream(df: DataFrame, tsCol: String, dir: String,
                       chunks: Int = 0): Int = {
     val n =
       if (chunks > 0) chunks
-      else math.min(16L, math.max(3L,
-        (df.count() + RowsPerChunk - 1) / RowsPerChunk)).toInt
+      else chunksFor(df.count())
     df.repartitionByRange(n, col(tsCol))
       .write.mode("overwrite").parquet(dir)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration

@@ -71,12 +71,11 @@ object StreamingQueries {
     val s2 = s.newSession()
     SedQueries.ensureConfs(s2)
     s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-    // A/B hook (r17): flip confs inside the cloned stream session from
-    // the environment without touching the caller's session — profiling
-    // only, never set by the contract entries themselves
-    sys.env.get("SPARK_GRAFT_STREAM_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); s2.conf.set(k, v)
-    })
+    // (r18) the r17 SPARK_GRAFT_STREAM_CONF A/B hook moved OUT of the
+    // contract path into the profiling main (graft.StreamJobProfile): a
+    // stray environment variable must never silently change what the
+    // certified entries run with — session confs here are a pure
+    // function of code + feed size again.
     // processAllAvailable() would otherwise schedule no-data micro-batches
     // purely to advance the watermark — re-committing EVERY state store
     // delta (8 per partition for a stream-stream join) with zero new rows,
@@ -925,11 +924,12 @@ object StreamingQueries {
         .selectExpr("CAST(event_id AS BIGINT) AS id", "ts_us",
           "CAST(value AS DOUBLE) AS v")
         .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
-      // same SCALE-ADAPTIVE partition rule as the contract entry
-      // (enrichStatePartitions over the contract's ~1.5M-row chunking)
-      // so the twin exercises the shipped configuration at every scale
+      // same SCALE-ADAPTIVE partition rule as the contract entry — the
+      // SHARED chunksFor formula, so the twin exercises the shipped
+      // configuration at every scale and cannot drift if RowsPerChunk
+      // or the clamp changes
       val s = streamSession(s0, enrichStatePartitions(
-        math.max(3, (base.length + 1499999) / 1500000)))
+        SedStreaming.chunksFor(base.length.toLong)))
       val sensorRows = base.filter(_._1 % 100 == 0)
       val evMs = emptyStream[(Long, Long, Double)](s)
       val snMs = emptyStream[(Long, Long, Double)](s)

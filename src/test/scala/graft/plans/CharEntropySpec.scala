@@ -22,6 +22,10 @@ class CharEntropySpec extends SparkSpecBase {
     "naïve café — über",             // 2-byte UTF-8
     "数据 大模型 数据",              // 3-byte UTF-8, repeats
     "mixed ascii 数据 and ïï",
+    "a😀b😀",    // 4-byte UTF-8 (supplementary plane):
+                                     // the one case where per-code-point
+                                     // regex matching vs CodePoints
+                                     // decoding could plausibly diverge
     "z" * 1000 + "ab" * 17,          // long run + tail
     (0 until 257).map(i => ('!' + i % 90).toChar).mkString
   )
