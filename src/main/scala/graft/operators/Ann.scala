@@ -1049,6 +1049,36 @@ object Ann {
     edges.withColumn("__r", row_number().over(w)).filter(col("__r") <= k).drop("__r")
   }
 
+  /** [[topKPerSrc]] over an edge set that may still carry duplicate
+    * (src, dst) rows — r18 (guide §2.4): every duplicate carries the
+    * IDENTICAL sim by construction (cosine is a pure function of the two
+    * vectors, and every producer evaluates the same expression on the
+    * same checkpointed vectors), so inside the ranking window duplicates
+    * sort ADJACENT (equal sim, equal dst) and a lag(dst) check drops
+    * them in the same hash(src) exchange + sort the rank already pays.
+    * The dropDuplicates("src","dst") this replaces cost a second full
+    * exchange of the per-iteration edge union — the largest skinny
+    * relation in the loop. The second Window reuses the first's sort
+    * order (no extra Sort/Exchange; asserted by KnnGraphSpec's fused-
+    * dedup plan test and pinned equal to dropDuplicates + row_number on
+    * duplicate-heavy fixtures). */
+  private def topKDistinctPerSrc(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    edges
+      .withColumn("__dup", lag("dst", 1).over(w) === col("dst"))
+      .filter(col("__dup").isNull || !col("__dup"))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .drop("__dup", "__r")
+  }
+
+  /** Broadcast ceiling for [[knnGraph]]'s vector-attach joins: below this
+    * corpus size the (id, vec) table rides an explicit broadcast
+    * (≈ 8 + 4·dim bytes/row → ~0.6 GB built relation at 2M rows/64 dims,
+    * comfortably under the 8 GB / 512M-row broadcast cap), so the
+    * candidate relations are scored map-side; above it the id-keyed
+    * shuffled joins return unchanged. */
+  private[operators] val MaxKnnBroadcastRows = 2000000L
+
   /** Approximate k-NN GRAPH over the whole corpus — NN-Descent (Dong,
     * Moses & Li, WWW 2011 "Efficient K-Nearest Neighbor Graph
     * Construction for Generic Similarity Measures"): the all-pairs
@@ -1065,8 +1095,11 @@ object Ann {
     * forward ∪ top-k reverse edges, (2) the LOCAL JOIN — neighbors of
     * the same pivot pair up as candidates (a self-equi-join on the
     * pivot, O(k²) per node), (3) candidate cosines via two id-keyed
-    * joins against the vectors, (4) union with current edges,
-    * deterministic re-rank to top-k per node. Every per-iteration frame
+    * joins against the vectors (broadcast when the corpus provably
+    * fits — r18, so the candidate relation is scored map-side and the
+    * vector payload never shuffles), (4) union with current edges,
+    * deterministic dedup+re-rank to top-k per node in ONE exchange
+    * (topKDistinctPerSrc). Every per-iteration frame
     * is localCheckpointed (flat lineage). Ties break (sim DESC, dst
     * ASC) everywhere, so reruns are bit-identical; DedupAnnSpec gates
     * recall ≥ 0.9 vs the exact graph and exact convergence on planted
@@ -1084,6 +1117,35 @@ object Ann {
     // working list of max(k, 10) and cut to k only at the end.
     val kw = math.max(k, 10)
     val nBuckets = math.max(1L, n / (kw + 1))
+    // r18 (guide §3.1/§8): candidate pairs are decided on SKINNY
+    // (src, dst) rows and the (8 + 4·dim)-byte vector payload is attached
+    // only at scoring time, via a broadcast of the checkpointed vector
+    // table when it provably fits (n is exact here — the planner cannot
+    // see it through the checkpoint). Before this, every iteration's
+    // scoring joins shuffled the candidate relation twice — the second
+    // time carrying the attached src vector payload — and the init
+    // bucket join shuffled the payload ×3 groupings. Map-side scoring
+    // removes every payload-carrying exchange; an inner equi-join's
+    // result is join-strategy-independent, so output is bit-identical.
+    // norms precomputed ONCE per corpus row (cosine = dot/(√dot·√dot)
+    // costs three vector folds per pair; carrying √dot(v,v) through the
+    // attach join leaves one fold + one multiply + one divide per pair —
+    // the identical doubles in the identical order, so sims are
+    // bit-for-bit unchanged)
+    val dotc = graft.functions.VectorFunctions.dot _
+    val normc = graft.functions.VectorFunctions.norm _
+    def score(pairs: DataFrame): DataFrame = {
+      val sv = vecs.select(col("id").as("src"), col("v").as("__sv"),
+        normc(col("v")).as("__sn"))
+      val dv = vecs.select(col("id").as("dst"), col("v").as("__dv"),
+        normc(col("v")).as("__dn"))
+      val (s1, d1) =
+        if (n <= MaxKnnBroadcastRows) (broadcast(sv), broadcast(dv))
+        else (sv, dv)
+      pairs.join(s1, "src").join(d1, "dst")
+        .select(col("src"), col("dst"),
+          (dotc(col("__sv"), col("__dv")) / (col("__sn") * col("__dn"))).as("sim"))
+    }
     // init: THREE independent hash groupings, all-pairs within each
     // ~(k+1)-sized bucket. One grouping alone seeds disjoint CLIQUES —
     // closed under the neighbor-of-neighbor join, so NN-Descent could
@@ -1094,16 +1156,15 @@ object Ann {
     // and `b.x` to the SAME attribute there, silently degenerating the
     // predicate).
     val bucketed = vecs
-      .select(explode(sequence(lit(1L), lit(3L))).as("__j"), col("id"), col("v"))
+      .select(explode(sequence(lit(1L), lit(3L))).as("__j"), col("id"))
       .withColumn("__b", concat_ws("_", col("__j"),
         pmod(xxhash64(col("id"), col("__j")), lit(nBuckets))))
-    val cos = graft.functions.VectorFunctions.cosine _
-    var edges = topKPerSrc(
-      bucketed.select(col("__b"), col("id").as("src"), col("v").as("__sv"))
-        .join(bucketed.select(col("__b"), col("id").as("dst"), col("v").as("__dv")), "__b")
+      .select("__b", "id")
+    var edges = topKDistinctPerSrc(score(
+      bucketed.withColumnRenamed("id", "src")
+        .join(bucketed.withColumnRenamed("id", "dst"), "__b")
         .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), cos(col("__sv"), col("__dv")).as("sim"))
-        .dropDuplicates("src", "dst"),
+        .select("src", "dst")),
       kw).localCheckpoint(true)
     var it = 0
     while (it < iters) {
@@ -1126,20 +1187,29 @@ object Ann {
         .join(explore.withColumnRenamed("id", "dst"), "__b")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
+      // incremental new/old candidate pruning (Dong et al. 2011 §2.3) was
+      // tried and REFUTED here (r18, KnnBench 100× receipt): the fresh
+      // per-iteration exploration bucket injects ~n new adjacencies every
+      // round, so old×old pivot pairs are a small slice of the local join
+      // — candidate distinct volume was unchanged (0.44 GB shuffle write
+      // per iteration either way) while the gen-vs-prevGen anti-join
+      // bookkeeping added ~6 s (87.7 → 94.2 s end-to-end). Kept simple.
       val gen = fwd.unionByName(rev).unionByName(exploreEdges).distinct()
       val cand = gen.select(col("src").as("__p"), col("dst").as("__d1"))
         .join(gen.select(col("src").as("__p"), col("dst").as("__d2")), "__p")
         .filter(col("__d1") < col("__d2"))
         .select(col("__d1").as("src"), col("__d2").as("dst"))
         .distinct()
-      val scored = cand
-        .join(vecs.select(col("id").as("src"), col("v").as("__sv")), "src")
-        .join(vecs.select(col("id").as("dst"), col("v").as("__dv")), "dst")
-        .select(col("src"), col("dst"), cos(col("__sv"), col("__dv")).as("sim"))
+      val scored = score(cand)
       val sym = scored.unionByName(
         scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      edges = topKPerSrc(
-        edges.unionByName(sym).dropDuplicates("src", "dst"), kw)
+      // fused dedup+rank (topKDistinctPerSrc): edges ∪ sym may repeat a
+      // pair (already-known edge rescored, or both directions of an
+      // existing edge) — always with the identical sim, so the lag-based
+      // dedup inside the rank's own sort replaces the former
+      // dropDuplicates("src","dst") exchange over the iteration's
+      // largest relation
+      edges = topKDistinctPerSrc(edges.unionByName(sym), kw)
         .localCheckpoint(true)
       it += 1
     }
