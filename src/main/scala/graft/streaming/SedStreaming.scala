@@ -824,7 +824,17 @@ object SedStreaming {
       if (chunks > 0) chunks
       else chunksFor(df.count())
     df.repartitionByRange(n, col(tsCol))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite")
+      // 1 MiB row groups (r18): each staged chunk is ONE file by feed
+      // contract (one micro-batch per file), so at scale the default
+      // 128 MiB row group makes the whole batch a single scan task no
+      // matter what split size a reader asks for. Small row groups make
+      // the file SPLITTABLE; readers that stay at the default 128 MiB
+      // split still get one task per file, so this is inert unless an
+      // entry opts into [[scanSplitFor]]. Row order inside the file is
+      // unchanged.
+      .option("parquet.block.size", (1L << 20).toString)
+      .parquet(dir)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
@@ -874,7 +884,10 @@ object SedStreaming {
     val tmpDir = dir + ".tmp"
     (1 to chunks).foreach { b =>
       staged.filter(col("__b") === b).drop("__b").coalesce(1)
-        .write.mode("overwrite").parquet(tmpDir)
+        .write.mode("overwrite")
+        // splittable chunks, same rationale as stageFileStream
+        .option("parquet.block.size", (1L << 20).toString)
+        .parquet(tmpDir)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
         .map(_.getPath).filter(_.getName.startsWith("part-"))
       require(part.length == 1, s"chunk $b wrote ${part.length} files")
@@ -885,6 +898,28 @@ object SedStreaming {
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
     staged.unpersist()
     ()
+  }
+
+  /** Reader-side scan-split size for a staged feed (guide §6 input-split
+    * sizing): spread ONE micro-batch file across the session's cores —
+    * clamp(maxChunkBytes / defaultParallelism, 1 MiB, 128 MiB). The feed
+    * contract is one file per micro-batch, so split size is the only
+    * scan-parallelism lever a stateless (map-only) scoring entry has:
+    * without it the whole batch's tokenize/score chain runs on ONE task
+    * (measured at 100×: 3 × ~19 s single-task batches in
+    * q_stream_quality). The 1 MiB floor matches the staging row-group
+    * size, below which splits cannot bite. Apply on the entry's CLONED
+    * session only, and only where per-row results are independent of the
+    * scan's partition layout (stateless projections/filters, or
+    * foreachBatch bodies that aggregate by key). */
+  def scanSplitFor(s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val maxLen = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.startsWith("part-") || f.getName.startsWith("chunk-"))
+      .map(fs.getFileStatus(_).getLen).foldLeft(0L)(math.max)
+    val cores = math.max(1L, s.sparkContext.defaultParallelism.toLong)
+    math.min(128L << 20, math.max(1L << 20, maxLen / cores + 1))
   }
 
   /** Open a staged feed directory as a file-source stream, one staged

@@ -114,6 +114,20 @@ object StreamingQueries {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Opt a CLONED stream session into per-core scan splits of its staged
+    * single-file micro-batches (r18, guide §6 — see
+    * [[SedStreaming.scanSplitFor]]). ONLY for entries whose per-batch
+    * results are provably independent of the scan's partition layout:
+    * stateless projections/filters, and foreachBatch index loops whose
+    * operators are SET-based over the batch (joins/aggregations with
+    * deterministic tie-breaks — the same operators their oracles/specs
+    * certify on arbitrarily-partitioned batch inputs). NOT applied to
+    * arrival-order-sensitive chains (streamingDedup's keeper election
+    * keeps the first-arriving row per content key within a batch). */
+  private def splitScan(s: SparkSession, dir: String): Unit =
+    s.conf.set("spark.sql.files.maxPartitionBytes",
+      SedStreaming.scanSplitFor(s, dir).toString)
+
   /** Drain a file-source chain into a named memory sink (complete-mode
     * aggregations — the sink holds the bounded aggregate result). */
   private def runToMemory(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
@@ -449,6 +463,9 @@ object StreamingQueries {
       "doc_id", dir)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
+    // stateless map-only scoring — split the single-file micro-batch
+    // (r18; measured 3 × ~19 s single-task batches at 100×)
+    splitScan(s, dir)
     val live = SedStreaming.fileStream(s, dir, schema)
     runToParquet(s, live
       .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
@@ -474,6 +491,8 @@ object StreamingQueries {
       "doc_id", dir)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
+    // stateless AC-flag projection — split the single-file micro-batch
+    splitScan(s, dir)
     runToParquet(s, graft.sed.PipelineQueries.blocklistFlags(
       SedStreaming.fileStream(s, dir, schema)))
   }
@@ -503,6 +522,10 @@ object StreamingQueries {
       StructField("doc_id", LongType), StructField("lang", StringType),
       StructField("text", StringType)))
     val outPath = tmp("graft_ppl_out")
+    // the foreachBatch body aggregates per doc_id (scan layout cannot
+    // change its result) but the tokenize/shingle scan work runs in the
+    // batch file's scan tasks — split the single file (r18, guide §6)
+    splitScan(s, dir)
     val q = SedStreaming.fileStream(s, dir, schema).writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sed.PipelineQueries.pplBucketize(
@@ -538,6 +561,9 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val outPath = tmp("graft_substr_out")
+    // set-based foreachBatch body (span-exactness pinned vs the batch
+    // operator on arbitrary partitioning) — split the batch scan (r18)
+    splitScan(s, dir)
     // compactEvery = 2: anchor-index generation swaps run mid-feed;
     // the accumulated spans must stay equal through them
     val q = SedStreaming.streamingSubstringDedup(
@@ -571,6 +597,9 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val idxPath = tmp("graft_split_idx")
+    // set-based foreachBatch body (min-label clustering; oracle-pinned)
+    // — split the batch scan (r18)
+    splitScan(s, dir)
     // compactEvery = 2: the entry runs the in-loop generation-swap
     // compaction (GenIndex) mid-feed — the staged feed is >= 3 chunks,
     // so at least one swap genuinely fires — and the oracle therefore
@@ -611,6 +640,9 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val outPath = tmp("graft_dingest_out")
+    // set-based foreachBatch body (classification joins; oracle-pinned)
+    // — split the batch scan (r18)
+    splitScan(s, dir)
     val q = SedStreaming.streamingDedupIngest(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       tmp("graft_dingest_idx"), outPath, tmp("graft_dingest_ck"),
@@ -647,6 +679,8 @@ object StreamingQueries {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val idxPath = tmp("graft_retsplit_idx")
     val outPath = tmp("graft_retsplit_out")
+    // set-based foreachBatch body — split the batch scan (r18)
+    splitScan(s, dir)
     val q = SedStreaming.streamingLeakageSplit(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       graft.sed.PipelineQueries.SplitSeed, idxPath, outPath,
@@ -685,6 +719,8 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val outPath = tmp("graft_retchunk_out")
+    // set-based foreachBatch body — split the batch scan (r18)
+    splitScan(s, dir)
     val q = SedStreaming.streamingCdcDedup(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       tmp("graft_retchunk_idx"), outPath, tmp("graft_retchunk_ck"),
@@ -724,6 +760,8 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val outPath = tmp("graft_retsubstr_out")
+    // set-based foreachBatch body — split the batch scan (r18)
+    splitScan(s, dir)
     val q = SedStreaming.streamingSubstringDedup(
       SedStreaming.fileStream(s, dir, schema), "doc_id", "text",
       tmp("graft_retsubstr_idx"), outPath, tmp("graft_retsubstr_ck"),
@@ -757,6 +795,8 @@ object StreamingQueries {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
     val outPath = tmp("graft_video_out")
+    // set-based foreachBatch body — split the batch scan (r18)
+    splitScan(s, dir)
     // compactEvery = 2: the chunk index compacts in-loop through the
     // GenIndex generation swap mid-feed, so the shared batch oracle
     // certifies ingest AND maintenance (the q_stream_leakage_split move)
@@ -868,6 +908,10 @@ object StreamingQueries {
     SedStreaming.stageFileStream(Tables.documents(s0, d)
       .filter(col("doc_id") % 97 =!= 0)
       .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "text"), "doc_id", dir)
+    // stateless map-only scoring: spread each single-file micro-batch
+    // across the cores (r18, guide §6 — per-row results are independent
+    // of scan partition layout, so the emitted SET is unchanged)
+    splitScan(s, dir)
     runToParquet(s, SedStreaming.streamingDecontaminate(
       SedStreaming.fileStream(s, dir, dedupSchema), "doc_id", "text", bc, shingleN))
   }
